@@ -1,0 +1,62 @@
+"""Table catalog over the driver-generated parquet test data.
+
+``load_tables`` gives the query layer one entry point for the star
+schema + extension tables (TESTDATA.md). Scans stay lazy DataFrames so
+Catalyst keeps predicate pushdown / column pruning / partition pruning
+on every downstream query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at *any* scale factor; the fact
+# tables (orders, lineitem, events, documents, embeddings) scale with SF
+# and must never be broadcast.
+BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long
+    # (spark.sql.legacy.parquet.nanosAsLong) — convert to a real
+    # timestamp at microsecond precision (matches DuckDB's ns→us cast).
+    # Integer DIV keeps full precision; a double division would not
+    # (epoch-nanos exceeds 2^53).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table as a lazy DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for spark.sql use."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

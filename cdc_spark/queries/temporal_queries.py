@@ -1,0 +1,183 @@
+"""Temporal operators: as-of join, range join, tumbling/sliding windows,
+percentiles — over the `events` stream table (batch semantics; the
+streaming twins live in cdc_spark.streaming)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.asof import asof_join
+from cdc_spark.queries.base import dsum, dsum_sql, register
+
+
+@register(
+    "q25_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    note="as-of join: latest preceding click per purchase (union+window, no O(n^2))",
+    tags=("join", "asof"),
+)
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        tiebreak="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("click_id_matched").alias("click_id"),
+        F.col("click_ts_matched").alias("click_ts"),
+    )
+
+
+@register(
+    "q26_range_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    GROUP BY c.user_id
+    """,
+    note="range join: purchases within 5 min after a click, per user",
+    tags=("join", "range"),
+)
+def q26_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+    )
+    pairs = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr("INTERVAL 5 MINUTES")
+        ),
+        "inner",
+    )
+    gap = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(gap).cast("long").alias("min_gap_us"),
+    )
+
+
+@register(
+    "q28_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    note="tumbling 1h window aggregate (batch twin of streaming window())",
+    tags=("window", "temporal"),
+)
+def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q29_sliding_window",
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
+               AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i)
+    GROUP BY 1
+    """,
+    note="sliding window (1h / 30min slide): each event lands in 2 windows",
+    tags=("window", "temporal"),
+)
+def q29_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "q30_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    note="exact linear-interpolation percentiles",
+    tags=("agg", "percentile"),
+)
+def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "q31_approx_stats",
+    oracle=None,  # approximate by design: HLL/KLL sketches differ per engine
+    note="approx_count_distinct (HLL) + percentile_approx (KLL-ish) — rows-only check",
+    tags=("agg", "approx"),
+)
+def q31_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.count("*").alias("n"),
+    )

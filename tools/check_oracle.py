@@ -1,0 +1,101 @@
+"""Self-check harness mimicking the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB at the
+given SF dir, then compares row count, column names/order-insensitive
+value hash. Usage:
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from cdc_spark.catalog import TABLES, table_path  # noqa: E402
+from cdc_spark.queries import REGISTRY  # noqa: E402
+from cdc_spark.session import get_spark  # noqa: E402
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive hash: sort columns by name, canonicalize values,
+    sort rows, hash the blob."""
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+    for c in cols:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+    rows = sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')"
+        )
+
+    names = args.names or sorted(REGISTRY)
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if spec.oracle is None:
+            print(f"--   {name}: rows={len(sdf)} (no oracle) [{dt:.1f}s]")
+            n_noracle += 1
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        elif value_hash(sdf) != value_hash(odf):
+            problems.append("value-hash mismatch")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: rows={len(sdf)} [{dt:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
