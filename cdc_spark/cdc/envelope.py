@@ -1,0 +1,227 @@
+"""Change-event envelope parsers — three dialects, one canonical shape.
+
+Dialects (SURVEY.md §1.3):
+
+1. **wal2json** — the reference's golden fixtures
+   (`/root/reference/examples/pgoutput/events/*.json`): a document per
+   transaction with a ``change`` array; inserts/updates carry parallel
+   ``columnnames/columntypes/columnvalues`` arrays, updates/deletes
+   carry ``oldkeys`` (deletes carry *only* keys — delete.json:7-11).
+2. **Debezium** — ``before``/``after``/``op``/``source``/``ts_ms``,
+   the deck's canonical Kafka transport (slides 21-27).
+3. **pgoutput-JSON** — the flat envelope of FIXTURES.md §A4 mirroring
+   the binary pgoutput messages the reference decodes
+   (main.go:338-409), with explicit ``lsn``/``tx_id``.
+
+All parse into the canonical change schema::
+
+    op         string   -- c|u|d|t|r
+    src_schema string
+    src_table  string
+    lsn        long     -- total order within the source; merge tiebreak
+    tx_id      long
+    commit_ts  timestamp
+    key        map<string,string>  -- PK name→value (deletes: the only payload)
+    before     map<string,string>  -- old image if the dialect carries one
+    after      map<string,string>  -- new image (null for deletes)
+    col_types  map<string,string>  -- in-band type announcements, if any
+
+Everything is ``from_json`` + array/map expressions — one declarative
+plan replaces the reference's hand-rolled binary decoder, and executes
+vectorized on every partition instead of row-at-a-time on one thread.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CANONICAL_FIELDS = (
+    "op",
+    "src_schema",
+    "src_table",
+    "lsn",
+    "tx_id",
+    "commit_ts",
+    "key",
+    "before",
+    "after",
+    "col_types",
+)
+
+_MAP_SS = T.MapType(T.StringType(), T.StringType())
+
+# wal2json: columnvalues is heterogeneous JSON (numbers, strings,
+# bools); parsing as array<string> keeps each scalar's lexical form —
+# the same "text value, cast later" discipline as the reference's
+# tuple decode (main.go:197-210), made columnar.
+WAL2JSON_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "change",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("schema", T.StringType()),
+                        T.StructField("table", T.StringType()),
+                        T.StructField("columnnames", T.ArrayType(T.StringType())),
+                        T.StructField("columntypes", T.ArrayType(T.StringType())),
+                        T.StructField("columnvalues", T.ArrayType(T.StringType())),
+                        T.StructField(
+                            "oldkeys",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "keynames", T.ArrayType(T.StringType())
+                                    ),
+                                    T.StructField(
+                                        "keytypes", T.ArrayType(T.StringType())
+                                    ),
+                                    T.StructField(
+                                        "keyvalues", T.ArrayType(T.StringType())
+                                    ),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+DEBEZIUM_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("before", _MAP_SS),
+        T.StructField("after", _MAP_SS),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("schema", T.StringType()),
+                    T.StructField("table", T.StringType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("txId", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+PGOUTPUT_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("tx_id", T.LongType()),
+        T.StructField("tx_commit_ts", T.StringType()),
+        T.StructField("key", _MAP_SS),
+        T.StructField("before", _MAP_SS),
+        T.StructField("after", _MAP_SS),
+        T.StructField("col_types", _MAP_SS),
+    ]
+)
+
+_KIND_TO_OP = {"insert": "c", "update": "u", "delete": "d", "truncate": "t"}
+
+
+def _zip_map(names: Column, values: Column) -> Column:
+    """map_from_arrays guarded against null arrays."""
+    return F.when(
+        names.isNotNull() & values.isNotNull(), F.map_from_arrays(names, values)
+    )
+
+
+def parse_wal2json(
+    raw: DataFrame, value_col: str = "value", lsn_col: str | None = None
+) -> DataFrame:
+    """Parse wal2json transaction documents → canonical change rows.
+
+    ``lsn_col``: a pre-existing total-order column (Kafka offset, file
+    line number). wal2json documents carry no LSN themselves, so the
+    transport's order column stands in — within a document, the
+    change-array index breaks ties (documents are single transactions;
+    the array is statement order). lsn = input_order * 2^20 + idx.
+    """
+    order = (
+        F.col(lsn_col)
+        if lsn_col
+        else F.monotonically_increasing_id()
+    )
+    doc = raw.withColumn("__doc", F.from_json(F.col(value_col), WAL2JSON_SCHEMA))
+    changes = doc.select(
+        order.alias("__order"), F.posexplode_outer("__doc.change").alias("__idx", "c")
+    )
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in _KIND_TO_OP.items() for x in kv]
+    )
+    return changes.select(
+        kind_map[F.col("c.kind")].alias("op"),
+        F.col("c.schema").alias("src_schema"),
+        F.col("c.table").alias("src_table"),
+        (F.col("__order") * F.lit(1 << 20) + F.col("__idx"))
+        .cast("long")
+        .alias("lsn"),
+        F.lit(None).cast("long").alias("tx_id"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        _zip_map(F.col("c.oldkeys.keynames"), F.col("c.oldkeys.keyvalues")).alias(
+            "key"
+        ),
+        F.lit(None).cast(_MAP_SS).alias("before"),
+        _zip_map(F.col("c.columnnames"), F.col("c.columnvalues")).alias("after"),
+        _zip_map(F.col("c.columnnames"), F.col("c.columntypes")).alias("col_types"),
+    )
+
+
+def parse_debezium(
+    raw: DataFrame, value_col: str = "value", key_names: list[str] | None = None
+) -> DataFrame:
+    """Parse Debezium envelopes → canonical change rows.
+
+    ``key_names``: PK column names (Debezium keys travel in the Kafka
+    record key; when consuming value-only, name the PK columns so the
+    key map can be projected from before/after images).
+    """
+    doc = raw.withColumn("__e", F.from_json(F.col(value_col), DEBEZIUM_SCHEMA))
+    img = F.coalesce(F.col("__e.after"), F.col("__e.before"))
+    if key_names:
+        key = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in key_names]),
+            F.array(*[F.try_element_at(img, F.lit(k)) for k in key_names]),
+        )
+    else:
+        key = F.lit(None).cast(_MAP_SS)
+    return doc.select(
+        F.col("__e.op").alias("op"),
+        F.col("__e.source.schema").alias("src_schema"),
+        F.col("__e.source.table").alias("src_table"),
+        F.col("__e.source.lsn").alias("lsn"),
+        F.col("__e.source.txId").alias("tx_id"),
+        F.timestamp_millis(F.col("__e.ts_ms")).alias("commit_ts"),
+        key.alias("key"),
+        F.col("__e.before").alias("before"),
+        F.col("__e.after").alias("after"),
+        F.lit(None).cast(_MAP_SS).alias("col_types"),
+    )
+
+
+def parse_pgoutput_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse the flat pgoutput-JSON envelope (FIXTURES.md §A4)."""
+    doc = raw.withColumn("__e", F.from_json(F.col(value_col), PGOUTPUT_JSON_SCHEMA))
+    return doc.select(
+        F.col("__e.op").alias("op"),
+        F.col("__e.schema").alias("src_schema"),
+        F.col("__e.table").alias("src_table"),
+        F.col("__e.lsn").alias("lsn"),
+        F.col("__e.tx_id").alias("tx_id"),
+        F.col("__e.tx_commit_ts").try_cast("timestamp").alias("commit_ts"),
+        F.coalesce(F.col("__e.key"), F.col("__e.before")).alias("key"),
+        F.col("__e.before").alias("before"),
+        F.col("__e.after").alias("after"),
+        F.col("__e.col_types").alias("col_types"),
+    )

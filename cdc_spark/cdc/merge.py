@@ -1,0 +1,139 @@
+"""Stateful apply: LSN-ordered latest-wins merge of typed change rows.
+
+The heart of the engine (SURVEY.md §7 step 4). Semantics, per key:
+
+- changes apply in ``lsn`` order, never arrival order — per-key
+  ordering under shuffle is guaranteed by aggregation over lsn, the
+  deck's log-compaction rule (slide 48);
+- a delete tombstone kills the row unless a later insert/update
+  revives it within the same batch;
+- a null column in an update means *unchanged* (pgoutput 'u'
+  unchanged-TOAST flag, main.go:203): the fold takes the last
+  **non-null** value per column in lsn order, and falls back to the
+  pre-merge base row when the live chain contains no insert;
+- ``op='t'`` (truncate) clears the table as of its lsn — the message
+  the reference parses but silently drops (main.go:393-398 vs
+  115-130); we implement the parsed semantics;
+- ``op='r'`` (snapshot read) behaves as insert, so a DBLog-style
+  backfill interleaves with the tail (deck slide 30).
+
+Scale shape: one hash shuffle of the batch by key (window + groupBy
+share it), one shuffle of the base by key for the join — the same
+shape Delta MERGE produces. No collect, no driver loop; AQE handles
+skewed keys on the joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UPSERT_OPS = ("c", "u", "r")
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "lsn",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Log-compaction view: newest row per key (deck slide 48)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), *[F.desc(t) for t in tiebreak]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    payload: Sequence[str],
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply one batch of typed changes onto ``base`` → new state.
+
+    ``changes`` must carry: key columns, ``payload`` columns, ``op``
+    (c/u/d/t/r) and a total-order ``lsn``. ``base`` is the prior
+    materialized state (key + payload columns), or None for cold start.
+    """
+    keys = list(keys)
+    payload = [c for c in payload if c not in keys]
+    out_cols = keys + payload
+    op = F.col(op_col)
+    lsn = F.col(lsn_col)
+
+    spark = changes.sparkSession
+    if base is None:
+        base = spark.createDataFrame(
+            [], changes.select(*out_cols).schema
+        )
+
+    # --- truncate: wipe state as of the newest 't' lsn (declarative —
+    # a broadcast 1-row aggregate, no driver collect) ----------------
+    t_agg = changes.agg(F.max(F.when(op == "t", lsn)).alias("__tmax"))
+    changes = (
+        changes.crossJoin(F.broadcast(t_agg))
+        .where(
+            (op != "t")
+            & (F.col("__tmax").isNull() | (lsn > F.col("__tmax")))
+        )
+        .drop("__tmax")
+    )
+    base = base.crossJoin(F.broadcast(t_agg)).where(
+        F.col("__tmax").isNull()
+    ).drop("__tmax")
+
+    # --- per-key fold in lsn order ----------------------------------
+    w = Window.partitionBy(*keys)
+    with_del = changes.withColumn(
+        "__last_del", F.max(F.when(op == "d", lsn)).over(w)
+    )
+    live = F.col(op_col).isin(*UPSERT_OPS) & (
+        F.col("__last_del").isNull() | (lsn > F.col("__last_del"))
+    )
+    tagged = with_del.withColumn("__live", live)
+
+    folds = [
+        F.expr(
+            f"max_by(`{c}`, CASE WHEN __live AND `{c}` IS NOT NULL "
+            f"THEN `{lsn_col}` END)"
+        ).alias(c)
+        for c in payload
+    ]
+    per_key = tagged.groupBy(*keys).agg(
+        F.max(F.when(F.col("__live"), lsn)).alias("__last_live"),
+        F.max(
+            F.when(F.col("__live") & op.isin("c", "r"), lsn)
+        ).alias("__last_ins"),
+        *folds,
+    )
+
+    upserts = per_key.where(F.col("__last_live").isNotNull())
+    # keys whose final state is "deleted" need no row at all — they are
+    # simply part of changed_keys and excluded from the base carry-over.
+
+    changed_keys = per_key.select(*keys)
+    untouched = base.join(changed_keys, on=keys, how="left_anti")
+
+    base_payload = base.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in payload]
+    )
+    merged = upserts.join(base_payload, on=keys, how="left").select(
+        *keys,
+        *[
+            F.when(F.col("__last_ins").isNotNull(), F.col(c))
+            .otherwise(F.coalesce(F.col(c), F.col(f"__b_{c}")))
+            .alias(c)
+            for c in payload
+        ],
+    )
+    return untouched.select(*out_cols).unionByName(merged)

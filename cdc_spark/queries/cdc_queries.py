@@ -1,1 +1,323 @@
-"""cdc_queries — filled in incrementally."""
+"""CDC operators exposed through the driver's correctness gate.
+
+Each query exercises a CDC-core operator on the driver's synthetic
+tables (the `events` table doubles as a change stream: event_id is
+the LSN total order, user_id the key) or on golden-equivalent literal
+documents, with an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.cdc.envelope import parse_wal2json
+from cdc_spark.cdc.merge import apply_changes, latest_by_key
+from cdc_spark.cdc.outbox import route_outbox
+from cdc_spark.cdc.registry import SchemaRegistry
+from cdc_spark.cdc.snapshot import snapshot_diff
+from cdc_spark.queries.base import register
+
+# Map event_type → CDC op so `events` becomes a deterministic change
+# stream: signup creates, click/view/purchase update, error deletes.
+_OP_SQL = """
+    CASE event_type
+        WHEN 'signup' THEN 'c'
+        WHEN 'error' THEN 'd'
+        ELSE 'u'
+    END
+"""
+
+
+def _as_changes(events: DataFrame) -> DataFrame:
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    return events.select(
+        op.alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+@register(
+    "cdc01_golden_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Johny', 'Kowalski'),
+        (3, 'Joe', 'Fresh')
+    ) AS t(id, firstname, lastname)
+    """,
+    note="wal2json parse → typed decode → latest-wins merge, the reference "
+    "fixtures' insert/update/delete story plus a second key",
+    tags=("cdc", "merge"),
+)
+def cdc01_golden_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def doc(kind, values=None, keys=None):
+        c = {"kind": kind, "schema": "public", "table": "users"}
+        if values:
+            c["columnnames"] = ["id", "firstname", "lastname"]
+            c["columntypes"] = ["integer", "text", "text"]
+            c["columnvalues"] = values
+        if keys is not None:
+            c["oldkeys"] = {
+                "keynames": ["id"],
+                "keytypes": ["integer"],
+                "keyvalues": keys,
+            }
+        return json.dumps({"change": [c]})
+
+    docs = [
+        doc("insert", [1, "Johny", "Rambo"]),
+        doc("insert", [2, "Jane", "Doe"]),
+        doc("update", [1, "Johny", "Kowalski"], keys=[1]),
+        doc("delete", keys=[2]),
+        doc("insert", [3, "Joe", "Fresh"]),
+    ]
+    raw = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "seq long, value string"
+    )
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "users",
+        [("id", "integer", True), ("firstname", "text"), ("lastname", "text")],
+    )
+    typed = reg.materialize(
+        parse_wal2json(raw, lsn_col="seq"), "public", "users"
+    )
+    return apply_changes(None, typed, ["id"], ["firstname", "lastname"])
+
+
+@register(
+    "cdc02_events_merge",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS last_type,
+           ROUND(arg_max(value, lsn), 4) AS last_value,
+           COUNT(*) AS n_changes
+    FROM live GROUP BY user_id
+    """,
+    note="CDC apply over the events stream: latest-wins state per user "
+    "with delete tombstones (error events)",
+    tags=("cdc", "merge"),
+)
+def cdc02_events_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events)
+
+    # state columns: last_type/last_value; count of live changes folded in
+    w_del = F.max(F.when(F.col("op") == "d", F.col("lsn"))).over(
+        Window.partitionBy("user_id")
+    )
+    tagged = changes.withColumn("last_del", w_del)
+    live = tagged.where(
+        F.col("op").isin("c", "u")
+        & (F.col("last_del").isNull() | (F.col("lsn") > F.col("last_del")))
+    )
+    return live.groupBy("user_id").agg(
+        F.expr("max_by(event_type, lsn)").alias("last_type"),
+        F.round(F.expr("max_by(value, lsn)"), 4).alias("last_value"),
+        F.count("*").alias("n_changes"),
+    )
+
+
+@register(
+    "cdc03_snapshot_diff",
+    oracle="""
+    WITH snap2 AS (
+        SELECT c_custkey,
+               c_name,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN ROUND(c_acctbal + 100.0, 2)
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, CONCAT('new_', c_name), 0.0
+        FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT op, c_custkey AS key_custkey FROM (
+        SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'c'
+                    WHEN n.c_custkey IS NULL THEN 'd'
+                    WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                      OR o.c_name IS DISTINCT FROM n.c_name THEN 'u'
+               END AS op
+        FROM customer o FULL OUTER JOIN snap2 n USING (c_custkey)
+    ) WHERE op IS NOT NULL
+    """,
+    note="query-based (polling) CDC: snapshot diff emitting c/u/d events "
+    "(deck slide 9) — full-outer join, null-safe compare",
+    tags=("cdc", "diff"),
+)
+def cdc03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    modified = cust.where(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    inserted = cust.where(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    snap2 = modified.unionByName(inserted)
+    diff = snapshot_diff(cust, snap2, ["c_custkey"])
+    return diff.select("op", F.col("c_custkey").alias("key_custkey"))
+
+
+@register(
+    "cdc04_log_compaction",
+    oracle="""
+    SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    note="log compaction: newest record per key (deck slide 48)",
+    tags=("cdc", "compaction"),
+)
+def cdc04_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_by_key(events, ["user_id"], order_col="event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "cdc05_outbox_route",
+    oracle="""
+    SELECT CASE event_type
+               WHEN 'signup'   THEN 'user.events'
+               WHEN 'purchase' THEN 'order.events'
+               WHEN 'error'    THEN 'ops.alerts'
+               ELSE 'activity.events'
+           END AS topic,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    note="outbox router: aggregate-type → topic fan-out (deck slide 40)",
+    tags=("cdc", "outbox"),
+)
+def cdc05_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    routed = route_outbox(
+        events,
+        "event_type",
+        {
+            "signup": "user.events",
+            "purchase": "order.events",
+            "error": "ops.alerts",
+            "click": "activity.events",
+            "view": "activity.events",
+        },
+        default_topic="activity.events",
+    )
+    return routed.groupBy("topic").agg(F.count("*").alias("n"))
+
+
+@register(
+    "cdc06_schema_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Johny', 'Kowalski', '555-0199'),
+        (2, 'Jane', 'Doe', NULL)
+    ) AS t(id, firstname, lastname, phone_number)
+    """,
+    note="mid-stream schema evolution (migrations 001→002): v1 rows "
+    "null-backfilled, v2 rows carry the new column",
+    tags=("cdc", "schema"),
+)
+def cdc06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def doc(names, values, keys=None, kind="insert"):
+        c = {
+            "kind": kind,
+            "schema": "public",
+            "table": "users",
+            "columnnames": names,
+            "columntypes": ["integer"] + ["text"] * (len(names) - 1),
+            "columnvalues": values,
+        }
+        if keys is not None:
+            c["oldkeys"] = {
+                "keynames": ["id"],
+                "keytypes": ["integer"],
+                "keyvalues": keys,
+            }
+        return json.dumps({"change": [c]})
+
+    v1 = ["id", "firstname", "lastname"]
+    v2 = v1 + ["phone_number"]
+    docs = [
+        doc(v1, [1, "Johny", "Rambo"]),
+        doc(v1, [2, "Jane", "Doe"]),
+        # ALTER TABLE adds phone_number → new Relation announcement
+        doc(v2, [1, "Johny", "Kowalski", "555-0199"], keys=[1], kind="update"),
+    ]
+    raw = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "seq long, value string"
+    )
+    reg = SchemaRegistry()
+    reg.announce(
+        "public", "users", [("id", "integer", True)] + [(c, "text") for c in v1[1:]]
+    )
+    reg.announce(
+        "public", "users", [("id", "integer", True)] + [(c, "text") for c in v2[1:]]
+    )
+    typed = reg.materialize(parse_wal2json(raw, lsn_col="seq"), "public", "users")
+    return apply_changes(
+        None, typed, ["id"], ["firstname", "lastname", "phone_number"]
+    )
+
+
+@register(
+    "cdc07_dedup_at_least_once",
+    oracle="""
+    SELECT COUNT(*) AS n_delivered, COUNT(DISTINCT event_id) AS n_unique
+    FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
+    """,
+    note="at-least-once delivery dedup: replayed stream collapses by key",
+    tags=("cdc", "dedup"),
+)
+def cdc07_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    redelivered = events.unionByName(events)  # simulated redelivery
+    return redelivered.agg(
+        F.count("*").alias("n_delivered"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
