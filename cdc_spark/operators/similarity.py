@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the
+  query vector as a literal, compute the dot product with
+  ``zip_with`` + ``aggregate`` (JVM-side, whole-stage codegen), global
+  top-k via orderBy+limit (TakeOrderedAndProject — no full sort).
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (deterministic seeded planes) bucket the corpus; queries search
+  only their bucket ∪ multiprobe neighbors (Hamming-1 buckets). At
+  100 TB the corpus is written bucket-partitioned so a query touches
+  a handful of partitions instead of the full scan.
+
+Near-dup by embedding cosine (pairs ≥ threshold) reuses the same
+bucket-join shape as MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(embedding_col), q), round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(
+    embedding: Column, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i) ≥ 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(
+            dot(embedding, p) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 11,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k: multi-table random-hyperplane LSH.
+
+    L independent tables of k-bit signatures; a row is a candidate if
+    it matches the query's bucket in ANY table (classic OR-of-ANDs:
+    recall 1-(1-p^k)^L where p = 1-θ/π). The candidate filter is one
+    scan with L bucket equalities — no joins; at 100 TB the corpus is
+    stored with the L bucket columns materialized and bucket-
+    partitioned so each probe prunes to L partitions. Exact cosine
+    ranks the candidates. Recall < 1 by construction; tests measure
+    it against the brute-force baseline.
+    """
+    dim = len(query_vec)
+    cond = None
+    tagged = df
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        q_bucket = 0
+        for i, plane in enumerate(planes):
+            if math.fsum(x * y for x, y in zip(query_vec, plane)) >= 0:
+                q_bucket |= 1 << i
+        eq = lsh_bucket(F.col(embedding_col), planes) == q_bucket
+        cond = eq if cond is None else (cond | eq)
+    near = tagged.where(cond)
+    return cosine_topk(
+        near, embedding_col, id_col, query_vec, k, round_digits=round_digits
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact O(n²) variant.
+
+    The scale path buckets both sides on hyperplane signatures first
+    (same shape as lsh_candidate_pairs); exact mode is the correctness
+    baseline and the sf-scale query."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(embedding_col).alias("__ea")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(embedding_col).alias("__eb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("__ea"), F.col("__eb")), round_digits)
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
+        F.col("cosine_sim") >= threshold
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 11,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs, LSH-bucketed: compare only pairs colliding in at
+    least one of L hyperplane tables — the 100 TB path (per-pair
+    recall 1-(1-p^k)^L, measured in tests).
+
+    One explode to (id, table, bucket) rows, one self-equi-join on
+    (table, bucket), distinct pairs, exact-cosine verify. Identical
+    shape to MinHash-LSH banding."""
+    buckets = F.array(
+        *[
+            lsh_bucket(
+                F.col(embedding_col), _hyperplanes(dim, n_planes, seed + 1000 * t)
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col),
+        F.col(embedding_col),
+        F.posexplode(buckets).alias("__table", "__bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(embedding_col).alias("__ea"),
+        "__table",
+        "__bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(embedding_col).alias("__eb"),
+        "__table",
+        "__bucket",
+    )
+    pairs = (
+        a.join(b, ["__table", "__bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ea", "__eb")
+        .distinct()
+    )
+    sim = F.round(cosine(F.col("__ea"), F.col("__eb")), round_digits)
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
+        F.col("cosine_sim") >= threshold
+    )

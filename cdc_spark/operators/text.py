@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines — all JVM-side built-ins.
+
+Every function here is a pure Column expression (no UDFs): whitespace
+and regex tokenization, n-gram shingles, stopword-overlap language ID,
+quality scoring, and shingle-fingerprinting. At 100 TB these run
+inside whole-stage codegen per partition with zero Python transfer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword profiles for the n-gram/stopword-overlap
+# language-ID heuristic. Deterministic: distinct-token overlap count,
+# argmax with lexicographic language tiebreak, 'und' when all zero.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "fr": ("le", "la", "de", "et", "les", "un", "est"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+# BPE-ish token pattern: letter runs, digit runs, or single symbols.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def regex_tokens(col: str | Column, pattern: str = TOKEN_PATTERN) -> Column:
+    """Regex (BPE-ish) tokenization — group 0 matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Token k-grams as space-joined strings (distinct not applied).
+
+    Docs shorter than k tokens yield an empty array (guarded: Spark's
+    sequence(1, 0) would be the *descending* [1, 0])."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+    )
+    return F.when(F.size(tok) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_overlap(tok: Column, lang: str) -> Column:
+    """Distinct-token overlap with a language's stopword profile."""
+    profile = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tok), profile))
+
+
+def language_id(col: str | Column) -> Column:
+    """Heuristic language ID: stopword-profile overlap argmax.
+
+    Deterministic tiebreak: higher score wins, then lexicographically
+    smaller language code; all-zero → 'und'.
+    """
+    tok = tokens(col)
+    langs = sorted(STOPWORDS)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_overlap(tok, lang).alias("score"),
+                # rank makes max() pick the lex-smaller code on ties
+                F.lit(len(langs) - i).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """Quality-scoring features: lengths, ratios, stopword density."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    n_tokens = F.size(tok)
+    n_chars = F.length(c)
+    n_distinct = F.size(F.array_distinct(tok))
+    en_stop = stopword_overlap(tok, "en")
+    alpha_chars = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_distinct_tokens": n_distinct.cast("long"),
+        "type_token_ratio": F.round(n_distinct / n_tokens, 4),
+        "avg_token_len": F.round(
+            (F.length(F.concat_ws("", tok))) / n_tokens, 4
+        ),
+        "alpha_ratio": F.round(alpha_chars / n_chars, 4),
+        "stopword_hits": en_stop.cast("long"),
+    }
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality score — linear, clipped, deterministic:
+    length credit × lexical-diversity × alpha-density. Computed from
+    unrounded ratios; only the final product is rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    n_tokens = F.size(tok)
+    length_credit = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    ttr = F.size(F.array_distinct(tok)) / n_tokens
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", "")) / F.length(c)
+    return F.round(length_credit * ttr * alpha, 4)
+
+
+def fingerprint_shingle_min(col: str | Column, k: int = 3) -> Column:
+    """Winnowing-style document fingerprint: min MD5 over token
+    k-gram shingles (a 1-permutation MinHash; engine-portable since
+    MD5 is MD5 everywhere). Short docs (<k tokens) fall back to the
+    full-text hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    sh = shingles(tokens(c), k)
+    return F.coalesce(
+        F.array_min(F.transform(sh, F.md5)),
+        F.md5(c),
+    )
+
+
+def ngram_profile(col: str | Column, n: int = 2) -> Column:
+    """Character n-gram array (for n-gram-based language/similarity
+    heuristics): distinct character bigrams of the lowercased text."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+            lambda i: F.substr(c, i, F.lit(n)),
+        )
+    )

@@ -1,1 +1,136 @@
-"""dedup_queries — filled in incrementally."""
+"""Dedup operators over `documents` — queries + oracles.
+
+Exact and n-gram-Jaccard dedup carry full SQL oracles. MinHash-LSH
+and SimHash outputs depend on engine-internal hash functions, so the
+driver records rows-only checks; their semantic validation against
+the exact methods lives in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    simhash_pairs,
+)
+from cdc_spark.operators.similarity import embedding_near_dup_pairs
+from cdc_spark.queries.base import register
+
+
+@register(
+    "dd01_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents  -- simulated re-crawl
+    )
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY text
+    """,
+    note="exact dedup by content hash (sha2-256 shuffle key, min-id keeper) "
+    "over a corpus with one simulated re-crawl",
+    tags=("dedup",),
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(recrawl)
+    return exact_dedup(corpus, "text", "doc_id")
+
+
+@register(
+    "dd02_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 2, 0)),
+                   i -> array_to_string(l[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+    note="exact token-3-gram Jaccard near-dup pairs (explode + shingle "
+    "equi-join; O(shared-shingle pairs), not O(n^2))",
+    tags=("dedup", "jaccard"),
+)
+def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.8)
+
+
+@register(
+    "dd03_minhash_lsh",
+    oracle=None,  # signature hashes are engine-internal; tests validate
+    # recall against dd02's exact pairs
+    note="MinHash(32) + LSH(8 bands x 4) candidates, exact-Jaccard "
+    "verified at 0.8 — the O(candidates) scale path for near-dedup",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(
+        docs, "text", "doc_id", k_shingle=3, num_hashes=32
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
+    return jaccard_pairs(
+        docs, "text", "doc_id", k_shingle=3, threshold=0.8, candidates=cands
+    )
+
+
+@register(
+    "dd04_simhash",
+    oracle=None,  # xxhash64-based fingerprints are engine-internal
+    note="SimHash(64-bit, shingle-based) near-dup pairs, Hamming<=3, "
+    "banded candidate generation (pigeonhole on 4 bit-slices)",
+    tags=("dedup", "simhash"),
+)
+def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash(docs, "text", "doc_id", bits=64)
+    return simhash_pairs(fps, "doc_id", bits=64, bands=4, max_hamming=3)
+
+
+@register(
+    "dd05_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+    note="embedding-cosine near-dup pairs (exact all-pairs baseline; "
+    "the LSH-bucketed variant is ss02/tests)",
+    tags=("dedup", "embedding"),
+)
+def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4
+    )

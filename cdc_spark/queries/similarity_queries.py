@@ -1,1 +1,52 @@
-"""similarity_queries — filled in incrementally."""
+"""Similarity search over `embeddings` — queries + oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from cdc_spark.queries.base import register
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
+    return row[0]
+
+
+@register(
+    "ss01_cosine_topk",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]), 4) AS cosine_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 20
+    """,
+    note="brute-force cosine top-20 to a query vector (broadcast literal, "
+    "zip_with dot product, TakeOrderedAndProject)",
+    tags=("similarity", "topk"),
+)
+def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return cosine_topk(emb, "embedding", "vec_id", q, k=20)
+
+
+@register(
+    "ss02_ann_lsh_topk",
+    oracle=None,  # ANN: recall<1 by construction; tests measure recall
+    # against ss01's exact baseline
+    note="ANN top-10 via multi-table random-hyperplane LSH (8 tables x "
+    "4 bits) — at scale the corpus stores materialized bucket columns "
+    "and is bucket-partitioned, so a probe prunes to a few partitions",
+    tags=("similarity", "ann", "lsh"),
+)
+def ss02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return ann_lsh_topk(emb, "embedding", "vec_id", q, k=10)

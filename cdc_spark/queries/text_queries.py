@@ -1,1 +1,211 @@
-"""text_queries — filled in incrementally."""
+"""Text-analysis operators over `documents` — queries + oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.text import (
+    STOPWORDS,
+    TOKEN_PATTERN,
+    fingerprint_shingle_min,
+    language_id,
+    quality_features,
+    quality_score,
+    regex_tokens,
+    tokens,
+)
+from cdc_spark.queries.base import register
+
+
+def _stoplist_sql(lang: str) -> str:
+    inner = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"[{inner}]"
+
+
+_LANG_SCORES = ",\n".join(
+    f"len(list_intersect(list_distinct(string_split(text, ' ')), "
+    f"{_stoplist_sql(lang)})) AS s_{lang}"
+    for lang in sorted(STOPWORDS)
+)
+_LANG_CASE = (
+    "CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = greatest(s_de, s_en, s_es, s_fr, s_zh) "
+        f"THEN '{lang}'"
+        for lang in sorted(STOPWORDS)
+    )
+    + " END"
+)
+
+
+@register(
+    "tx01_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_LANG_SCORES}
+        FROM documents
+    )
+    SELECT doc_id, lang AS lang_labeled, {_LANG_CASE} AS lang_pred
+    FROM scored
+    """,
+    note="heuristic language ID: stopword-profile overlap argmax with "
+    "deterministic lexicographic tiebreak",
+    tags=("text", "langid"),
+)
+def tx01_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        language_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "tx02_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens,
+           ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS type_token_ratio,
+           ROUND(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                 / length(text), 4) AS alpha_ratio,
+           ROUND(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')))
+                 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                    / length(text)), 4) AS quality
+    FROM documents
+    """,
+    note="document quality features + composite score (length credit x "
+    "lexical diversity x alpha density)",
+    tags=("text", "quality"),
+)
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["n_distinct_tokens"].alias("n_distinct_tokens"),
+        f["type_token_ratio"].alias("type_token_ratio"),
+        f["avg_token_len"].alias("avg_token_len"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "tx03_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+               '{TOKEN_PATTERN}', 0))) AS BIGINT) AS total_bpe_tokens,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    note="token counting per language slice: whitespace + BPE-ish regex "
+    "tokenizer (letter runs / digit runs / single symbols)",
+    tags=("text", "tokens"),
+)
+def tx03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    bpe = regex_tokens(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(ws)).cast("long").alias("total_tokens"),
+        F.sum(F.size(bpe)).cast("long").alias("total_bpe_tokens"),
+        F.max(F.size(ws)).cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "tx04_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stats AS (
+        SELECT term,
+               COUNT(*) AS tf,
+               COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY term
+    )
+    SELECT term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           ROUND(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+    FROM stats CROSS JOIN n
+    ORDER BY tfidf DESC, term
+    LIMIT 20
+    """,
+    note="corpus-level tf-idf: top-20 terms by tf x ln(N/df)",
+    tags=("text", "tfidf"),
+)
+def tx04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    n_docs = docs.count()  # bounded scalar (drives the idf constant)
+    stats = tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+    )
+    return (
+        stats.select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            tfidf.alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "tx05_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(
+               list_aggregate(
+                   list_transform(
+                       generate_series(1, greatest(len(l) - 2, 0)),
+                       i -> md5(array_to_string(l[i:i+2], ' '))),
+                   'min'),
+               md5(text)) AS fingerprint,
+           md5(text) AS content_md5
+    FROM toks
+    """,
+    note="document fingerprinting: winnowing-style min shingle-MD5 "
+    "(1-permutation MinHash, engine-portable) + full-content MD5",
+    tags=("text", "fingerprint"),
+)
+def tx05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_shingle_min("text", k=3).alias("fingerprint"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )

@@ -1,0 +1,122 @@
+"""Dedup semantics: LSH/SimHash validated against exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    rows = {r.keep_id: r.n_copies for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    sigs = minhash_signature(docs, "text", "doc_id", num_hashes=32)
+    row = sigs.where(F.col("doc_id") == 0).first()
+    assert len(row.sig) == 32
+    # deterministic across runs
+    row2 = minhash_signature(docs, "text", "doc_id", num_hashes=32).where(
+        F.col("doc_id") == 0
+    ).first()
+    assert row.sig == row2.sig
+
+
+def test_identical_docs_have_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in
+            minhash_signature(df, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_lsh_recall_against_exact_jaccard(spark, docs):
+    """LSH candidates must cover the exact near-dup pairs on this
+    corpus (32 hashes, 8x4 banding, j≈0.9+ pairs ⇒ expected recall ~1)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs"
+    sigs = minhash_signature(docs, "text", "doc_id", num_hashes=32)
+    cands = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    missed = exact - cands
+    assert not missed, f"LSH missed near-dup pairs: {missed}"
+
+
+def test_lsh_prunes_most_pairs(spark, docs):
+    sigs = minhash_signature(docs, "text", "doc_id", num_hashes=32)
+    n_cand = lsh_candidate_pairs(sigs, "doc_id").count()
+    n_docs = docs.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert n_cand < all_pairs * 0.05, (
+        f"LSH should prune >95% of {all_pairs} pairs, got {n_cand}"
+    )
+
+
+def test_simhash_pairs_are_true_near_dups(spark, docs):
+    """Every Hamming<=3 simhash pair must be a genuine near-dup
+    (jaccard >= 0.5) — precision check."""
+    fps = simhash(docs, "text", "doc_id")
+    sh_pairs = {
+        (r.id_a, r.id_b) for r in simhash_pairs(fps, "doc_id").collect()
+    }
+    assert sh_pairs, "expected some simhash near-dup pairs"
+    loose = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    false_pos = sh_pairs - loose
+    assert not false_pos, f"simhash false positives: {false_pos}"
+
+
+def test_jaccard_with_candidates_matches_unrestricted(spark, docs):
+    """Candidate-restricted verification returns exactly the candidate
+    ∩ exact set (no extra, no dropped)."""
+    sigs = minhash_signature(docs, "text", "doc_id", num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    restricted = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.8, candidates=cands
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert restricted <= full
+    # with recall-1 banding on this corpus they are equal
+    assert restricted == full

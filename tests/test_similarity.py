@@ -1,0 +1,98 @@
+"""Similarity search: brute-force correctness + ANN recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def _qvec(emb, vec_id=0):
+    return emb.where(F.col("vec_id") == vec_id).first().embedding
+
+
+def test_cosine_expression_matches_python(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0]), (2, [0.5, 0.5, 0.0])],
+        "id long, v array<double>",
+    )
+    out = df.select(cosine(F.col("v"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))).alias("c")).collect()
+    assert abs(out[0].c - 1.0 / math.sqrt(2)) < 1e-12
+    assert abs(out[1].c - 0.5 / math.sqrt(0.5)) < 1e-12
+
+
+def test_topk_self_is_first(spark, emb):
+    q = _qvec(emb, 0)
+    rows = cosine_topk(emb, "embedding", "vec_id", q, k=5).collect()
+    assert rows[0].vec_id == 0
+    assert abs(rows[0].cosine_sim - 1.0) < 1e-6
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    """multiprobe LSH(8 planes) top-10 should recover most of the true
+    top-10 for a batch of query points."""
+    hits = total = 0
+    for qid in [0, 1, 2, 3, 4]:
+        q = _qvec(emb, qid)
+        exact = {
+            r.vec_id
+            for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in ann_lsh_topk(
+                emb, "embedding", "vec_id", q, k=10
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.5, f"ANN recall too low: {recall:.2f}"
+
+
+def test_near_dup_pairs_symmetric_threshold(spark, emb):
+    pairs = embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cosine_sim >= 0.4
+
+
+def test_lsh_near_dup_subset_of_exact(spark, emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(
+            emb, "embedding", "vec_id", dim=64, threshold=0.4
+        ).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.3, f"bucketed near-dup recall too low: {recall:.2f}"

@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_spark.operators.text import (
+    fingerprint_shingle_min,
+    language_id,
+    quality_score,
+    regex_tokens,
+    shingles,
+    tokens,
+)
+
+
+def test_tokenize_and_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(
+        tokens("text").alias("t"), shingles(tokens("text"), 3).alias("s")
+    ).first()
+    assert row.t == ["a", "b", "c", "d"]
+    assert row.s == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    assert df.select(shingles(tokens("text"), 3).alias("s")).first().s == []
+
+
+def test_regex_tokens_bpe_ish(spark):
+    df = spark.createDataFrame([("hello world42 x!y",)], "text string")
+    row = df.select(regex_tokens("text").alias("t")).first()
+    assert row.t == ["hello", "world", "42", "x", "!", "y"]
+
+
+def test_language_id_on_clear_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park"),
+            (2, "el gato y la casa de que en los"),
+            (3, "der hund und die katze ist nicht ein"),
+            (4, "zz qq ww rr"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.lang for r in df.select("id", language_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "de"
+    assert out[4] == "und"
+
+
+def test_quality_score_range_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog near the river bank today"),
+            (2, "a a a a a a a a"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.q for r in df.select("id", quality_score("text").alias("q")).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0  # repetitive doc scores lower
+
+
+def test_fingerprint_stability_and_collision(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),
+            (2, "w1 w2 w3 w4 w5"),   # identical → identical fingerprint
+            (3, "x1 x2 x3 x4 x5"),   # different → different
+            (4, "ab"),               # short doc → full-text md5 fallback
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r.fp
+        for r in df.select(
+            "id", fingerprint_shingle_min("text").alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert out[4] is not None and len(out[4]) == 32
+
+
+def test_fingerprint_robust_to_single_token_change(spark):
+    # min-shingle fingerprint often survives a tail edit (winnowing
+    # property): shared minimum shingle keeps the fingerprint equal
+    base = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra")], "id long, text string"
+    )
+    out = {
+        r.id: r.fp
+        for r in df.select(
+            "id", fingerprint_shingle_min("text").alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[2]
