@@ -1,0 +1,206 @@
+"""Streaming CDC pipeline: the reference's receive loop, distributed.
+
+The reference's event loop (main.go:66-136) maps onto Structured
+Streaming like this (SURVEY.md §3.1):
+
+- server-push receive loop  → micro-batch source (file dir here;
+  ``format("kafka")`` on a cluster — same code path after ``load()``)
+- LSN bookkeeping + standby acks (main.go:61-74,106) → checkpoint
+  offset commits per micro-batch (at-least-once, resume on restart)
+- parse + catalog + decode   → envelope parse + registry materialize
+- Dump sink (main.go:429-445) → foreachBatch apply into a state table
+
+State lives in a ``VersionedStateTable``: immutable parquet versions
+plus a CURRENT pointer — MERGE-on-read-free, atomic swap, works
+without Delta jars. On a cluster with Delta/Iceberg the foreachBatch
+body becomes a MERGE INTO with identical semantics (apply_changes is
+sink-agnostic).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.cdc.envelope import parse_pgoutput_json, parse_wal2json
+from cdc_spark.cdc.merge import apply_changes
+from cdc_spark.cdc.registry import SchemaRegistry
+
+
+class VersionedStateTable:
+    """Materialized table as immutable parquet versions + CURRENT
+    pointer file. Readers see a consistent snapshot; the writer swaps
+    the pointer after a successful write (atomic rename)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def write(self, df: DataFrame) -> int:
+        v = (self.current_version() or 0) + 1
+        target = os.path.join(self.path, f"v{v}")
+        df.write.mode("overwrite").parquet(target)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self._pointer)  # atomic pointer swap
+        return v
+
+
+class CdcStreamPipeline:
+    """File/Kafka change-event stream → parse → merge into state.
+
+    ``dialect``: 'wal2json' or 'pgoutput_json'. The source directory
+    receives one JSON document per line; each micro-batch flows
+    through the same apply_changes as the batch path — one code path
+    for backfill and tail (deck slide 21/30 snapshotting semantics).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: SchemaRegistry,
+        schema: str,
+        table: str,
+        keys: Sequence[str],
+        payload: Sequence[str],
+        state_path: str,
+        *,
+        dialect: str = "wal2json",
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.schema = schema
+        self.table = table
+        self.keys = list(keys)
+        self.payload = list(payload)
+        self.state = VersionedStateTable(spark, state_path)
+        self.dialect = dialect
+
+    def _parse(self, raw: DataFrame) -> DataFrame:
+        if self.dialect == "wal2json":
+            # file-stream order column: per-batch monotonic id; within a
+            # batch files arrive in path order, giving replayable lsn
+            parsed = parse_wal2json(raw, value_col="value")
+        elif self.dialect == "pgoutput_json":
+            parsed = parse_pgoutput_json(raw, value_col="value")
+        else:
+            raise ValueError(f"unknown dialect {self.dialect!r}")
+        return parsed
+
+    def apply_batch(self, raw_batch: DataFrame, epoch_id: int = 0) -> None:
+        """foreachBatch body: parse → typed decode → merge → swap."""
+        typed = self.registry.materialize(
+            self._parse(raw_batch), self.schema, self.table
+        )
+        base = self.state.read()
+        new_state = apply_changes(base, typed, self.keys, self.payload)
+        # safe read-while-write: the new version lands in its own dir
+        # (v{N+1}) while lazily scanning v{N}; the pointer swaps last
+        self.state.write(new_state)
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+    ):
+        reader = (
+            self.spark.readStream.format("text")
+            .schema("value string")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.load(source_dir)
+        return (
+            raw.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+# --- declarative streaming aggregations --------------------------------
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str | None = None,
+    *,
+    watermark: str = "1 hour",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling/sliding window counts+sums with late-data watermark."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win, *group_cols)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *group_cols,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    key_cols: Sequence[str],
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-merged) per key."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *key_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop duplicate keys within the
+    watermark horizon (bounded state, unlike global dropDuplicates)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -1,0 +1,270 @@
+"""Streaming semantics: multi-batch CDC apply, checkpoint restart,
+windows + watermark late-drop, streaming dedup."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_spark.cdc.registry import SchemaRegistry
+from cdc_spark.streaming.pipeline import (
+    CdcStreamPipeline,
+    VersionedStateTable,
+    sessionized_counts,
+    stream_dedup,
+    windowed_agg,
+)
+
+
+def _users_registry() -> SchemaRegistry:
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "users",
+        [("id", "integer", True), ("firstname", "text"), ("lastname", "text")],
+    )
+    return reg
+
+
+def _wal_doc(kind, values=None, keys=None):
+    c = {"kind": kind, "schema": "public", "table": "users"}
+    if values:
+        c["columnnames"] = ["id", "firstname", "lastname"]
+        c["columntypes"] = ["integer", "text", "text"]
+        c["columnvalues"] = values
+    if keys is not None:
+        c["oldkeys"] = {
+            "keynames": ["id"],
+            "keytypes": ["integer"],
+            "keyvalues": keys,
+        }
+    return json.dumps({"change": [c]})
+
+
+def _write_file(src_dir, name, docs):
+    # write-then-rename so the file source never sees partial files
+    tmp = os.path.join(src_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(docs))
+    os.replace(tmp, os.path.join(src_dir, name))
+
+
+@pytest.fixture()
+def dirs():
+    with tempfile.TemporaryDirectory() as d:
+        yield {
+            "src": os.path.join(d, "src"),
+            "ckpt": os.path.join(d, "ckpt"),
+            "state": os.path.join(d, "state"),
+        }
+
+
+def _pipeline(spark, dirs):
+    os.makedirs(dirs["src"], exist_ok=True)
+    return CdcStreamPipeline(
+        spark,
+        _users_registry(),
+        "public",
+        "users",
+        keys=["id"],
+        payload=["firstname", "lastname"],
+        state_path=dirs["state"],
+    )
+
+
+def test_stream_merge_multi_batch(spark, dirs):
+    pipe = _pipeline(spark, dirs)
+    _write_file(
+        dirs["src"],
+        "b1.json",
+        [
+            _wal_doc("insert", [1, "Johny", "Rambo"]),
+            _wal_doc("insert", [2, "Jane", "Doe"]),
+        ],
+    )
+    _write_file(
+        dirs["src"],
+        "b2.json",
+        [
+            _wal_doc("update", [1, "Johny", "Kowalski"], keys=[1]),
+            _wal_doc("delete", keys=[2]),
+        ],
+    )
+    q = pipe.start(dirs["src"], dirs["ckpt"], max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    state = {r.id: r.lastname for r in pipe.state.read().collect()}
+    assert state == {1: "Kowalski"}
+    # two micro-batches → two state versions
+    assert pipe.state.current_version() >= 2
+
+
+def test_checkpoint_restart_no_reprocessing(spark, dirs):
+    pipe = _pipeline(spark, dirs)
+    _write_file(dirs["src"], "b1.json", [_wal_doc("insert", [1, "A", "B"])])
+    q = pipe.start(dirs["src"], dirs["ckpt"])
+    q.awaitTermination(120)
+    v_after_first = pipe.state.current_version()
+
+    # restart with the same checkpoint + one new file: only the new
+    # file is processed (the reference's resume-from-acked-LSN,
+    # main.go:67-74)
+    _write_file(
+        dirs["src"], "b2.json", [_wal_doc("update", [1, "A2", "B"], keys=[1])]
+    )
+    q2 = pipe.start(dirs["src"], dirs["ckpt"])
+    q2.awaitTermination(120)
+
+    state = {r.id: r.firstname for r in pipe.state.read().collect()}
+    assert state == {1: "A2"}
+    assert pipe.state.current_version() == v_after_first + 1
+
+
+def test_versioned_state_table_swap(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = VersionedStateTable(spark, d)
+        assert t.read() is None
+        t.write(spark.createDataFrame([(1, "a")], "id int, v string"))
+        t.write(spark.createDataFrame([(2, "b")], "id int, v string"))
+        assert t.current_version() == 2
+        assert t.read().collect()[0].id == 2
+
+
+def _memory_stream(spark, rows, schema):
+    """availableNow parquet-source stream from literal rows."""
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(df.schema).parquet(d)
+
+
+def test_windowed_agg_streaming(spark):
+    rows = [
+        (1, "2024-01-01 00:05:00", 1.0),
+        (2, "2024-01-01 00:55:00", 2.0),
+        (3, "2024-01-01 01:05:00", 4.0),
+    ]
+    stream = _memory_stream(
+        spark, rows, "id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_agg(stream, "ts", "1 hour")
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        str(r.window_start): (r.n, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert out["2024-01-01 00:00:00"] == (2, 3.0)
+    assert out["2024-01-01 01:00:00"] == (1, 4.0)
+
+
+def test_watermark_drops_late_data(spark):
+    """append-mode windowed agg: an event arriving behind the watermark
+    is dropped (late-data rule, SURVEY.md §2.3 streaming row)."""
+    d = tempfile.mkdtemp()
+    schema = "id long, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    write_batch("b1", [(1, t, 1.0), (2, t + dt.timedelta(hours=3), 1.0)])
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    agg = windowed_agg(stream, "ts", "1 hour", watermark="1 hour")
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp()
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event: 00:30 is far behind watermark (03:00 - 1h)
+        write_batch("b2", [(3, t + dt.timedelta(minutes=30), 100.0)])
+        q.processAllAvailable()
+        write_batch(
+            "b3", [(4, t + dt.timedelta(hours=5), 1.0)]
+        )  # push watermark → finalize windows
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vals = {
+        str(r.window_start): r.total_value
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # the 00:00 window must NOT include the late event's 100.0
+    assert vals.get("2024-01-01 00:00:00") == 1.0
+
+
+def test_stream_dedup(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    stream = _memory_stream(
+        spark,
+        [(1, t, "a"), (1, t, "a-dup"), (2, t, "b")],
+        "id long, ts timestamp, v string",
+    )
+    dedup = stream_dedup(stream, ["id"], "ts")
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT id FROM {name}").collect()
+    assert sorted(r.id for r in rows) == [1, 2]
+
+
+def test_session_window_streaming(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 1.0),
+        (1, t + dt.timedelta(minutes=10), 1.0),   # same session
+        (1, t + dt.timedelta(hours=2), 1.0),      # new session
+        (2, t, 1.0),
+    ]
+    stream = _memory_stream(spark, rows, "user_id long, ts timestamp, value double")
+    sess = sessionized_counts(stream, "ts", "30 minutes", ["user_id"])
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        f"SELECT user_id, COUNT(*) AS n FROM {name} GROUP BY user_id"
+    ).collect()
+    sessions = {r.user_id: r.n for r in out}
+    assert sessions == {1: 2, 2: 1}
