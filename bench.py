@@ -1,0 +1,71 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_spark.queries import REGISTRY  # noqa: E402
+from cdc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",       # scan-heavy agg
+    "q03_shipping_priority",     # fact-fact join + top-k
+    "q05_local_supplier_volume", # 6-way star join
+    "q06_revenue_filter",        # pushdown filter
+    "q14_window_topk",           # window rank
+    "q25_asof_join",             # as-of (union+window)
+    "cdc02_events_merge",        # CDC latest-wins apply
+    "cdc03_snapshot_diff",       # polling-CDC diff
+    "cdc04_log_compaction",      # latest-by-key
+    "dd01_exact_dedup",          # hash dedup
+    "dd03_minhash_lsh",          # minhash+LSH+verify
+    "ss01_cosine_topk",          # similarity top-k
+    "tx02_quality_score",        # text features
+    "tx05_fingerprint",          # shingle fingerprints
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("cdc_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/catalog so the first query doesn't pay session init
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

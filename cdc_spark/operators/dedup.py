@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_spark.operators.text import shingles, tokens
+from cdc_spark.operators.text import shingle_rows, shingles, tokens
 
 # 31-bit Mersenne prime hash domain: products a*h stay < 2^62, so the
 # affine permutations never overflow ANSI-mode long arithmetic.
@@ -81,32 +81,28 @@ def minhash_signature(
     ``num_hashes`` affine permutations take the min — all inside one
     projection of higher-order functions; no explode, no shuffle.
     """
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), k_shingle))
-    hashes = F.transform(
-        sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    # Exploded shingle rows (codegen'd; see shingle_rows) → num_hashes
+    # permutation minima as plain aggregates: whole-stage-codegen'd
+    # hash aggregation with map-side partial combine — one narrow
+    # shuffle of (doc, 32 mins) partials. (An array-fold variant kept
+    # everything row-local but evaluated interpreted lambda
+    # allocations per element — 10× slower at equal output.)
+    exploded = shingle_rows(df, text_col, id_col, k_shingle).select(
+        F.col(id_col),
+        F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("__h"),
     )
     params = _minhash_params(num_hashes, seed)
-    a_arr = ", ".join(str(a) for a, _ in params)
-    b_arr = ", ".join(str(b) for _, b in params)
-    # Single traversal of the shingle hashes with an array<long>
-    # accumulator of per-permutation minima (vs num_hashes separate
-    # array_min passes — keeps the codegen'd tree small).
-    staged = df.select(F.col(id_col), F.col(text_col), hashes.alias("__h"))
-    sig = F.expr(
-        f"""
-        aggregate(
-            __h,
-            array_repeat(CAST({_MERSENNE} AS BIGINT), {num_hashes}),
-            (acc, h) -> zip_with(
-                acc,
-                zip_with(array({a_arr}), array({b_arr}),
-                         (a, b) -> pmod(h * a + b, {_MERSENNE})),
-                (m, c) -> least(m, c)))
-        """
-    )
-    return staged.select(
-        F.col(id_col), F.col(text_col), sig.alias("sig")
-    )
+    mins = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"__m{j}"
+        )
+        for j, (a, b) in enumerate(params)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    sig = F.array(*[F.col(f"__m{j}") for j in range(num_hashes)])
+    out = agg.select(F.col(id_col), sig.alias("sig"))
+    # re-attach the text for downstream verification convenience
+    return out.join(df.select(F.col(id_col), F.col(text_col)), id_col)
 
 
 def lsh_candidate_pairs(
@@ -173,11 +169,8 @@ def jaccard_pairs(
     ``candidates`` (id_a, id_b) is given — e.g. from LSH — only those
     pairs are verified (semi-join pushdown into both explode sides).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(shingles(tokens(F.col(text_col)), k_shingle))
-        ).alias("__s"),
+    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
+        F.col(id_col).alias("__id"), F.col("shingle").alias("__s")
     )
     if candidates is not None:
         wanted = candidates.select(
@@ -228,40 +221,29 @@ def simhash(
     small vocabularies. Document-local higher-order-function fold —
     no shuffle at all.
     """
-    tok = F.array_distinct(
-        shingles(tokens(F.col(text_col)), k_shingle)
+    # Exploded shingle hashes → `bits` sign-vote sums as plain
+    # aggregates (codegen'd, map-side combine), then fold vote signs
+    # into the fingerprint long.
+    exploded = shingle_rows(df, text_col, id_col, k_shingle).select(
+        F.col(id_col), F.xxhash64("shingle").alias("__h")
     )
-    th = F.transform(tok, lambda t: F.xxhash64(t))
-    # Single pass over the hash array with an array<long> accumulator
-    # of per-bit votes (one traversal instead of `bits` traversals —
-    # keeps the codegen'd expression tree small), then fold the vote
-    # signs back into one long.
-    staged = df.select(F.col(id_col), th.alias("__th"))
-    votes = F.expr(
-        f"""
-        aggregate(
-            __th,
-            array_repeat(CAST(0 AS BIGINT), {bits}),
-            (acc, h) -> zip_with(
-                acc, sequence(0, {bits - 1}),
-                (a, b) -> a + IF((shiftright(h, CAST(b AS INT)) & 1) = 1,
-                                 CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))
-        """
-    )
-    fp = F.expr(
-        f"""
-        aggregate(
-            zip_with(__votes, sequence(0, {bits - 1}),
-                     (v, b) -> IF(v >= 0,
-                                  shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)),
-                                  CAST(0 AS BIGINT))),
-            CAST(0 AS BIGINT), (acc, x) -> acc + x)
-        """
-    )
-    return (
-        staged.withColumn("__votes", votes)
-        .select(F.col(id_col), fp.alias("simhash"))
-    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        c = F.when(
+            F.col(f"__v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = c if fp is None else fp + c
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(

@@ -9,7 +9,7 @@ from cdc_spark.catalog import load_table
 from cdc_spark.operators.text import (
     STOPWORDS,
     TOKEN_PATTERN,
-    fingerprint_shingle_min,
+    fingerprint_rows,
     language_id,
     quality_features,
     quality_score,
@@ -204,8 +204,8 @@ def tx04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    fps = fingerprint_rows(docs, "text", "doc_id", k=3)
+    return fps.join(
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_md5")),
         "doc_id",
-        fingerprint_shingle_min("text", k=3).alias("fingerprint"),
-        F.md5(F.col("text")).alias("content_md5"),
     )
