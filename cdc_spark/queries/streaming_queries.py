@@ -126,6 +126,34 @@ def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st04_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    note="REAL stream-static join: event stream enriched against the "
+    "static customer dim (broadcast per micro-batch), then aggregated",
+    tags=("streaming", "join"),
+)
+def st04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    out = _run_to_memory(
+        joined.select("c_mktsegment", "user_id"), "append"
+    )
+    return out.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "st03_stream_dedup",
     oracle="""
     SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_unique
