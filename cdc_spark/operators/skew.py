@@ -1,0 +1,65 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+AQE (enabled in cdc_spark.session) already splits skewed *join*
+partitions at runtime; aggregation skew — one hot group key receiving
+a large share of all rows — needs salting: shard the hot key across
+`salt` sub-keys for the partial aggregate, then combine the shards.
+Both phases are algebraic (sum/count/min/max), so partial results
+merge exactly; with the decimal-sum discipline results are identical
+to the unsalted plan bit-for-bit.
+
+Cost model: one extra (cheap, `salt`-way smaller) shuffle stage in
+exchange for removing the single-reducer bottleneck. At 100 TB a hot
+key (one mega-customer, one viral document) otherwise serializes the
+whole stage on one task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (partial_agg, final_merge) pairs per supported algebraic aggregate
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column | str]],
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation sharded by a salt column.
+
+    ``aggs``: output_name → (kind, column) with kind ∈ sum|count|min|max.
+    Example::
+
+        salted_agg(events, ["user_id"],
+                   {"n": ("count", "event_id"),
+                    "total": ("sum", F.col("value").cast("decimal(18,6)"))})
+    """
+    keys = list(keys)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    partials = []
+    for name, (kind, col) in aggs.items():
+        if kind not in _ALGEBRAIC:
+            raise ValueError(f"unsupported aggregate kind {kind!r}")
+        partial_fn, _ = _ALGEBRAIC[kind]
+        partials.append(partial_fn(col).alias(f"__p_{name}"))
+    stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
+
+    finals = []
+    for name, (kind, _col) in aggs.items():
+        _, final_fn = _ALGEBRAIC[kind]
+        finals.append(final_fn(F.col(f"__p_{name}")).alias(name))
+    return stage1.groupBy(*keys).agg(*finals)

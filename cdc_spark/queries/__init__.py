@@ -9,6 +9,7 @@ from cdc_spark.queries.base import REGISTRY, QuerySpec, register
 # Import side effects: each module registers its queries.
 from cdc_spark.queries import relational  # noqa: E402,F401
 from cdc_spark.queries import relational2  # noqa: E402,F401
+from cdc_spark.queries import relational3  # noqa: E402,F401
 from cdc_spark.queries import temporal_queries  # noqa: E402,F401
 from cdc_spark.queries import cdc_queries  # noqa: E402,F401
 from cdc_spark.queries import text_queries  # noqa: E402,F401

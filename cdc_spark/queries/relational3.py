@@ -1,0 +1,336 @@
+"""TPC-H-shape depth: the classic analytic patterns adapted to the
+driver's star schema (returned items, nation trade volume, market
+share, promo share, HAVING on grouped facts, distinct-supplier stats,
+disjunctive predicates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.queries.base import dsum, dsum_sql, register
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q45_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {dsum_sql(_REV)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    note="TPC-H Q10 shape: returned-item revenue per customer, top 20",
+    tags=("join", "topk"),
+)
+def q45_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q46_nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS yr,
+           {dsum_sql(_REV)} AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    note="TPC-H Q7 shape: cross-nation trade volume by year (two nation "
+    "broadcast joins with role-separated aliases)",
+    tags=("join", "agg"),
+)
+def q46_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("n1_key") != F.col("n2_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(dsum(rev).alias("volume"))
+    )
+
+
+@register(
+    "q47_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(CASE WHEN n2.n_name = 'CHINA'
+                                  THEN {_REV} ELSE 0 END
+                             AS DECIMAL(30,6))) AS DOUBLE) AS china_vol,
+               {dsum_sql(_REV)} AS total_vol
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    )
+    SELECT yr, ROUND(china_vol / total_vol, 6) AS mkt_share
+    FROM vol
+    """,
+    note="TPC-H Q8 shape: one supplier-nation's share of a region's "
+    "market per year (conditional decimal sum ratio)",
+    tags=("join", "agg", "ratio"),
+)
+def q47_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    china = F.when(F.col("supp_nation") == "CHINA", rev).otherwise(F.lit(0.0))
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            dsum(china).alias("china_vol"),
+            dsum(rev).alias("total_vol"),
+        )
+    )
+    return vol.select(
+        "yr", F.round(F.col("china_vol") / F.col("total_vol"), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "q48_promo_share",
+    oracle=f"""
+    SELECT ROUND(
+        CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END
+                      AS DECIMAL(30,6))) AS DOUBLE) * 100
+        / CAST(SUM(CAST({_REV} AS DECIMAL(30,6))) AS DOUBLE), 6
+    ) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+    """,
+    note="TPC-H Q14 shape: promo revenue percentage",
+    tags=("join", "agg", "ratio"),
+)
+def q48_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        dsum(promo).alias("p"), dsum(rev).alias("t")
+    )
+    return agg.select(
+        F.round(F.col("p") * 100 / F.col("t"), 6).alias("promo_pct")
+    )
+
+
+@register(
+    "q49_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           {dsum_sql('l_quantity')} AS total_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    HAVING SUM(l_quantity) > 250
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    note="TPC-H Q18 shape: HAVING on grouped fact, top-k join-back",
+    tags=("join", "having", "topk"),
+)
+def q49_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            F.sum("l_quantity").alias("__qty_raw"),
+        )
+        .where(F.col("__qty_raw") > 250)
+        .drop("__qty_raw")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q50_supplier_part_stats",
+    oracle="""
+    SELECT p_brand, p_type,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size NOT IN (10, 20, 30)
+    GROUP BY p_brand, p_type
+    """,
+    note="TPC-H Q16 shape: distinct-supplier counts with NOT-IN pruning",
+    tags=("join", "distinct"),
+)
+def q50_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_size").isin(10, 20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q51_disjunctive_predicates",
+    oracle=f"""
+    SELECT {dsum_sql(_REV)} AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+    note="TPC-H Q19 shape: disjunctive multi-attribute predicates "
+    "evaluated during the broadcast join",
+    tags=("join", "predicate"),
+)
+def q51_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q52_salted_skew_agg",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hot_key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+    note="skew-safe aggregation: hot key sharded across 16 salts for "
+    "the partial phase, algebraic merge — identical result to the "
+    "unsalted plan, no single-reducer bottleneck",
+    tags=("agg", "skew"),
+)
+def q52_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    # synthesize a hot key: half of all rows collapse onto key 0
+    skewed = events.withColumn(
+        "hot_key",
+        F.when(F.col("user_id") % 2 == 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ).cast("long"),
+    )
+    out = salted_agg(
+        skewed,
+        ["hot_key"],
+        {
+            "n": ("count", "event_id"),
+            "total": ("sum", F.col("value").cast("decimal(18,6)")),
+        },
+        salt=16,
+    )
+    return out.select(
+        "hot_key", "n", F.col("total").cast("double").alias("total")
+    )
