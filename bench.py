@@ -43,8 +43,18 @@ def main() -> None:
     spark = get_spark("cdc_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/catalog so the first query doesn't pay session init
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the JVM (codegen/JIT) with one pass of every headline query
+    # at the smallest SF — a deployed engine runs with a warm JVM; the
+    # measured numbers then reflect execution, not first-call compile.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
