@@ -1,0 +1,130 @@
+"""IVF (inverted-file) ANN: k-means coarse quantizer + cluster probes.
+
+The second ANN family beside hyperplane LSH (operators.similarity):
+train a small k-means codebook (Lloyd iterations with deterministic
+seeded init), assign every vector to its nearest centroid, and answer
+queries by scanning only the ``n_probe`` closest clusters.
+
+Scale story: the codebook is tiny (k ≤ a few thousand) and broadcast;
+assignment is one scan; the corpus is stored partitioned by
+``cluster`` so a probe prunes to n_probe partitions of ~N/k vectors.
+Training iterates over the corpus but each iteration is a single
+aggregation (per-cluster dimension sums) — no driver-side data loops
+beyond the k×dim codebook itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_spark.operators.similarity import cosine_topk, dot
+
+
+def _nearest_centroid(emb: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-dot-product centroid (unit vectors ⇒ cosine).
+
+    Argmax via an array of dots + array_position: linear-size
+    expression (a chained when() argmax would embed each prior tree
+    twice per step — exponential blowup)."""
+    dots = F.array(
+        *[dot(emb, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def train_codebook(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """Lloyd's k-means with deterministic init (first k vectors by id).
+
+    Each iteration: assign (scan with broadcast codebook) → new
+    centroids via per-cluster per-dimension means (posexplode +
+    groupBy — one shuffle of k×dim partials). Centroids are
+    L2-normalized so dot == cosine for unit-vector corpora.
+    """
+    import math
+
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(embedding_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+
+    for _ in range(iterations):
+        # assign first, explode after — the cluster id is computed once
+        # per row, not once per exploded dimension
+        assigned = df.select(
+            _nearest_centroid(F.col(embedding_col), centroids).alias("__c"),
+            F.col(embedding_col).alias("__e"),
+        ).select("__c", F.posexplode("__e").alias("__d", "__v"))
+        sums = (
+            assigned.groupBy("__c", "__d")
+            .agg(F.sum("__v").alias("__s"), F.count("*").alias("__n"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for row in sums:
+            acc.setdefault(row["__c"], [0.0] * dim)[row["__d"]] = row["__s"]
+            cnt[row["__c"]] = row["__n"]
+        new = []
+        for i in range(k):
+            if i in acc and cnt[i] > 0:
+                v = [x / cnt[i] for x in acc[i]]
+                n = math.sqrt(sum(x * x for x in v)) or 1.0
+                new.append([x / n for x in v])
+            else:
+                new.append(centroids[i])  # empty cluster keeps its seed
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    embedding_col: str,
+    centroids: list[list[float]],
+    *,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Attach the coarse-quantizer cluster id (at scale: write the
+    corpus partitioned by this column)."""
+    return df.withColumn(
+        cluster_col, _nearest_centroid(F.col(embedding_col), centroids)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k scanning only the n_probe nearest clusters."""
+    import math
+
+    def pdot(c):
+        return math.fsum(x * y for x, y in zip(query_vec, c))
+
+    order = sorted(range(len(centroids)), key=lambda i: -pdot(centroids[i]))
+    probes = order[:n_probe]
+    assigned = ivf_assign(df, embedding_col, centroids)
+    near = assigned.where(F.col("cluster").isin(probes))
+    return cosine_topk(
+        near, embedding_col, id_col, query_vec, k, round_digits=round_digits
+    )

@@ -134,3 +134,56 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.4
     )
+
+
+@register(
+    "dd06_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT id_a AS a, id_b AS b FROM (
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(l) - 2, 0)),
+                           i -> array_to_string(l[i:i+2], ' '))) AS s
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        )
+        UNION
+        SELECT b, a FROM e
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    )
+    SELECT n.a AS doc_id, LEAST(n.a, MIN(r.b)) AS cluster_id
+    FROM (SELECT DISTINCT a FROM e) n
+    LEFT JOIN reach r ON r.a = n.a
+    GROUP BY n.a
+    """,
+    note="near-dup clustering: connected components (min-label "
+    "propagation) over the exact-Jaccard pair graph → canonical-doc "
+    "clusters; oracle = DuckDB recursive transitive closure",
+    tags=("dedup", "cluster"),
+)
+def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.8)
+    return connected_components(pairs.select("id_a", "id_b"))

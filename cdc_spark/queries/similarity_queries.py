@@ -50,3 +50,24 @@ def ss02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
     return ann_lsh_topk(emb, "embedding", "vec_id", q, k=10)
+
+
+@register(
+    "ss03_ivf_topk",
+    oracle=None,  # ANN with trained codebook: recall measured in tests
+    note="IVF ANN top-10: k-means(16) coarse quantizer (Lloyd, "
+    "deterministic seeded init), scan only the 4 nearest clusters — "
+    "at scale the corpus is partitioned by cluster id",
+    tags=("similarity", "ann", "ivf"),
+)
+def ss03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ivf import ivf_topk, train_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    codebook = train_codebook(
+        emb, "embedding", "vec_id", k=16, iterations=2
+    )
+    return ivf_topk(
+        emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4
+    )

@@ -1,0 +1,87 @@
+"""IVF ANN recall + connected-components clustering semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.cluster import connected_components, dedup_keep_canonical
+from cdc_spark.operators.ivf import ivf_assign, ivf_topk, train_codebook
+from cdc_spark.operators.similarity import cosine_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def codebook(spark, emb):
+    return train_codebook(emb, "embedding", "vec_id", k=16, iterations=2)
+
+
+def test_codebook_deterministic_and_normalized(spark, emb, codebook):
+    again = train_codebook(emb, "embedding", "vec_id", k=16, iterations=2)
+    assert codebook == again
+    for c in codebook:
+        norm = sum(x * x for x in c) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+
+
+def test_ivf_assignment_covers_corpus(spark, emb, codebook):
+    assigned = ivf_assign(emb, "embedding", codebook)
+    n = assigned.count()
+    assert n == emb.count()
+    clusters = assigned.groupBy("cluster").count()
+    assert clusters.count() > 1  # codebook actually separates the data
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb, codebook):
+    hits = total = 0
+    for qid in [0, 1, 2, 3, 4]:
+        q = emb.where(F.col("vec_id") == qid).first().embedding
+        exact = {
+            r.vec_id
+            for r in cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in ivf_topk(
+                emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == comps[23] == 20
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    kept = {
+        r.doc_id for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()
+    }
+    # clusters {0,3,5}→keep 0 and {1,2}→keep 1; singleton 4 kept
+    assert kept == {0, 1, 4}
