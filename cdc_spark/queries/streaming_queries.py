@@ -171,3 +171,37 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("event_id").alias("n_unique"),
     )
+
+
+@register(
+    "st05_continuous_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS sum_value,
+           ROUND({dsum_sql('value')} / COUNT(*), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    note="hypertable-style continuous rollup: incrementally-maintained "
+    "hourly aggregates via foreachBatch partial-merge — equals the "
+    "from-scratch batch aggregate exactly",
+    tags=("streaming", "rollup"),
+)
+def st05_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.streaming.rollup import ContinuousRollup
+
+    stream = _events_stream(spark, sf_dir)
+    rollup = ContinuousRollup(
+        spark,
+        tempfile.mkdtemp(prefix="rollup_"),
+        ts_col="ts",
+        bucket="1 hour",
+        dims=["event_type"],
+        value_col="value",
+    )
+    q = rollup.start(stream, tempfile.mkdtemp(prefix="ckpt_"))
+    q.awaitTermination(300)
+    return rollup.read()

@@ -268,3 +268,52 @@ def test_session_window_streaming(spark):
     ).collect()
     sessions = {r.user_id: r.n for r in out}
     assert sessions == {1: 2, 2: 1}
+
+
+def test_continuous_rollup_incremental_equals_batch(spark):
+    """multi-batch incremental rollup == from-scratch aggregate."""
+    import datetime as dt
+
+    from cdc_spark.streaming.rollup import ContinuousRollup
+
+    d = tempfile.mkdtemp()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t = dt.datetime(2024, 1, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write_batch(
+        [
+            (1, t, "click", 1.5),
+            (2, t + dt.timedelta(minutes=30), "click", 2.5),
+            (3, t + dt.timedelta(hours=1), "view", 4.0),
+        ]
+    )
+    write_batch(
+        [
+            (4, t + dt.timedelta(minutes=10), "click", 10.0),  # reopens bucket 0
+            (5, t + dt.timedelta(hours=2), "view", 1.0),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    rollup = ContinuousRollup(
+        spark,
+        tempfile.mkdtemp(),
+        dims=["event_type"],
+    )
+    q = rollup.start(stream, tempfile.mkdtemp())
+    q.awaitTermination(180)
+    assert rollup.state.current_version() >= 2  # incremental merges ran
+
+    got = {
+        (str(r.bucket_start), r.event_type): (r.n, r.sum_value, r.avg_value)
+        for r in rollup.read().collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (3, 14.0, round(14.0 / 3, 6))
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 4.0, 4.0)
+    assert got[("2024-01-01 02:00:00", "view")] == (1, 1.0, 1.0)
