@@ -321,3 +321,74 @@ def cdc07_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_delivered"),
         F.countDistinct("event_id").alias("n_unique"),
     )
+
+
+@register(
+    "cdc08_wide_type_decode",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS id,
+           TRUE AS flag,
+           CAST(42 AS SMALLINT) AS small,
+           CAST(9007199254740993 AS BIGINT) AS big,
+           CAST(1.5 AS REAL) AS f4,
+           CAST(2.25 AS DOUBLE) AS f8,
+           'hello' AS t,
+           'vc' AS vc,
+           TIMESTAMP '2020-09-15 00:00:00' AS d,
+           TIMESTAMP '2020-09-15 11:58:28.988414' AS ts_plain,
+           'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11' AS uid,
+           '{"a": 1}' AS js,
+           '192.168.0.1/24' AS net
+    """,
+    note="A5 wide-type fixture: one row through the full PG type surface "
+    "(bool/int2/4/8/float4/8/text/varchar/date/timestamp/uuid/json/"
+    "inet) via registry typed decode — the reference's OID dispatch "
+    "(main.go:474-566) as one try_cast projection",
+    tags=("cdc", "types"),
+)
+def cdc08_wide_type_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = [
+        ("id", "integer", "1"),
+        ("flag", "boolean", "true"),
+        ("small", "smallint", "42"),
+        ("big", "bigint", "9007199254740993"),
+        ("f4", "real", "1.5"),
+        ("f8", "double precision", "2.25"),
+        ("t", "text", "hello"),
+        ("vc", "character varying(16)", "vc"),
+        ("d", "date", "2020-09-15"),
+        ("ts_plain", "timestamp without time zone",
+         "2020-09-15 11:58:28.988414"),
+        ("uid", "uuid", "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"),
+        ("js", "json", '{"a": 1}'),
+        ("net", "inet", "192.168.0.1/24"),
+    ]
+    doc = json.dumps(
+        {
+            "change": [
+                {
+                    "kind": "insert",
+                    "schema": "public",
+                    "table": "wide",
+                    "columnnames": [c[0] for c in cols],
+                    "columntypes": [c[1] for c in cols],
+                    "columnvalues": [c[2] for c in cols],
+                }
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(0, doc)], "seq long, value string")
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "wide",
+        [(c[0], c[1], c[0] == "id") for c in cols],
+    )
+    typed = reg.materialize(
+        parse_wal2json(raw, lsn_col="seq"), "public", "wide",
+        include_meta=False,
+    )
+    # pandas renders Spark DateType as date objects but DuckDB DATE as
+    # datetime64 — emit the date as midnight timestamp for a stable
+    # cross-engine hash (the decode above still exercises DateType)
+    return typed.withColumn("d", F.col("d").cast("timestamp"))

@@ -317,3 +317,51 @@ def test_continuous_rollup_incremental_equals_batch(spark):
     assert got[("2024-01-01 00:00:00", "click")] == (3, 14.0, round(14.0 / 3, 6))
     assert got[("2024-01-01 01:00:00", "view")] == (1, 4.0, 4.0)
     assert got[("2024-01-01 02:00:00", "view")] == (1, 1.0, 1.0)
+
+
+def test_multi_table_stream_routing(spark):
+    """one change stream carrying two tables; each pipeline materializes
+    only its own table (registry-scoped decode), states independent."""
+    import tempfile as tf
+
+    reg = SchemaRegistry()
+    reg.announce(
+        "public", "users",
+        [("id", "integer", True), ("firstname", "text"), ("lastname", "text")],
+    )
+    reg.announce(
+        "public", "accounts",
+        [("acct_id", "integer", True), ("balance", "text")],
+    )
+
+    def doc(table, names, values):
+        return json.dumps({"change": [{
+            "kind": "insert", "schema": "public", "table": table,
+            "columnnames": names,
+            "columntypes": ["integer"] + ["text"] * (len(names) - 1),
+            "columnvalues": values,
+        }]})
+
+    src = tf.mkdtemp()
+    _write_file(src, "b1.json", [
+        doc("users", ["id", "firstname", "lastname"], [1, "A", "B"]),
+        doc("accounts", ["acct_id", "balance"], [7, "100.00"]),
+        doc("users", ["id", "firstname", "lastname"], [2, "C", "D"]),
+    ])
+
+    users_pipe = CdcStreamPipeline(
+        spark, reg, "public", "users", ["id"],
+        ["firstname", "lastname"], tf.mkdtemp(),
+    )
+    accts_pipe = CdcStreamPipeline(
+        spark, reg, "public", "accounts", ["acct_id"],
+        ["balance"], tf.mkdtemp(),
+    )
+    q1 = users_pipe.start(src, tf.mkdtemp())
+    q2 = accts_pipe.start(src, tf.mkdtemp())
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    assert users_pipe.state.read().count() == 2
+    accts = accts_pipe.state.read().collect()
+    assert len(accts) == 1 and accts[0].balance == "100.00"
