@@ -51,11 +51,17 @@ class VersionedStateTable:
         except FileNotFoundError:
             return None
 
-    def read(self) -> DataFrame | None:
-        v = self.current_version()
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current snapshot, or time-travel to an earlier version —
+        immutable versions double as the audit trail (deck slide 50:
+        replication/auditing as CDC outcomes)."""
+        v = self.current_version() if version is None else version
         if v is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        target = os.path.join(self.path, f"v{v}")
+        if not os.path.isdir(target):
+            raise ValueError(f"version {v} does not exist at {self.path}")
+        return self.spark.read.parquet(target)
 
     def write(self, df: DataFrame) -> int:
         v = (self.current_version() or 0) + 1

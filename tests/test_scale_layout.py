@@ -1,0 +1,93 @@
+"""Physical-layout levers for the 100 TB story, proven on plans:
+
+- bucketed tables co-locate equi-joins (no shuffle exchange)
+- partitioned writes prune at the scan (PartitionFilters)
+- versioned state time travel (audit outcomes, deck slide 50)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.streaming.pipeline import VersionedStateTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """bucketBy(8, key) on both sides ⇒ sort-merge join reads
+    co-located buckets — zero Exchange in the plan. At 100 TB this is
+    the difference between joining in place and reshuffling the fact
+    table every query."""
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+
+    joined = (
+        spark.table("b_lineitem")
+        .join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    # disable broadcast so the join strategy decision is about buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        # bucket co-location: no shuffle below the join
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # result is still correct
+        n = joined.agg(F.sum("n")).first()[0]
+        assert n == load_table(spark, SF, "lineitem").count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_partitioned_write_prunes_at_scan(spark):
+    """partitionBy(event_type) ⇒ a filter on event_type never touches
+    the other partitions (PartitionFilters, zero data skipped rows)."""
+    events = load_table(spark, SF, "events")
+    d = tempfile.mkdtemp()
+    events.write.partitionBy("event_type").mode("overwrite").parquet(d)
+
+    q = spark.read.parquet(d).where(F.col("event_type") == "purchase")
+    plan = _physical_plan(q)
+    assert "PartitionFilters" in plan
+    assert "purchase" in plan
+    # only the purchase partition directory is listed in the scan
+    n_expected = events.where(F.col("event_type") == "purchase").count()
+    assert q.count() == n_expected
+
+
+def test_state_time_travel(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = VersionedStateTable(spark, d)
+        t.write(spark.createDataFrame([(1, "v1")], "id int, v string"))
+        t.write(spark.createDataFrame([(1, "v2"), (2, "v2")], "id int, v string"))
+        assert t.read().count() == 2
+        old = t.read(version=1)
+        assert old.count() == 1 and old.first().v == "v1"
+        with pytest.raises(ValueError):
+            t.read(version=99)
