@@ -32,6 +32,15 @@ def test_bucketed_join_has_no_shuffle(spark):
     li = load_table(spark, SF, "lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a fresh session's catalog doesn't know tables from earlier runs,
+    # so DROP can no-op while the managed location persists — clear it
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
         "overwrite"
     ).saveAsTable("b_orders")
