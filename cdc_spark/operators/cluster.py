@@ -34,11 +34,13 @@ def connected_components(
             pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
         )
         .distinct()
+        .cache()  # reused every round — never re-derive the pair graph
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -54,6 +56,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            # truncate lineage: without this, each round's plan embeds
+            # every earlier round (quadratic recomputation with the
+            # convergence action below)
+            .localCheckpoint(eager=True)
         )
         # convergence check: one tiny aggregate per round
         changed = (
@@ -66,6 +72,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

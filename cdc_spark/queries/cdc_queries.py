@@ -392,3 +392,52 @@ def cdc08_wide_type_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # datetime64 — emit the date as midnight timestamp for a stable
     # cross-engine hash (the decode above still exercises DateType)
     return typed.withColumn("d", F.col("d").cast("timestamp"))
+
+
+@register(
+    "cdc09_pipeline_e2e",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, MAX(CASE WHEN op = 'd' THEN lsn END)
+                      OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    state AS (
+        SELECT user_id, ROUND(arg_max(value, lsn), 4) AS last_value
+        FROM ranked
+        WHERE op IN ('c','u') AND (last_del IS NULL OR lsn > last_del)
+        GROUP BY user_id
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(last_value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_last_value
+    FROM state JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    note="end-to-end composition: change stream → latest-wins merge "
+    "state → broadcast dim enrichment → segment aggregate (the full "
+    "sync-to-analytics path, deck slides 33-37)",
+    tags=("cdc", "e2e"),
+)
+def cdc09_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events)
+    state = apply_changes(
+        None, changes, ["user_id"], ["event_type", "value"]
+    ).select("user_id", F.round("value", 4).alias("last_value"))
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        state.join(F.broadcast(cust), state.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("last_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_last_value"),
+        )
+    )

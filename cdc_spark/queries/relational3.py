@@ -334,3 +334,28 @@ def q52_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "hot_key", "n", F.col("total").cast("double").alias("total")
     )
+
+
+@register(
+    "q53_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS types_sorted,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS distinct_types
+    FROM events GROUP BY user_id
+    """,
+    note="collect_list/collect_set made deterministic by sorting before "
+    "serialization (collection aggregates)",
+    tags=("agg", "collect"),
+)
+def q53_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("event_type"))).alias(
+            "types_sorted"
+        ),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "distinct_types"
+        ),
+    )
