@@ -36,7 +36,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs this engine depends on.
+
+    The driver may hand us a session built without cdc_spark.session's
+    defaults; these three are SQL confs (settable post-startup) and
+    load-bearing: nanos parquet timestamps (events table), UTC
+    timestamps (oracle comparability), Arrow (pandas UDF transfer).
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # noqa: BLE001 — conf may be locked; best effort
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long
     # (spark.sql.legacy.parquet.nanosAsLong) — convert to a real

@@ -26,12 +26,12 @@ the exact method.
 from __future__ import annotations
 
 import random
-from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_spark.operators.text import shingle_rows, shingles, tokens
+from cdc_spark.operators.text import shingle_rows
 
 # 31-bit Mersenne prime hash domain: products a*h stay < 2^62, so the
 # affine permutations never overflow ANSI-mode long arithmetic.
