@@ -30,6 +30,8 @@ HEADLINE = [
     "cdc02_events_merge",        # CDC latest-wins apply
     "cdc03_snapshot_diff",       # polling-CDC diff
     "cdc04_log_compaction",      # latest-by-key
+    "cdc09_pipeline_e2e",        # change stream -> merge -> dim -> agg
+    "q46_nation_trade_volume",   # 6-way multi-dim join
     "dd01_exact_dedup",          # hash dedup
     "dd03_minhash_lsh",          # minhash+LSH+verify
     "ss01_cosine_topk",          # similarity top-k

@@ -359,3 +359,38 @@ def q53_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types"
         ),
     )
+
+
+@register(
+    "q54_except_all_multiset",
+    oracle="""
+    SELECT l_returnflag FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    note="EXCEPT ALL (bag semantics — duplicates subtract by count, "
+    "unlike q18's set semantics)",
+    tags=("setop",),
+)
+def q54_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 25).select("l_returnflag")
+    b = li.where(F.col("l_linestatus") == "F").select("l_returnflag")
+    return a.exceptAll(b)
+
+
+@register(
+    "q55_intersect_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+    note="INTERSECT ALL (bag semantics)",
+    tags=("setop",),
+)
+def q55_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.intersectAll(b)
