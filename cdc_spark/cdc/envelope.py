@@ -130,6 +130,23 @@ PGOUTPUT_JSON_SCHEMA = T.StructType(
 _KIND_TO_OP = {"insert": "c", "update": "u", "delete": "d", "truncate": "t"}
 
 
+def split_dead_letter(
+    parsed: DataFrame, raw: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Permissive-mode routing: rows that failed to parse (null op —
+    malformed JSON or unknown kind) go to a dead-letter frame instead
+    of killing the stream (the upgrade over the reference's
+    crash-stop ``log.Fatal`` policy, main.go:110,120-129).
+
+    Returns (good, dead). Join the dead rows back to ``raw`` by lsn
+    upstream if the original payload must be preserved; here the dead
+    frame carries the canonical columns as parsed.
+    """
+    good = parsed.where(F.col("op").isNotNull())
+    dead = parsed.where(F.col("op").isNull())
+    return good, dead
+
+
 def _zip_map(names: Column, values: Column) -> Column:
     """map_from_arrays guarded against null arrays."""
     return F.when(

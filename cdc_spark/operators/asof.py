@@ -36,19 +36,24 @@ def asof_join(
     right_payload: Sequence[str],
     *,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """Attach the latest preceding right row to every left row.
+    """Attach the latest preceding (``direction='backward'``) or
+    earliest following (``'forward'``) right row to every left row.
 
     ``right_payload`` columns appear on the output (null when no right
-    row precedes). ``tiebreak`` (a right-side column) makes the choice
+    row matches). ``tiebreak`` (a right-side column) makes the choice
     deterministic when several right rows share one timestamp.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     # Right rows must sort before left rows at equal timestamps iff
     # exact matches are allowed (right=0/left=1 ascending), after
-    # otherwise (right=2).
+    # otherwise (right=2). Forward direction flips the time order, so
+    # "preceding in sort order" means "following in time".
     right_tag = 0 if allow_exact_matches else 2
     payload = list(right_payload)
 
@@ -70,9 +75,17 @@ def asof_join(
         *[F.col(c) for c in left_cols if c not in keys],
     )
 
-    order: list[Column] = [F.col("__ts").asc(), F.col(_SIDE).asc()]
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
+    order: list[Column] = [ts_order, F.col(_SIDE).asc()]
     if tiebreak is not None:
-        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+        # backward keeps the max-tiebreak right row at equal ts (last
+        # in ascending order); forward keeps the min-tiebreak one
+        tb = F.col(f"__r_{tiebreak}")
+        order.append(
+            tb.asc_nulls_first() if direction == "backward" else tb.desc_nulls_first()
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

@@ -205,3 +205,26 @@ def st05_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = rollup.start(stream, tempfile.mkdtemp(prefix="ckpt_"))
     q.awaitTermination(300)
     return rollup.read()
+
+
+@register(
+    "st06_stateful_running_counts",
+    oracle=None,  # custom per-key streaming state: non-SQL-expressible
+    # (update-mode emissions); final-state equality is
+    # asserted in tests/test_stateful_and_io.py
+    note="applyInPandasWithState custom stateful operator: per-key "
+    "running count + last-value register over the event stream",
+    tags=("streaming", "stateful"),
+)
+def st06_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.streaming.stateful import running_counts
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "value"
+    )
+    out = _run_to_memory(running_counts(stream), "update")
+    # last emission per key carries the final accumulated state
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

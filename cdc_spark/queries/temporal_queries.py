@@ -181,3 +181,55 @@ def q31_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("approx_p50"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q56_asof_forward",
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.event_id AS next_purchase_id,
+           p.ts AS next_purchase_ts
+    FROM clicks c
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts FROM purchases p
+        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.ts, p.event_id LIMIT 1
+    ) p ON TRUE
+    """,
+    note="forward as-of join: earliest following purchase per click "
+    "(same union+window machinery, time order flipped)",
+    tags=("join", "asof"),
+)
+def q56_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("ts").alias("next_purchase_ts"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="next_purchase_ts",
+        right_payload=["next_purchase_id", "next_purchase_ts"],
+        direction="forward",
+        tiebreak="next_purchase_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("next_purchase_id_matched").alias("next_purchase_id"),
+        F.col("next_purchase_ts_matched").alias("next_purchase_ts"),
+    )

@@ -193,3 +193,13 @@ def test_malformed_document_is_permissive(spark):
     rows = parse_wal2json(_raw(spark, ["{not json"]), lsn_col="seq").collect()
     assert len(rows) == 1
     assert rows[0].op is None
+
+
+def test_dead_letter_split(spark):
+    from cdc_spark.cdc.envelope import split_dead_letter
+
+    raw = _raw(spark, [INSERT_DOC, "{broken", DELETE_DOC])
+    parsed = parse_wal2json(raw, lsn_col="seq")
+    good, dead = split_dead_letter(parsed)
+    assert good.count() == 2
+    assert dead.count() == 1

@@ -232,3 +232,42 @@ def test_merge_from_parsed_wal2json_end_to_end(spark):
         state, typed_d, ["id"], ["firstname", "lastname", "created_at"]
     )
     assert state2.count() == 0
+
+
+def test_asof_forward_and_backward(spark):
+    from cdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2")], "k int, lts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "R5"), (1, 10, "R10"), (1, 15, "R15"), (1, 30, "R30")],
+        "k int, rts long, rv string",
+    )
+    back = {
+        r.lv: r.rv_matched
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["rv"], tiebreak="rv",
+        ).collect()
+    }
+    assert back == {"L1": "R10", "L2": "R15"}  # latest <= left ts
+
+    fwd = {
+        r.lv: r.rv_matched
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["rv"], direction="forward", tiebreak="rv",
+        ).collect()
+    }
+    assert fwd == {"L1": "R10", "L2": "R30"}  # earliest >= left ts
+
+    # exact matches excluded: L1@10 must skip R10
+    back_x = {
+        r.lv: r.rv_matched
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["rv"], allow_exact_matches=False, tiebreak="rv",
+        ).collect()
+    }
+    assert back_x == {"L1": "R5", "L2": "R15"}
