@@ -120,3 +120,26 @@ def test_io_format_roundtrips(spark):
     assert spark.read.json(j, schema=df.schema).count() == 2
     got = spark.read.option("header", True).schema(df.schema).csv(c)
     assert {r.s for r in got.collect()} == {"a", "b"}
+
+
+def test_kafka_connectors_configure_without_broker(spark):
+    """Kafka source/sink constructors build valid plans/writers; only
+    .load()/.start() needs a broker + kafka package (not in this
+    container) — assert the construction path and option plumbing."""
+    from cdc_spark.sources.connectors import file_change_stream, kafka_sink
+
+    # file transport (the harness twin of the kafka path) end-to-end
+    import tempfile as tf
+
+    d = tf.mkdtemp()
+    with open(os.path.join(d, "a.json"), "w") as fh:
+        fh.write('{"x": 1}')
+    stream = file_change_stream(spark, d, max_files_per_trigger=1)
+    assert stream.isStreaming and stream.columns == ["value"]
+
+    # kafka writer builder accepts a routed frame without a broker
+    routed = spark.createDataFrame(
+        [("t.user", "payload")], "topic string, value string"
+    )
+    writer = kafka_sink(routed, "broker:9092", tf.mkdtemp())
+    assert writer is not None  # .start() would need the kafka package
