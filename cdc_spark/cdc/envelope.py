@@ -160,19 +160,44 @@ def parse_wal2json(
     """Parse wal2json transaction documents → canonical change rows.
 
     ``lsn_col``: a pre-existing total-order column (Kafka offset, file
-    line number). wal2json documents carry no LSN themselves, so the
-    transport's order column stands in — within a document, the
-    change-array index breaks ties (documents are single transactions;
-    the array is statement order). lsn = input_order * 2^20 + idx.
+    line number); lsn = input_order * 2^20 + idx (order must stay
+    below 2^43 — true for Kafka offsets and file line numbers).
+
+    Without ``lsn_col`` a per-batch fallback order is derived from
+    (partition id, row number): 20 bits partition | 33 bits row | 10
+    bits statement index — overflow-free bit packing (a plain
+    ``monotonically_increasing_id() * 2^20`` wraps negative beyond
+    1024 partitions, silently corrupting merge order). Statement index
+    saturates at 1023 within one transaction document.
     """
-    order = (
-        F.col(lsn_col)
-        if lsn_col
-        else F.monotonically_increasing_id()
-    )
     doc = raw.withColumn("__doc", F.from_json(F.col(value_col), WAL2JSON_SCHEMA))
+    if lsn_col:
+        lsn_expr = F.col("__order") * F.lit(1 << 20) + F.coalesce(
+            F.col("__idx"), F.lit(0)
+        )
+        doc = doc.withColumn("__order", F.col(lsn_col))
+    else:
+        pid = F.shiftright(F.monotonically_increasing_id(), 33)
+        row = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
+        doc = doc.withColumn(
+            "__order", F.shiftleft(pid, 43) + F.shiftleft(row, 10)
+        )
+        lsn_expr = F.col("__order") + F.least(
+            F.coalesce(F.col("__idx"), F.lit(0)), F.lit((1 << 10) - 1)
+        )
     changes = doc.select(
-        order.alias("__order"), F.posexplode_outer("__doc.change").alias("__idx", "c")
+        F.col("__order"),
+        # from_json returns a struct of nulls (not a null struct) for
+        # malformed input — "failed to parse" is change IS NULL, while
+        # a valid empty transaction has change = [] (non-null)
+        F.col("__doc.change").isNull().alias("__bad"),
+        F.posexplode_outer("__doc.change").alias("__idx", "c"),
+    ).where(
+        # drop the empty-transaction null row; keep genuinely malformed
+        # documents for the dead-letter path
+        F.col("c").isNotNull() | F.col("__bad")
     )
     kind_map = F.create_map(
         *[F.lit(x) for kv in _KIND_TO_OP.items() for x in kv]
@@ -181,9 +206,7 @@ def parse_wal2json(
         kind_map[F.col("c.kind")].alias("op"),
         F.col("c.schema").alias("src_schema"),
         F.col("c.table").alias("src_table"),
-        (F.col("__order") * F.lit(1 << 20) + F.col("__idx"))
-        .cast("long")
-        .alias("lsn"),
+        lsn_expr.cast("long").alias("lsn"),
         F.lit(None).cast("long").alias("tx_id"),
         F.lit(None).cast("timestamp").alias("commit_ts"),
         _zip_map(F.col("c.oldkeys.keynames"), F.col("c.oldkeys.keyvalues")).alias(

@@ -100,20 +100,24 @@ def apply_changes(
     live = F.col(op_col).isin(*UPSERT_OPS) & (
         F.col("__last_del").isNull() | (lsn > F.col("__last_del"))
     )
-    tagged = with_del.withColumn("__live", live)
+    tagged = with_del.withColumn("__live", live).withColumn(
+        # newest live full image (insert/snapshot-read): its nulls are
+        # REAL nulls — older column values must not survive past it
+        "__last_ins",
+        F.max(F.when(F.col("__live") & op.isin("c", "r"), lsn)).over(w),
+    )
 
     folds = [
         F.expr(
             f"max_by(`{c}`, CASE WHEN __live AND `{c}` IS NOT NULL "
+            f"AND (__last_ins IS NULL OR `{lsn_col}` >= __last_ins) "
             f"THEN `{lsn_col}` END)"
         ).alias(c)
         for c in payload
     ]
     per_key = tagged.groupBy(*keys).agg(
         F.max(F.when(F.col("__live"), lsn)).alias("__last_live"),
-        F.max(
-            F.when(F.col("__live") & op.isin("c", "r"), lsn)
-        ).alias("__last_ins"),
+        F.max("__last_ins").alias("__last_ins"),
         *folds,
     )
 

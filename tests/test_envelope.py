@@ -203,3 +203,33 @@ def test_dead_letter_split(spark):
     good, dead = split_dead_letter(parsed)
     assert good.count() == 2
     assert dead.count() == 1
+
+
+def test_empty_transaction_is_not_dead_letter(spark):
+    from cdc_spark.cdc.envelope import split_dead_letter
+
+    raw = _raw(spark, ['{"change": []}', INSERT_DOC])
+    parsed = parse_wal2json(raw, lsn_col="seq")
+    good, dead = split_dead_letter(parsed)
+    assert good.count() == 1  # only the insert; empty txn dropped
+    assert dead.count() == 0
+
+
+def test_dead_letter_rows_keep_lsn(spark):
+    from cdc_spark.cdc.envelope import split_dead_letter
+
+    raw = _raw(spark, [INSERT_DOC, "{broken"])
+    parsed = parse_wal2json(raw, lsn_col="seq")
+    _good, dead = split_dead_letter(parsed)
+    rows = dead.collect()
+    assert len(rows) == 1 and rows[0].lsn is not None
+
+
+def test_fallback_lsn_monotonic_without_order_column(spark):
+    raw = spark.createDataFrame(
+        [(d,) for d in [INSERT_DOC, UPDATE_DOC, DELETE_DOC]], "value string"
+    ).coalesce(1)
+    rows = parse_wal2json(raw).orderBy("lsn").collect()
+    assert [r.op for r in rows] == ["c", "u", "d"]
+    assert rows[0].lsn < rows[1].lsn < rows[2].lsn
+    assert all(r.lsn >= 0 for r in rows)  # no sign wrap

@@ -85,3 +85,24 @@ def test_dedup_keep_canonical(spark):
     }
     # clusters {0,3,5}→keep 0 and {1,2}→keep 1; singleton 4 kept
     assert kept == {0, 1, 4}
+
+
+def test_codebook_clamps_k_to_corpus(spark):
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = train_codebook(tiny, "embedding", "vec_id", k=16, iterations=1)
+    assert len(cb) == 5  # clamped, no IndexError
+
+
+def test_components_raise_when_budget_too_small(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(13)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    comps = connected_components(chain, max_iterations=20)
+    assert comps.select("cluster_id").distinct().count() == 1

@@ -271,3 +271,30 @@ def test_asof_forward_and_backward(spark):
         ).collect()
     }
     assert back_x == {"L1": "R5", "L2": "R15"}
+
+
+def test_full_image_insert_nulls_do_not_leak_older_values(spark):
+    """an insert/snapshot-read image is COMPLETE: its nulls are real
+    nulls, so pre-insert column values must not survive past it."""
+    ch = _changes(
+        spark,
+        [
+            ("u", 3, 1, "x", "y"),
+            ("r", 5, 1, None, "z"),  # full snapshot image: firstname IS null
+        ],
+    )
+    rows = apply_changes(None, ch, ["id"], ["firstname", "lastname"]).collect()
+    assert rows[0].firstname is None
+    assert rows[0].lastname == "z"
+
+    # but updates AFTER the insert still fold on top of it
+    ch2 = _changes(
+        spark,
+        [
+            ("r", 5, 1, None, "z"),
+            ("u", 6, 1, "new", None),  # TOAST: lastname unchanged
+        ],
+    )
+    rows2 = apply_changes(None, ch2, ["id"], ["firstname", "lastname"]).collect()
+    assert rows2[0].firstname == "new"
+    assert rows2[0].lastname == "z"

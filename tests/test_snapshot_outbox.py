@@ -62,3 +62,13 @@ def test_outbox_routing(spark):
     split = fan_out(routed)
     assert set(split) == {"user.events", "notification.events", "events.dead_letter"}
     assert split["user.events"].count() == 1
+
+
+def test_snapshot_diff_null_keys_still_diff(spark):
+    old = spark.createDataFrame([(None, "gone", 1.0), (1, "a", 1.0)], STATE)
+    new = spark.createDataFrame([(1, "a", 1.0), (None, "fresh", 2.0)], STATE)
+    ops = sorted(
+        (r.op, r.name) for r in snapshot_diff(old, new, ["id"]).collect()
+    )
+    # the null-keyed old row diffs as an update (matched null-safely)
+    assert ops == [("u", "fresh")]
