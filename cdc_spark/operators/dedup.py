@@ -74,6 +74,7 @@ def minhash_signature(
     k_shingle: int = 3,
     num_hashes: int = 32,
     seed: int = 7,
+    keep_text: bool = False,
 ) -> DataFrame:
     """MinHash signatures as an array<long> column ``sig``.
 
@@ -101,8 +102,10 @@ def minhash_signature(
     agg = exploded.groupBy(id_col).agg(*mins)
     sig = F.array(*[F.col(f"__m{j}") for j in range(num_hashes)])
     out = agg.select(F.col(id_col), sig.alias("sig"))
-    # re-attach the text for downstream verification convenience
-    return out.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+    if keep_text:
+        # re-attach the text for downstream verification convenience
+        return out.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+    return out
 
 
 def lsh_candidate_pairs(
