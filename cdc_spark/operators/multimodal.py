@@ -86,3 +86,116 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("target_bytes", T.LongType()),
+                    T.StructField("orig_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_payloads(binary_df: DataFrame, target_bytes: int) -> DataFrame:
+    """Resize-shaped transform: payload in → smaller payload out.
+
+    A real image resize swaps this body for PIL/opencv inside the same
+    mapInPandas seam (``_decode_media_real``); the deterministic fake
+    strided-samples the payload down to ``target_bytes`` so output size,
+    schema, and the rewritten metadata struct behave exactly as a real
+    thumbnailer. 1-in-1-out; payload column is REPLACED (the dominant
+    pattern for storage-bound media pipelines: never carry both).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(b: bytes) -> bytes:
+                if len(b) <= target_bytes:
+                    return bytes(b)
+                stride = len(b) / target_bytes
+                return bytes(b[int(i * stride)] for i in range(target_bytes))
+
+            metas = pdf["meta"]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "payload": pdf["payload"].map(shrink),
+                    "meta": [
+                        {
+                            "modality": m["modality"],
+                            "mime": m["mime"],
+                            "target_bytes": target_bytes,
+                            "orig_bytes": len(p),
+                        }
+                        for m, p in zip(metas, pdf["payload"])
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    *,
+    frame_bytes: int = 256,
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame-sampling transform: one row in → 0..n frame rows out.
+
+    Treats the payload as a concatenation of fixed-size "frames"
+    (a real video decoder derives frame boundaries from the container
+    format through the ``_decode_media_real`` seam) and keeps every
+    ``every_n``-th one. Demonstrates the fan-out mapInPandas shape —
+    output row count differs from input — which is how frame extraction
+    parallelizes at scale: the explode happens executor-side with no
+    shuffle, and downstream per-frame work inherits the partitioning.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames, totals = [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                n_total = (len(payload) + frame_bytes - 1) // frame_bytes
+                for fno in range(0, n_total, every_n):
+                    ids.append(item_id)
+                    nos.append(fno)
+                    frames.append(
+                        bytes(
+                            payload[
+                                fno * frame_bytes : (fno + 1) * frame_bytes
+                            ]
+                        )
+                    )
+                    totals.append(n_total)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "n_frames_total": pd.Series(totals, dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(sample, FRAME_SCHEMA)

@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table
-from cdc_spark.operators.multimodal import attach_binary, decode_features
+from cdc_spark.operators.multimodal import (
+    attach_binary,
+    decode_features,
+    resize_payloads,
+    sample_frames,
+)
 from cdc_spark.queries.base import register
 
 
@@ -50,4 +55,66 @@ def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.sum("header_sum").cast("long").alias("total_header_sum"),
+    )
+
+
+@register(
+    "mm02_resize_frame_sample",
+    oracle="""
+    WITH sized AS (
+        SELECT source,
+               strlen(text) AS nb,
+               CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS n_total
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source,
+               LEAST(nb, 100) AS resized_bytes,
+               CASE WHEN n_total = 0 THEN 0
+                    ELSE (n_total - 1) // 4 + 1 END AS kept,
+               CASE WHEN n_total = 0 THEN 0
+                    WHEN (n_total - 1) % 4 = 0
+                    THEN 64 * ((n_total - 1) // 4 + 1)
+                         - (64 * n_total - nb)
+                    ELSE 64 * ((n_total - 1) // 4 + 1) END AS frame_bytes
+        FROM sized
+    )
+    SELECT source,
+           COUNT(*) AS n_items,
+           CAST(SUM(resized_bytes) AS BIGINT) AS total_resized_bytes,
+           CAST(SUM(kept) AS BIGINT) AS n_frames,
+           CAST(SUM(frame_bytes) AS BIGINT) AS total_frame_bytes
+    FROM per_doc
+    GROUP BY source
+    """,
+    note="media-pipeline transforms over binary columns: strided resize "
+    "(payload replaced in place) and every-Nth frame sampling (fan-out "
+    "mapInPandas, no shuffle) — byte accounting matches the oracle's "
+    "closed-form size arithmetic",
+    tags=("multimodal",),
+)
+def mm02_resize_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binary = attach_binary(docs, "text", "doc_id", modality="image")
+    src = docs.select(F.col("doc_id").alias("item_id"), "source")
+
+    resized = resize_payloads(binary, 100).select(
+        "item_id", F.octet_length("payload").alias("resized_bytes")
+    )
+    frames = sample_frames(binary, frame_bytes=64, every_n=4).groupBy(
+        "item_id"
+    ).agg(
+        F.count("*").alias("kept"),
+        F.sum(F.octet_length("frame")).alias("frame_bytes"),
+    )
+    per_doc = (
+        src.join(resized, "item_id")
+        .join(frames, "item_id", "left")
+        .na.fill({"kept": 0, "frame_bytes": 0})
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum("resized_bytes").cast("long").alias("total_resized_bytes"),
+        F.sum("kept").cast("long").alias("n_frames"),
+        F.sum("frame_bytes").cast("long").alias("total_frame_bytes"),
     )

@@ -208,6 +208,61 @@ def st05_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st07_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.event_id) AS n_clicks_matched
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    GROUP BY c.user_id
+    """,
+    note="REAL stream-stream interval self-join: watermarked click and "
+    "purchase streams joined on key + 5-minute event-time range; the "
+    "time bound lets Spark expire join state (bounded memory at scale) "
+    "— matches the batch range join exactly",
+    tags=("streaming", "join", "range"),
+)
+def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr("INTERVAL 5 MINUTES")
+        ),
+        "inner",
+    )
+    out = _run_to_memory(joined.select("user_id", "click_id"), "append")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks_matched"),
+    )
+
+
+@register(
     "st06_stateful_running_counts",
     oracle=None,  # custom per-key streaming state: non-SQL-expressible
     # (update-mode emissions); final-state equality is

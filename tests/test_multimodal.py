@@ -7,6 +7,8 @@ from cdc_spark.operators.multimodal import (
     _decode_media_real,
     attach_binary,
     decode_features,
+    resize_payloads,
+    sample_frames,
 )
 
 
@@ -37,3 +39,51 @@ def test_decode_features_deterministic(spark):
 def test_real_decode_seam_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_media_real(b"\x89PNG", "image")
+
+
+def test_resize_strided_sampling(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 250), (2, "short")], "doc_id long, text string"
+    )
+    out = {
+        r.item_id: r
+        for r in resize_payloads(
+            attach_binary(df, "text", "doc_id", modality="image"), 100
+        ).collect()
+    }
+    # long payload shrunk to exactly target_bytes; short passes through
+    assert len(out[1].payload) == 100
+    assert out[1].meta.orig_bytes == 250
+    assert out[1].meta.target_bytes == 100
+    assert bytes(out[2].payload) == b"short"
+    # determinism: strided sample of a uniform payload stays uniform
+    assert set(bytes(out[1].payload)) == {ord("x")}
+
+
+def test_frame_sampling_fan_out(spark):
+    # 250 bytes / 64-byte frames -> 4 frames total; every 2nd -> 0, 2
+    df = spark.createDataFrame([(1, "a" * 250)], "doc_id long, text string")
+    rows = (
+        sample_frames(
+            attach_binary(df, "text", "doc_id", modality="video"),
+            frame_bytes=64,
+            every_n=2,
+        )
+        .orderBy("frame_no")
+        .collect()
+    )
+    assert [r.frame_no for r in rows] == [0, 2]
+    assert all(r.n_frames_total == 4 for r in rows)
+    assert [len(r.frame) for r in rows] == [64, 64]
+
+
+def test_frame_sampling_short_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "")], "doc_id long, text string"
+    )
+    rows = sample_frames(
+        attach_binary(df, "text", "doc_id"), frame_bytes=64, every_n=3
+    ).collect()
+    # sub-frame payload -> one partial frame; empty payload -> no rows
+    assert len(rows) == 1
+    assert rows[0].item_id == 1 and len(rows[0].frame) == 4

@@ -365,3 +365,19 @@ def test_multi_table_stream_routing(spark):
     assert users_pipe.state.read().count() == 2
     accts = accts_pipe.state.read().collect()
     assert len(accts) == 1 and accts[0].balance == "100.00"
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """st07's watermarked self-join equals the batch range join at
+    sf0.001 (same pairs, same per-user counts)."""
+    from cdc_spark.queries.streaming_queries import st07_stream_stream_join
+    from cdc_spark.queries.temporal_queries import q26_range_join
+
+    sf = "/root/testdata/sf0.001"
+    stream_out = {
+        r.user_id: r.n_pairs for r in st07_stream_stream_join(spark, sf).collect()
+    }
+    batch_out = {
+        r.user_id: r.n_pairs for r in q26_range_join(spark, sf).collect()
+    }
+    assert stream_out == batch_out and stream_out
