@@ -394,3 +394,39 @@ def q55_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
     b = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
     return a.intersectAll(b)
+
+
+@register(
+    "q57_lateral_topk",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY') c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) t
+    """,
+    note="lateral join: per-customer correlated top-3 subquery in FROM "
+    "(Catalyst decorrelates to a ranked window under the hood — the "
+    "declarative form stays shuffle-minimal)",
+    tags=("join", "lateral", "topk"),
+)
+def q57_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM (SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY') c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        """
+    )

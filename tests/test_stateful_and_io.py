@@ -143,3 +143,42 @@ def test_kafka_connectors_configure_without_broker(spark):
     )
     writer = kafka_sink(routed, "broker:9092", tf.mkdtemp())
     assert writer is not None  # .start() would need the kafka package
+
+
+def test_compaction_reduces_files_preserves_content(spark, tmp_path):
+    from cdc_spark.operators.maintenance import (
+        compact,
+        dir_file_stats,
+        needs_compaction,
+    )
+    from cdc_spark.streaming.pipeline import VersionedStateTable
+
+    state = VersionedStateTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    v1 = state.write(df.repartition(64))  # fragmented: 64 tiny files
+
+    import os
+
+    stats = dir_file_stats(os.path.join(state.path, f"v{v1}"))
+    assert stats["n_files"] == 64
+    assert needs_compaction(stats, target_file_bytes=1 << 20)
+
+    v2 = compact(state, target_file_bytes=1 << 20, sort_by=["id"])
+    stats2 = dir_file_stats(os.path.join(state.path, f"v{v2}"))
+    assert stats2["n_files"] < 8
+    assert not needs_compaction(stats2, target_file_bytes=1 << 20)
+
+    # content identical, both versions readable (time travel intact)
+    assert state.read().exceptAll(df).count() == 0
+    assert df.exceptAll(state.read()).count() == 0
+    assert state.read(version=v1).count() == 10_000
+
+    # sorted layout: each file covers a narrow disjoint id range
+    files = state.read().select(
+        F.input_file_name().alias("f"), "id"
+    ).groupBy("f").agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+    rows = sorted(files.collect(), key=lambda r: r.lo)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo  # disjoint → parquet footer stats prune files
