@@ -209,3 +209,92 @@ def tx05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(F.col("text")).alias("content_md5")),
         "doc_id",
     )
+
+
+_QUALITY_SQL = """ROUND(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')))
+                 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                    / length(text)), 4)"""
+
+
+@register(
+    "tx06_quality_filter",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source, {_QUALITY_SQL} AS quality
+        FROM documents
+    ),
+    m AS (SELECT ROUND(quantile_cont(quality, 0.5), 6) AS cutoff FROM q)
+    SELECT source,
+           COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_quality
+    FROM q, m
+    WHERE quality >= cutoff
+    GROUP BY source
+    """,
+    note="corpus-quantile quality filtering: keep documents at or above "
+    "the exact median quality score (two-pass: tiny cutoff aggregate "
+    "broadcast back over the corpus — no sort of the full data)",
+    tags=("text", "quality", "filter"),
+)
+def tx06_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    cutoff = q.agg(
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("cutoff")
+    )
+    kept = q.join(F.broadcast(cutoff)).where(
+        F.col("quality") >= F.col("cutoff")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_quality"),
+    )
+
+
+@register(
+    "tx07_hash_split",
+    oracle="""
+    WITH s AS (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      BETWEEN '0' AND 'b' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('c', 'd') THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split
+    """,
+    note="deterministic train/val/test split by content-id hash "
+    "(md5 first hex digit: 12/2/2 of 16) — reproducible across runs "
+    "and engines, no sampling state, stable under data arrival order",
+    tags=("text", "split", "sampling"),
+)
+def tx07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit.between("0", "b"), "train")
+        .when(digit.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        split.alias("split"), F.length("text").alias("n_chars")
+    ).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
