@@ -88,7 +88,13 @@ def minhash_signature(
     # shuffle of (doc, 32 mins) partials. (An array-fold variant kept
     # everything row-local but evaluated interpreted lambda
     # allocations per element — 10× slower at equal output.)
-    exploded = shingle_rows(df, text_col, id_col, k_shingle).select(
+    # distinct=False: the per-permutation min is duplicate-insensitive,
+    # so the dedup shuffle is pure waste — the groupBy below is then
+    # the ONLY exchange (map-side partial mins shrink it to one row
+    # per doc per partition before it ships)
+    exploded = shingle_rows(
+        df, text_col, id_col, k_shingle, distinct=False
+    ).select(
         F.col(id_col),
         F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("__h"),
     )
@@ -172,14 +178,17 @@ def jaccard_pairs(
     ``candidates`` (id_a, id_b) is given — e.g. from LSH — only those
     pairs are verified (semi-join pushdown into both explode sides).
     """
+    if candidates is not None:
+        # semi-join BEFORE shingling: only candidate docs are ever
+        # exploded (the filter cannot be pushed below the explode +
+        # distinct by the optimizer, so place it there by hand)
+        wanted = candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        df = df.join(F.broadcast(wanted), id_col, "left_semi")
     sh = shingle_rows(df, text_col, id_col, k_shingle).select(
         F.col(id_col).alias("__id"), F.col("shingle").alias("__s")
     )
-    if candidates is not None:
-        wanted = candidates.select(
-            F.explode(F.array("id_a", "id_b")).alias("__id")
-        ).distinct()
-        sh = sh.join(F.broadcast(wanted), "__id")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
 
     a = sh.select(F.col("__id").alias("id_a"), F.col("__s"))

@@ -52,8 +52,15 @@ def shingles(tok: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_rows(df, text_col: str, id_col: str, k: int = 3):
+def shingle_rows(
+    df, text_col: str, id_col: str, k: int = 3, *, distinct: bool = True
+):
     """Distinct (id, shingle) rows via position-explode + element_at.
+
+    ``distinct=False`` skips the dedup shuffle entirely — correct for
+    any downstream aggregate that is duplicate-insensitive (MinHash's
+    per-permutation min, fingerprint mins): the only exchange left is
+    the consumer's own aggregation.
 
     The row-based twin of ``shingles()`` for corpus-level pipelines
     (MinHash, Jaccard, SimHash). Explodes shingle *positions* and reads
@@ -75,7 +82,7 @@ def shingle_rows(df, text_col: str, id_col: str, k: int = 3):
             F.sequence(F.lit(1), F.size("__t") - F.lit(k - 1)),
         ).otherwise(F.array().cast("array<int>"))
     )
-    return (
+    rows = (
         df.select(F.col(id_col), toks.alias("__t"))
         .select(F.col(id_col), F.col("__t"), positions.alias("__i"))
         .select(
@@ -88,8 +95,8 @@ def shingle_rows(df, text_col: str, id_col: str, k: int = 3):
                 ],
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return rows.distinct() if distinct else rows
 
 
 def stopword_overlap(tok: Column, lang: str) -> Column:
@@ -177,7 +184,8 @@ def fingerprint_rows(df, text_col: str, id_col: str, k: int = 3):
     tokens) fall back to the full-text MD5 via left join. Identical
     output to the per-row expression, ~3× faster at corpus scale."""
     mins = (
-        shingle_rows(df, text_col, id_col, k)
+        # min is duplicate-insensitive → skip the dedup shuffle
+        shingle_rows(df, text_col, id_col, k, distinct=False)
         .groupBy(id_col)
         .agg(F.min(F.md5(F.col("shingle"))).alias("__fp"))
     )

@@ -96,7 +96,13 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signature(
         docs, "text", "doc_id", k_shingle=3, num_hashes=32
     )
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4)
+    # the candidate set is referenced twice downstream (broadcast doc
+    # filter + pair semi-join); materialize it once so the whole
+    # signature+LSH subtree isn't recomputed per reference — it is
+    # tiny (bounded by true near-dup density), the signatures are not
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", bands=8, rows_per_band=4
+    ).localCheckpoint(eager=True)
     return jaccard_pairs(
         docs, "text", "doc_id", k_shingle=3, threshold=0.8, candidates=cands
     )
