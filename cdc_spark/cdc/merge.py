@@ -71,12 +71,6 @@ def apply_changes(
     op = F.col(op_col)
     lsn = F.col(lsn_col)
 
-    spark = changes.sparkSession
-    if base is None:
-        base = spark.createDataFrame(
-            [], changes.select(*out_cols).schema
-        )
-
     # --- truncate: wipe state as of the newest 't' lsn (declarative —
     # a broadcast 1-row aggregate, no driver collect) ----------------
     t_agg = changes.agg(F.max(F.when(op == "t", lsn)).alias("__tmax"))
@@ -88,42 +82,67 @@ def apply_changes(
         )
         .drop("__tmax")
     )
-    base = base.crossJoin(F.broadcast(t_agg)).where(
-        F.col("__tmax").isNull()
-    ).drop("__tmax")
+    if base is not None:
+        base = base.crossJoin(F.broadcast(t_agg)).where(
+            F.col("__tmax").isNull()
+        ).drop("__tmax")
 
-    # --- per-key fold in lsn order ----------------------------------
-    w = Window.partitionBy(*keys)
-    with_del = changes.withColumn(
-        "__last_del", F.max(F.when(op == "d", lsn)).over(w)
-    )
-    live = F.col(op_col).isin(*UPSERT_OPS) & (
-        F.col("__last_del").isNull() | (lsn > F.col("__last_del"))
-    )
-    tagged = with_del.withColumn("__live", live).withColumn(
-        # newest live full image (insert/snapshot-read): its nulls are
-        # REAL nulls — older column values must not survive past it
-        "__last_ins",
-        F.max(F.when(F.col("__live") & op.isin("c", "r"), lsn)).over(w),
-    )
-
+    # --- per-key fold in lsn order: ONE hash aggregation ------------
+    # The thresholds (newest delete, newest live full image) and the
+    # per-column folds are all derived from *unconditional* maxes and
+    # validated afterwards: the globally-newest candidate either
+    # satisfies the threshold restriction — in which case it IS the
+    # restricted max (the restricted set shares the ordering) — or it
+    # fails it, in which case every older candidate fails too. This
+    # replaces the previous window+groupBy formulation: no sort, and
+    # map-side partial aggregation collapses each partition to one row
+    # per key before the only shuffle.
+    is_up = op.isin(*UPSERT_OPS)
     folds = [
         F.expr(
-            f"max_by(`{c}`, CASE WHEN __live AND `{c}` IS NOT NULL "
-            f"AND (__last_ins IS NULL OR `{lsn_col}` >= __last_ins) "
-            f"THEN `{lsn_col}` END)"
-        ).alias(c)
+            f"max_by(named_struct('l', `{lsn_col}`, 'v', `{c}`), "
+            f"CASE WHEN `{op_col}` IN ('c','u','r') "
+            f"AND `{c}` IS NOT NULL THEN `{lsn_col}` END)"
+        ).alias(f"__f_{c}")
         for c in payload
     ]
-    per_key = tagged.groupBy(*keys).agg(
-        F.max(F.when(F.col("__live"), lsn)).alias("__last_live"),
-        F.max("__last_ins").alias("__last_ins"),
+    per_key = changes.groupBy(*keys).agg(
+        F.max(F.when(op == "d", lsn)).alias("__last_del"),
+        F.max(F.when(is_up, lsn)).alias("__live_cand"),
+        F.max(F.when(op.isin("c", "r"), lsn)).alias("__ins_cand"),
         *folds,
+    )
+
+    def _after_del(c):  # strictly newer than the last delete
+        return F.col("__last_del").isNull() | (c > F.col("__last_del"))
+
+    per_key = per_key.select(
+        *keys,
+        F.when(_after_del(F.col("__live_cand")), F.col("__live_cand"))
+        .alias("__last_live"),
+        F.when(_after_del(F.col("__ins_cand")), F.col("__ins_cand"))
+        .alias("__last_ins"),
+        *[
+            F.when(
+                _after_del(F.col(f"__f_{c}.l"))
+                & (
+                    F.col("__ins_cand").isNull()
+                    | ~_after_del(F.col("__ins_cand"))
+                    | (F.col(f"__f_{c}.l") >= F.col("__ins_cand"))
+                ),
+                F.col(f"__f_{c}.v"),
+            ).alias(c)
+            for c in payload
+        ],
     )
 
     upserts = per_key.where(F.col("__last_live").isNotNull())
     # keys whose final state is "deleted" need no row at all — they are
     # simply part of changed_keys and excluded from the base carry-over.
+
+    if base is None:
+        # cold start: no prior rows to carry over or coalesce against
+        return upserts.select(*out_cols)
 
     changed_keys = per_key.select(*keys)
     untouched = base.join(changed_keys, on=keys, how="left_anti")
