@@ -62,7 +62,7 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+def hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
     rng = random.Random(seed)
     return [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
@@ -110,7 +110,7 @@ def ann_lsh_topk(
     cond = None
     tagged = df
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
         q_bucket = 0
         for i, plane in enumerate(planes):
             if math.fsum(x * y for x, y in zip(query_vec, plane)) >= 0:
@@ -171,7 +171,7 @@ def embedding_near_dup_pairs_lsh(
     buckets = F.array(
         *[
             lsh_bucket(
-                F.col(embedding_col), _hyperplanes(dim, n_planes, seed + 1000 * t)
+                F.col(embedding_col), hyperplanes(dim, n_planes, seed + 1000 * t)
             )
             for t in range(n_tables)
         ]

@@ -420,7 +420,7 @@ def cdc08_wide_type_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
     note="end-to-end composition: change stream → latest-wins merge "
-    "state → broadcast dim enrichment → segment aggregate (the full "
+    "state → dim enrichment (AQE-chosen strategy) → segment aggregate (the full "
     "sync-to-analytics path, deck slides 33-37)",
     tags=("cdc", "e2e"),
 )
@@ -432,7 +432,7 @@ def cdc09_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.round("value", 4).alias("last_value"))
     cust = load_table(spark, sf_dir, "customer")
     return (
-        state.join(F.broadcast(cust), state.user_id == cust.c_custkey)
+        state.join(cust, state.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_users"),

@@ -8,8 +8,9 @@ Catalyst handles pushdown / pruning / join strategy / AQE.
 
 Scale notes (100 TB posture):
 - Fact-side filters appear *before* joins → parquet pushdown.
-- Dimension joins (region/nation/supplier/part/customer) broadcast —
-  they are bounded-size at any scale factor.
+- Broadcast hints only on truly bounded dims (region=5, nation=25 rows).
+  supplier/part/customer grow with SF — a forced broadcast of them OOMs
+  executors at 100×, so AQE picks broadcast-vs-SMJ from runtime stats.
 - Every window/top-k carries a unique tiebreak; no order dependence.
 - Measures sum through decimal (see queries.base) so results are
   independent of partial-aggregation order — at 1000 executors the
@@ -226,7 +227,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -255,7 +256,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
     GROUP BY n_name
     """,
-    note="TPC-H Q5 shape: 6-way star join, broadcast dims, region pushdown",
+    note="TPC-H Q5 shape: 6-way star join, bounded dims broadcast, region pushdown",
     tags=("join", "agg"),
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +271,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -298,14 +299,15 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_size <= 25
     GROUP BY p_brand
     """,
-    note="fact ⋈ broadcast(dim) with dim-side pushdown filter",
+    note="fact ⋈ dim with dim-side pushdown filter; AQE broadcasts the "
+    "filtered dim when stats allow (no forced hint — part grows with SF)",
     tags=("join", "broadcast"),
 )
 def q07_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 25)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),

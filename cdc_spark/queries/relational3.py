@@ -41,7 +41,7 @@ def q45_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(rev).alias("revenue"))
@@ -68,8 +68,9 @@ def q45_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
     GROUP BY 1, 2, 3
     """,
-    note="TPC-H Q7 shape: cross-nation trade volume by year (two nation "
-    "broadcast joins with role-separated aliases)",
+    note="TPC-H Q7 shape: cross-nation trade volume by year (two bounded "
+    "nation broadcast joins with role-separated aliases; supp/cust join "
+    "strategy left to AQE)",
     tags=("join", "agg"),
 )
 def q46_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,9 +90,9 @@ def q46_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(F.col("n1_key") != F.col("n2_key"))
@@ -148,10 +149,10 @@ def q47_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     china = F.when(F.col("supp_nation") == "CHINA", rev).otherwise(F.lit(0.0))
     vol = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
         .agg(
@@ -187,7 +188,7 @@ def q48_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    agg = li.join(part, li.l_partkey == part.p_partkey).agg(
         dsum(promo).alias("p"), dsum(rev).alias("t")
     )
     return agg.select(
@@ -217,7 +218,7 @@ def q49_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_totalprice")
         .agg(
             dsum("l_quantity").alias("total_qty"),
@@ -250,7 +251,7 @@ def q50_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & (~F.col("p_size").isin(10, 20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(
             F.countDistinct("l_suppkey").alias("supplier_cnt"),
@@ -271,7 +272,7 @@ def q50_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (p_type = 'PROMO' AND l_quantity >= 40)
     """,
     note="TPC-H Q19 shape: disjunctive multi-attribute predicates "
-    "evaluated during the broadcast join",
+    "evaluated during the part join (strategy left to AQE)",
     tags=("join", "predicate"),
 )
 def q51_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,7 +293,7 @@ def q51_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(dsum(rev).alias("revenue"), F.count("*").alias("n"))
     )

@@ -135,14 +135,15 @@ def st02_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
     note="REAL stream-static join: event stream enriched against the "
-    "static customer dim (broadcast per micro-batch), then aggregated",
+    "static customer dim (join strategy per micro-batch left to AQE — "
+    "customer grows with SF, so no forced broadcast), then aggregated",
     tags=("streaming", "join"),
 )
 def st04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     joined = stream.join(
-        F.broadcast(cust), stream.user_id == cust.c_custkey
+        cust, stream.user_id == cust.c_custkey
     )
     out = _run_to_memory(
         joined.select("c_mktsegment", "user_id"), "append"

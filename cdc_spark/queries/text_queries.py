@@ -161,13 +161,15 @@ def tx04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    n_docs = docs.count()  # bounded scalar (drives the idf constant)
+    # corpus size folded into the plan as a broadcast 1-row aggregate
+    # (one job, no driver round-trip — the merge.py t_agg pattern)
+    n_agg = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     stats = tok.groupBy("term").agg(
         F.count("*").alias("tf"),
         F.countDistinct("doc_id").alias("df"),
-    )
+    ).crossJoin(F.broadcast(n_agg))
     tfidf = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 4
     )
     return (
         stats.select(

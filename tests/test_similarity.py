@@ -86,13 +86,15 @@ def test_lsh_near_dup_subset_of_exact(spark, emb):
             emb, "embedding", "vec_id", threshold=0.4
         ).collect()
     }
+    # dd05's gated parameters: L=14 tables x 4 planes → theoretical
+    # recall 1-(1-p^4)^14 ≈ 0.91 at the 0.4-cosine boundary; the seeded
+    # planes make the measured value deterministic on fixed data.
     lsh = {
         (r.id_a, r.id_b)
         for r in embedding_near_dup_pairs_lsh(
-            emb, "embedding", "vec_id", dim=64, threshold=0.4
+            emb, "embedding", "vec_id", dim=64, threshold=0.4, n_tables=14
         ).collect()
     }
     assert lsh <= exact
-    if exact:
-        recall = len(lsh & exact) / len(exact)
-        assert recall >= 0.3, f"bucketed near-dup recall too low: {recall:.2f}"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"bucketed near-dup recall too low: {recall:.2f}"
