@@ -182,10 +182,13 @@ def jaccard_pairs(
         # semi-join BEFORE shingling: only candidate docs are ever
         # exploded (the filter cannot be pushed below the explode +
         # distinct by the optimizer, so place it there by hand)
+        # no forced broadcast: the candidate set's size is data-
+        # dependent (bounded by near-dup density, not by a constant);
+        # AQE sees its actual shuffle stats and broadcasts when small
         wanted = candidates.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
         ).distinct()
-        df = df.join(F.broadcast(wanted), id_col, "left_semi")
+        df = df.join(wanted, id_col, "left_semi")
     sh = shingle_rows(df, text_col, id_col, k_shingle).select(
         F.col(id_col).alias("__id"), F.col("shingle").alias("__s")
     )
