@@ -40,6 +40,63 @@ HEADLINE = [
 ]
 
 
+def bench_incremental_apply(spark, sf_dir: str) -> float:
+    """CDC apply cost must track the BATCH, not the state.
+
+    Seeds a bucketed state table from `orders` (sf-proportional rows,
+    64 buckets — untimed), then times one small-batch apply whose keys
+    all hash into a single bucket: the rewrite touches 1/64th of the
+    state. Under the old full-snapshot sink this time grew linearly
+    with state size; now it is bounded by bucket size + fixed overhead.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_spark.catalog import load_table
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    d = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        state = BucketedStateTable(spark, d, ["o_orderkey"], n_buckets=64)
+        orders = load_table(spark, sf_dir, "orders")
+        seed = orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.lit("c").alias("op"),
+            F.col("o_orderkey").alias("lsn"),
+        )
+        state.apply(seed, ["o_custkey", "o_totalprice"])  # untimed seed
+
+        # 200-key batch confined to bucket 0 (the pruning case a
+        # key-clustered CDC tail produces)
+        batch_rows = (
+            seed.where(
+                F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(64)) == 0
+            )
+            .limit(200)
+            .collect()
+        )
+        batch = spark.createDataFrame(batch_rows, seed.schema).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("u").alias("op"),
+            (F.col("lsn") + 10_000_000).alias("lsn"),
+        )
+        # one untimed warm-up apply (codegen for the merge plan), then
+        # measure the steady-state micro-batch cost
+        state.apply(batch, ["o_custkey", "o_totalprice"])
+        batch = batch.withColumn("lsn", F.col("lsn") + 1)
+        t0 = time.time()
+        state.apply(batch, ["o_custkey", "o_totalprice"])
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("cdc_spark_bench")
@@ -64,6 +121,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["cdc_incr_apply_small_batch"] = bench_incremental_apply(
+        spark, sf_dir
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -58,12 +58,18 @@ def apply_changes(
     *,
     lsn_col: str = "lsn",
     op_col: str = "op",
+    may_truncate: bool = True,
 ) -> DataFrame:
     """Apply one batch of typed changes onto ``base`` → new state.
 
     ``changes`` must carry: key columns, ``payload`` columns, ``op``
     (c/u/d/t/r) and a total-order ``lsn``. ``base`` is the prior
     materialized state (key + payload columns), or None for cold start.
+
+    ``may_truncate=False`` skips the truncate-wipe subplan (two 1-row
+    broadcast aggregates) — pass it when the caller has already
+    inspected the batch and found no ``op='t'`` (the incremental sink
+    does, as a byproduct of its touched-bucket scan).
     """
     keys = list(keys)
     payload = [c for c in payload if c not in keys]
@@ -71,21 +77,22 @@ def apply_changes(
     op = F.col(op_col)
     lsn = F.col(lsn_col)
 
-    # --- truncate: wipe state as of the newest 't' lsn (declarative —
-    # a broadcast 1-row aggregate, no driver collect) ----------------
-    t_agg = changes.agg(F.max(F.when(op == "t", lsn)).alias("__tmax"))
-    changes = (
-        changes.crossJoin(F.broadcast(t_agg))
-        .where(
-            (op != "t")
-            & (F.col("__tmax").isNull() | (lsn > F.col("__tmax")))
+    if may_truncate:
+        # --- truncate: wipe state as of the newest 't' lsn
+        # (declarative — a broadcast 1-row aggregate, no collect) -----
+        t_agg = changes.agg(F.max(F.when(op == "t", lsn)).alias("__tmax"))
+        changes = (
+            changes.crossJoin(F.broadcast(t_agg))
+            .where(
+                (op != "t")
+                & (F.col("__tmax").isNull() | (lsn > F.col("__tmax")))
+            )
+            .drop("__tmax")
         )
-        .drop("__tmax")
-    )
-    if base is not None:
-        base = base.crossJoin(F.broadcast(t_agg)).where(
-            F.col("__tmax").isNull()
-        ).drop("__tmax")
+        if base is not None:
+            base = base.crossJoin(F.broadcast(t_agg)).where(
+                F.col("__tmax").isNull()
+            ).drop("__tmax")
 
     # --- per-key fold in lsn order: ONE hash aggregation ------------
     # The thresholds (newest delete, newest live full image) and the

@@ -10,11 +10,12 @@ Streaming like this (SURVEY.md §3.1):
 - parse + catalog + decode   → envelope parse + registry materialize
 - Dump sink (main.go:429-445) → foreachBatch apply into a state table
 
-State lives in a ``VersionedStateTable``: immutable parquet versions
-plus a CURRENT pointer — MERGE-on-read-free, atomic swap, works
-without Delta jars. On a cluster with Delta/Iceberg the foreachBatch
-body becomes a MERGE INTO with identical semantics (apply_changes is
-sink-agnostic).
+State lives in a ``BucketedStateTable`` (streaming/state.py):
+hash-bucketed immutable parquet versions plus a manifest + CURRENT
+pointer — per micro-batch only touched buckets are rewritten
+(Delta-MERGE-shaped apply without Delta jars). ``VersionedStateTable``
+below is the simpler full-snapshot variant, kept for small rollup /
+maintenance tables where a snapshot per version IS the contract.
 """
 
 from __future__ import annotations
@@ -26,8 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_spark.cdc.envelope import parse_pgoutput_json, parse_wal2json
-from cdc_spark.cdc.merge import apply_changes
 from cdc_spark.cdc.registry import SchemaRegistry
+from cdc_spark.streaming.state import BucketedStateTable, _fsync_replace
 
 
 class VersionedStateTable:
@@ -50,6 +51,17 @@ class VersionedStateTable:
                 return int(fh.read().strip())
         except FileNotFoundError:
             return None
+        except ValueError:
+            # crash mid-swap left an empty/corrupt pointer: fall back
+            # to the highest complete version directory
+            vs = [
+                int(n[1:])
+                for n in os.listdir(self.path)
+                if n.startswith("v")
+                and n[1:].isdigit()
+                and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
+            ]
+            return max(vs) if vs else None
 
     def read(self, version: int | None = None) -> DataFrame | None:
         """Current snapshot, or time-travel to an earlier version —
@@ -67,10 +79,9 @@ class VersionedStateTable:
         v = (self.current_version() or 0) + 1
         target = os.path.join(self.path, f"v{v}")
         df.write.mode("overwrite").parquet(target)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, self._pointer)  # atomic pointer swap
+        # fsync'd atomic pointer swap: a crash leaves either the old
+        # pointer or the new one, never a torn write
+        _fsync_replace(self._pointer + ".tmp", self._pointer, str(v))
         return v
 
 
@@ -81,6 +92,11 @@ class CdcStreamPipeline:
     receives one JSON document per line; each micro-batch flows
     through the same apply_changes as the batch path — one code path
     for backfill and tail (deck slide 21/30 snapshotting semantics).
+
+    State is a ``BucketedStateTable``: per micro-batch, only the hash
+    buckets the batch's keys fall into are rewritten — apply cost is
+    O(touched buckets), not O(state), matching the reference's
+    continuous per-change apply loop (main.go:115-130) at scale.
     """
 
     def __init__(
@@ -94,6 +110,7 @@ class CdcStreamPipeline:
         state_path: str,
         *,
         dialect: str = "wal2json",
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.registry = registry
@@ -101,7 +118,9 @@ class CdcStreamPipeline:
         self.table = table
         self.keys = list(keys)
         self.payload = list(payload)
-        self.state = VersionedStateTable(spark, state_path)
+        self.state = BucketedStateTable(
+            spark, state_path, self.keys, n_buckets=n_buckets
+        )
         self.dialect = dialect
 
     def _parse(self, raw: DataFrame) -> DataFrame:
@@ -116,15 +135,15 @@ class CdcStreamPipeline:
         return parsed
 
     def apply_batch(self, raw_batch: DataFrame, epoch_id: int = 0) -> None:
-        """foreachBatch body: parse → typed decode → merge → swap."""
+        """foreachBatch body: parse → typed decode → incremental merge.
+
+        Only the state buckets touched by this batch's keys are
+        rewritten; untouched buckets are inherited by manifest
+        reference (their files are not even opened)."""
         typed = self.registry.materialize(
             self._parse(raw_batch), self.schema, self.table
         )
-        base = self.state.read()
-        new_state = apply_changes(base, typed, self.keys, self.payload)
-        # safe read-while-write: the new version lands in its own dir
-        # (v{N+1}) while lazily scanning v{N}; the pointer swaps last
-        self.state.write(new_state)
+        self.state.apply(typed, self.payload)
 
     def start(
         self,

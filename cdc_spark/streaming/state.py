@@ -1,0 +1,241 @@
+"""Hash-bucketed versioned state: changed-bucket-only incremental apply.
+
+The reference applies each decoded change to its sink continuously
+(``examples/pgoutput/main.go:115-130`` — per-row apply as messages
+arrive). The distributed analog must NOT rewrite the whole
+materialized table per micro-batch: at 100 TB of state, apply cost has
+to be O(touched buckets), not O(state). This module provides
+Delta-MERGE-shaped semantics without Delta jars:
+
+- state is hash-bucketed by key: ``pmod(xxhash64(keys), n_buckets)``;
+- each version is a MANIFEST mapping bucket-id → parquet directory;
+  buckets untouched by a batch are *inherited* — the manifest entry
+  keeps pointing at the older version's directory, and the files are
+  never rewritten (byte-identical by construction, asserted in tests);
+- a micro-batch rewrites only the buckets its keys hash into (a
+  truncate dirties every bucket — it wipes all keys);
+- the CURRENT pointer is fsync'd and swapped atomically; a corrupt or
+  missing pointer falls back to the highest version with a readable
+  manifest, so a crash mid-write never bricks the table;
+- immutable versions double as the audit trail: ``read(version=...)``
+  time-travels, exactly as in ``VersionedStateTable``.
+
+Sizing: pick ``n_buckets`` so a bucket is a few tens of GB at the
+target scale (100 TB / 4096 ≈ 25 GB). A batch touching k distinct
+buckets costs k bucket rewrites; the worst case (keys spread over all
+buckets) degenerates to a full MERGE, which is what any engine pays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cdc_spark.cdc.merge import apply_changes
+
+_BUCKET = "__bucket"
+
+
+def _fsync_replace(tmp: str, dst: str, payload: str) -> None:
+    """Durable pointer write: fsync the file, atomic rename, fsync the
+    directory so the rename itself survives a crash."""
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, dst)
+    dfd = os.open(os.path.dirname(dst) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+class BucketedStateTable:
+    """Materialized CDC state, hash-bucketed, with incremental apply."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        *,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # --- layout -------------------------------------------------------
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v}")
+
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self._version_dir(v), "MANIFEST.json")
+
+    def _load_manifest(self, v: int) -> dict:
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as fh:
+                v = int(fh.read().strip())
+            # pointer must reference a readable manifest
+            self._load_manifest(v)
+            return v
+        except (FileNotFoundError, ValueError, json.JSONDecodeError):
+            return self._recover_version()
+
+    def _recover_version(self) -> int | None:
+        """Corrupt/missing pointer: highest version with a valid
+        manifest (a version directory without one is an aborted write)."""
+        best = None
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return None
+        for name in names:
+            if name.startswith("v") and name[1:].isdigit():
+                v = int(name[1:])
+                try:
+                    self._load_manifest(v)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue
+                best = v if best is None else max(best, v)
+        return best
+
+    # --- bucketing ----------------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    # --- read / time travel ------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        man = self._load_manifest(v)
+        return self._read_manifest(man)
+
+    def _read_manifest(self, man: dict) -> DataFrame:
+        dirs = [os.path.join(self.path, rel) for rel in man["buckets"].values()]
+        if not dirs:
+            schema = StructType.fromJson(man["schema"])
+            return self.spark.createDataFrame([], schema)
+        # mergeSchema: buckets inherited across versions may predate a
+        # schema evolution; missing columns read as null
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    # --- incremental apply -------------------------------------------
+
+    def apply(
+        self,
+        changes: DataFrame,
+        payload: Sequence[str],
+        *,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+    ) -> int | None:
+        """Merge one batch of typed changes; rewrite only touched
+        buckets. Returns the new version (or the current one for an
+        empty batch)."""
+        v_cur = self.current_version()
+        ch = changes.withColumn(_BUCKET, self._bucket_expr())
+
+        # one bounded job (≤ n_buckets rows): which buckets does this
+        # batch touch, and does it truncate (truncate wipes every key,
+        # so every bucket is dirty)?
+        info = (
+            ch.groupBy(_BUCKET)
+            .agg(F.max(F.col(op_col) == "t").alias("has_t"))
+            .collect()
+        )
+        if not info:
+            return v_cur  # empty batch: no new version
+        touched = {r[_BUCKET] for r in info}
+        any_t = any(r["has_t"] for r in info)
+        if any_t:
+            touched = set(range(self.n_buckets))
+
+        prev_buckets: dict[str, str] = {}
+        base = None
+        if v_cur is not None:
+            prev_buckets = self._load_manifest(v_cur)["buckets"]
+            base_dirs = [
+                os.path.join(self.path, rel)
+                for b, rel in prev_buckets.items()
+                if int(b) in touched
+            ]
+            if base_dirs:
+                base = self.spark.read.option("mergeSchema", "true").parquet(
+                    *base_dirs
+                )
+
+        if len(touched) < self.n_buckets:
+            ch = ch.where(F.col(_BUCKET).isin([int(b) for b in touched]))
+        new_state = apply_changes(
+            base,
+            ch.drop(_BUCKET),
+            self.keys,
+            payload,
+            lsn_col=lsn_col,
+            op_col=op_col,
+            # the touched-bucket scan above already looked at every op:
+            # skip the truncate subplan when none is present
+            may_truncate=any_t,
+        )
+
+        v_new = (v_cur or 0) + 1
+        target = self._version_dir(v_new)
+        # no pre-write repartition (saves a full shuffle of the touched
+        # data per micro-batch). Tradeoff: each output task may write a
+        # file into every touched-bucket dir, so a version holds up to
+        # tasks × |touched| files; AQE coalesces small merges to few
+        # tasks, and compaction (operators/maintenance.py) folds
+        # fragments when the count matters.
+        out = new_state.withColumn(_BUCKET, self._bucket_expr())
+        out.write.partitionBy(_BUCKET).mode("overwrite").parquet(target)
+
+        written = {
+            int(name.split("=", 1)[1]): f"v{v_new}/{name}"
+            for name in os.listdir(target)
+            if name.startswith(f"{_BUCKET}=")
+        }
+        buckets = {
+            b: rel for b, rel in prev_buckets.items() if int(b) not in touched
+        }
+        buckets.update({str(b): rel for b, rel in written.items()})
+        manifest = {
+            "version": v_new,
+            "n_buckets": self.n_buckets,
+            "keys": self.keys,
+            "schema": json.loads(new_state.schema.json()),
+            "buckets": buckets,
+            "touched": sorted(touched),
+        }
+        # manifest lands before the pointer: a crash in between leaves
+        # a complete, unreferenced version that recovery may adopt
+        _fsync_replace(
+            self._manifest_path(v_new) + ".tmp",
+            self._manifest_path(v_new),
+            json.dumps(manifest, indent=1),
+        )
+        _fsync_replace(self._pointer + ".tmp", self._pointer, str(v_new))
+        return v_new

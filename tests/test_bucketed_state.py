@@ -1,0 +1,202 @@
+"""BucketedStateTable: incremental apply correctness + the O(touched)
+guarantee — untouched buckets are inherited by reference, their files
+never rewritten.
+
+The reference applies changes continuously as they arrive
+(examples/pgoutput/main.go:115-130); these tests pin the distributed
+analog: apply cost tracks the batch's key spread, not the state size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_spark.cdc.merge import apply_changes
+from cdc_spark.streaming.state import BucketedStateTable
+
+SCHEMA = "id long, name string, qty long, op string, lsn long"
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _bucket_files(path: str, man: dict) -> dict[str, list[str]]:
+    """bucket id → sorted list of (relpath, sha256) under its dir."""
+    out = {}
+    for b, rel in man["buckets"].items():
+        d = Path(path) / rel
+        out[b] = sorted(
+            (
+                str(p.relative_to(path)),
+                hashlib.sha256(p.read_bytes()).hexdigest(),
+            )
+            for p in d.rglob("*.parquet")
+        )
+    return out
+
+
+def _manifest(t: BucketedStateTable, v: int) -> dict:
+    with open(os.path.join(t.path, f"v{v}", "MANIFEST.json")) as fh:
+        return json.load(fh)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return BucketedStateTable(
+        spark, str(tmp_path / "state"), ["id"], n_buckets=8
+    )
+
+
+def test_cold_start_and_read(spark, table):
+    assert table.read() is None
+    v = table.apply(
+        _changes(spark, [(1, "a", 10, "c", 1), (2, "b", 20, "c", 2)]),
+        ["name", "qty"],
+    )
+    assert v == 1
+    got = {r.id: (r.name, r.qty) for r in table.read().collect()}
+    assert got == {1: ("a", 10), 2: ("b", 20)}
+
+
+def test_untouched_buckets_inherited_byte_identical(spark, table):
+    # seed 64 keys so several buckets are populated
+    seed = [(i, f"n{i}", i * 10, "c", i) for i in range(1, 65)]
+    table.apply(_changes(spark, seed), ["name", "qty"])
+    man1 = _manifest(table, 1)
+    files1 = _bucket_files(table.path, man1)
+    assert len(man1["buckets"]) > 1  # multiple buckets populated
+
+    # single-key update: exactly one bucket is dirty
+    v2 = table.apply(
+        _changes(spark, [(7, "updated", 700, "u", 100)]), ["name", "qty"]
+    )
+    man2 = _manifest(table, v2)
+    assert len(man2["touched"]) == 1
+    (touched,) = man2["touched"]
+
+    files2 = _bucket_files(table.path, man2)
+    for b in man1["buckets"]:
+        if int(b) == touched:
+            assert man2["buckets"][b].startswith("v2/")
+        else:
+            # inherited: same manifest entry → same files, same bytes
+            assert man2["buckets"][b] == man1["buckets"][b]
+            assert files2[b] == files1[b]
+
+    got = {r.id: (r.name, r.qty) for r in table.read().collect()}
+    assert got[7] == ("updated", 700)
+    assert len(got) == 64
+
+
+def test_matches_full_apply_semantics(spark, table):
+    """Bucketed incremental apply ≡ apply_changes over the whole log."""
+    b1 = [(1, "a", 1, "c", 1), (2, "b", 2, "c", 2), (3, "c", 3, "c", 3)]
+    b2 = [(2, None, 20, "u", 4), (3, None, None, "d", 5), (4, "d", 4, "c", 6)]
+    b3 = [(1, "a2", None, "u", 7), (5, "e", 5, "c", 8)]
+    table.apply(_changes(spark, b1), ["name", "qty"])
+    table.apply(_changes(spark, b2), ["name", "qty"])
+    table.apply(_changes(spark, b3), ["name", "qty"])
+
+    oracle = apply_changes(
+        None, _changes(spark, b1 + b2 + b3), ["id"], ["name", "qty"]
+    )
+    got = sorted(
+        (r.id, r.name, r.qty) for r in table.read().collect()
+    )
+    want = sorted((r.id, r.name, r.qty) for r in oracle.collect())
+    assert got == want
+
+
+def test_truncate_dirties_every_bucket(spark, table):
+    seed = [(i, f"n{i}", i, "c", i) for i in range(1, 33)]
+    table.apply(_changes(spark, seed), ["name", "qty"])
+    v2 = table.apply(
+        _changes(
+            spark,
+            [(0, None, None, "t", 100), (1, "after", 1, "c", 101)],
+        ),
+        ["name", "qty"],
+    )
+    man2 = _manifest(table, v2)
+    assert man2["touched"] == list(range(8))  # all buckets wiped
+    got = {r.id: r.name for r in table.read().collect()}
+    assert got == {1: "after"}
+    # no inherited (pre-truncate) directories survive in the manifest
+    assert all(rel.startswith("v2/") for rel in man2["buckets"].values())
+
+
+def test_time_travel_versions(spark, table):
+    table.apply(_changes(spark, [(1, "v1", 1, "c", 1)]), ["name", "qty"])
+    table.apply(_changes(spark, [(1, "v2", 2, "u", 2)]), ["name", "qty"])
+    assert table.read(version=1).collect()[0].name == "v1"
+    assert table.read(version=2).collect()[0].name == "v2"
+    assert table.current_version() == 2
+
+
+def test_empty_batch_is_noop(spark, table):
+    table.apply(_changes(spark, [(1, "a", 1, "c", 1)]), ["name", "qty"])
+    v = table.apply(_changes(spark, []), ["name", "qty"])
+    assert v == 1
+    assert table.current_version() == 1
+
+
+def test_corrupt_pointer_recovers(spark, table):
+    table.apply(_changes(spark, [(1, "a", 1, "c", 1)]), ["name", "qty"])
+    table.apply(_changes(spark, [(2, "b", 2, "c", 2)]), ["name", "qty"])
+    with open(os.path.join(table.path, "CURRENT"), "w") as fh:
+        fh.write("")  # torn write
+    assert table.current_version() == 2
+    assert table.read().count() == 2
+
+
+def test_aborted_version_dir_ignored(spark, table):
+    table.apply(_changes(spark, [(1, "a", 1, "c", 1)]), ["name", "qty"])
+    # simulate a crash mid-write: version dir without a manifest
+    os.makedirs(os.path.join(table.path, "v9"), exist_ok=True)
+    os.remove(os.path.join(table.path, "CURRENT"))
+    assert table.current_version() == 1
+
+
+def test_delete_then_reinsert_across_batches(spark, table):
+    table.apply(_changes(spark, [(1, "a", 1, "c", 1)]), ["name", "qty"])
+    table.apply(_changes(spark, [(1, None, None, "d", 2)]), ["name", "qty"])
+    assert table.read().count() == 0
+    table.apply(_changes(spark, [(1, "back", 9, "c", 3)]), ["name", "qty"])
+    got = table.read().collect()
+    assert [(r.id, r.name, r.qty) for r in got] == [(1, "back", 9)]
+
+
+def test_bucket_pruning_reads_only_touched(spark, table):
+    """The base scan for an apply only opens touched-bucket dirs."""
+    seed = [(i, f"n{i}", i, "c", i) for i in range(1, 65)]
+    table.apply(_changes(spark, seed), ["name", "qty"])
+    man1 = _manifest(table, 1)
+    # drop every bucket dir except key 7's: if apply read them, it
+    # would fail — proving untouched buckets are never opened
+    b7 = (
+        table.spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(8)).cast("int")
+        )
+        .collect()[0][0]
+    )
+    for b, rel in man1["buckets"].items():
+        if int(b) != b7:
+            for p in (Path(table.path) / rel).rglob("*.parquet"):
+                p.rename(p.with_suffix(".hidden"))
+    table.apply(
+        _changes(spark, [(7, "u7", 70, "u", 99)]), ["name", "qty"]
+    )
+    # restore for sanity read
+    for b, rel in man1["buckets"].items():
+        for p in (Path(table.path) / rel).rglob("*.hidden"):
+            p.rename(p.with_suffix(".parquet"))
+    got = {r.id: r.name for r in table.read().collect()}
+    assert got[7] == "u7" and len(got) == 64
