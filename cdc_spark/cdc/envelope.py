@@ -25,6 +25,13 @@ All parse into the canonical change schema::
     before     map<string,string>  -- old image if the dialect carries one
     after      map<string,string>  -- new image (null for deletes)
     col_types  map<string,string>  -- in-band type announcements, if any
+    origin     string              -- replication origin ('O' message;
+                                   -- only the binary wire dialect emits it)
+
+Map-presence semantics (all dialects): a column ABSENT from ``after``
+is *unchanged* (pgoutput's 'u' unchanged-TOAST flag); a column present
+with a null value is a real SQL NULL. ``registry.materialize``
+preserves the distinction.
 
 Everything is ``from_json`` + array/map expressions — one declarative
 plan replaces the reference's hand-rolled binary decoder, and executes
@@ -48,6 +55,7 @@ CANONICAL_FIELDS = (
     "before",
     "after",
     "col_types",
+    "origin",
 )
 
 _MAP_SS = T.MapType(T.StringType(), T.StringType())
@@ -172,8 +180,11 @@ def parse_wal2json(
     """
     doc = raw.withColumn("__doc", F.from_json(F.col(value_col), WAL2JSON_SCHEMA))
     if lsn_col:
-        lsn_expr = F.col("__order") * F.lit(1 << 20) + F.coalesce(
-            F.col("__idx"), F.lit(0)
+        # statement index saturates at 2^20-1 here too: a transaction
+        # document with ≥2^20 changes must not overflow into the next
+        # input-order's lsn range
+        lsn_expr = F.col("__order") * F.lit(1 << 20) + F.least(
+            F.coalesce(F.col("__idx"), F.lit(0)), F.lit((1 << 20) - 1)
         )
         doc = doc.withColumn("__order", F.col(lsn_col))
     else:
@@ -215,6 +226,7 @@ def parse_wal2json(
         F.lit(None).cast(_MAP_SS).alias("before"),
         _zip_map(F.col("c.columnnames"), F.col("c.columnvalues")).alias("after"),
         _zip_map(F.col("c.columnnames"), F.col("c.columntypes")).alias("col_types"),
+        F.lit(None).cast("string").alias("origin"),
     )
 
 
@@ -247,6 +259,7 @@ def parse_debezium(
         F.col("__e.before").alias("before"),
         F.col("__e.after").alias("after"),
         F.lit(None).cast(_MAP_SS).alias("col_types"),
+        F.lit(None).cast("string").alias("origin"),
     )
 
 
@@ -264,4 +277,5 @@ def parse_pgoutput_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("__e.before").alias("before"),
         F.col("__e.after").alias("after"),
         F.col("__e.col_types").alias("col_types"),
+        F.lit(None).cast("string").alias("origin"),
     )

@@ -70,6 +70,16 @@ def apply_changes(
     broadcast aggregates) — pass it when the caller has already
     inspected the batch and found no ``op='t'`` (the incremental sink
     does, as a byproduct of its touched-bucket scan).
+
+    TOAST fallback caveat (intended, but worth knowing): a column
+    null in every live change of the chain falls back to the
+    pre-merge ``base`` image. If the chain is ``delete`` then a
+    *partial* ``update`` with no interleaved insert, that fallback
+    revives the pre-delete value for columns the update did not set —
+    the update is treated as carrying unchanged-TOAST columns, not as
+    a fresh row. Sources that need strict delete-wipes-row semantics
+    should emit the revival as ``c``/``r`` (full image), which is what
+    PostgreSQL logical replication does after a delete.
     """
     keys = list(keys)
     payload = [c for c in payload if c not in keys]

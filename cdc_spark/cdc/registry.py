@@ -119,10 +119,22 @@ class SchemaRegistry:
         )
         cols: list[Column] = []
         for c in ts.columns:
-            raw = F.coalesce(
-                F.try_element_at("after", F.lit(c.name)),
-                F.try_element_at("key", F.lit(c.name)),
-                F.try_element_at("before", F.lit(c.name)),
+            name = F.lit(c.name)
+            # NULL-vs-unchanged-TOAST: a column PRESENT in `after` with
+            # a null value is a real SQL NULL and must NOT fall back to
+            # the key/before image (that would make columns impossible
+            # to null through the 'u' path); only a column ABSENT from
+            # `after` is "unchanged" and takes the fallback.
+            in_after = F.col("after").isNotNull() & F.map_contains_key(
+                F.col("after"), name
+            )
+            raw = F.when(
+                in_after, F.try_element_at("after", name)
+            ).otherwise(
+                F.coalesce(
+                    F.try_element_at("key", name),
+                    F.try_element_at("before", name),
+                )
             )
             cols.append(raw.try_cast(c.spark_type).alias(c.name))
         meta = (

@@ -441,3 +441,80 @@ def cdc09_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_last_value"),
         )
     )
+
+
+@register(
+    "cdc10_pgoutput_binary",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Johny', 'Kowalski', 502, 'region-b'),
+        (3, 'Joe', 'Fresh', 503, NULL)
+    ) AS t(id, firstname, lastname, tx_id, origin)
+    """,
+    note="binary pgoutput wire decode (tag dispatch, big-endian fields, "
+    "tupledata n/u/t, Relation/Type/Origin context) -> canonical envelope "
+    "-> typed merge; frames mirror the reference fixtures' story "
+    "(main.go:338-409) plus TOAST, replica-identity K, origin and a "
+    "mid-stream type announcement",
+    tags=("cdc", "wire"),
+)
+def cdc10_pgoutput_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import cdc_spark.cdc.pgoutput_wire as W
+
+    rel = 16385
+    cols = [
+        (True, "id", 23, 0xFFFFFFFF),
+        (False, "firstname", 25, 0xFFFFFFFF),
+        (False, "lastname", 25, 0xFFFFFFFF),
+    ]
+    frames = [
+        # tx 501: snapshot-equivalent inserts
+        W.encode_begin(1000, 1_000_000, 501),
+        W.encode_type(90001, "public", "citext"),
+        W.encode_relation(rel, "public", "users", ord("d"), cols),
+        W.encode_insert(rel, [("t", "1"), ("t", "Johny"), ("t", "Rambo")]),
+        W.encode_insert(rel, [("t", "2"), ("t", "Jane"), ("t", "Doe")]),
+        W.encode_commit(1001, 1002, 1_000_001),
+        # tx 502 (replayed from another origin): update + delete;
+        # the update's firstname arrives as unchanged TOAST ('u')
+        W.encode_begin(2000, 2_000_000, 502),
+        W.encode_origin(2000, "region-b"),
+        W.encode_update(
+            rel,
+            [("t", "1"), ("u", None), ("t", "Kowalski")],
+            old=[("t", "1")],
+            old_kind="K",
+        ),
+        W.encode_delete(rel, [("t", "2")], "K"),
+        W.encode_commit(2001, 2002, 2_000_001),
+        # tx 503: late insert of a new key
+        W.encode_begin(3000, 3_000_000, 503),
+        W.encode_insert(rel, [("t", "3"), ("t", "Joe"), ("t", "Fresh")]),
+        W.encode_commit(3001, 3002, 3_000_001),
+    ]
+    raw = spark.createDataFrame(
+        [(i, bytearray(f)) for i, f in enumerate(frames)],
+        "ord long, value binary",
+    )
+    parsed = W.parse_pgoutput_binary(raw, order_col="ord")
+
+    reg = SchemaRegistry()
+    W.announce_to_registry(reg, W.decode_frames(raw, order_col="ord"))
+    typed = reg.materialize(parsed, "public", "users")
+    # carry tx_id/origin through the merge as extra payload columns to
+    # gate the transaction/origin context resolution, not just tuples
+    typed = typed.join(
+        parsed.select("lsn", "origin"), on="lsn", how="left"
+    )
+    return apply_changes(
+        None,
+        typed,
+        ["id"],
+        ["firstname", "lastname", "tx_id", "origin"],
+    ).select(
+        "id",
+        "firstname",
+        "lastname",
+        F.col("tx_id").cast("int").alias("tx_id"),
+        "origin",
+    )
