@@ -13,8 +13,11 @@ O(|L|·|R|) blow-up — so it scales to fact-fact as-of joins at 100 TB
 where a range-condition join would be quadratic within key groups.
 A per-key skew (one hot user) is bounded by that key's own row count,
 same as any windowed operator; AQE skew handling does not apply to
-windows, so extremely hot keys would need key-salting with a two-pass
-boundary fix-up (documented trade-off, not needed at survey scale).
+windows. ``asof_join_bucketed`` is the hot-key-safe variant: it
+time-buckets both sides so every window partition is (key, bucket) —
+bounded by bucket width, not key popularity — and repairs
+bucket-boundary misses with a second, tiny pass over per-bucket
+carry-in aggregates (keys × buckets rows).
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType as T_DateType
+from pyspark.sql.types import TimestampType as T_TimestampType
 
 _SIDE = "__asof_side"
 
@@ -56,13 +61,18 @@ def asof_join(
     # "preceding in sort order" means "following in time".
     right_tag = 0 if allow_exact_matches else 2
     payload = list(right_payload)
+    # the tiebreak column rides along even when it is not requested as
+    # output payload — the window order needs it on every unioned row
+    carried = payload + (
+        [tiebreak] if tiebreak and tiebreak not in payload else []
+    )
 
     left_cols = [c for c in left.columns]
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(right_tag).alias(_SIDE),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in keys],
     )
@@ -71,7 +81,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias(_SIDE),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in payload],
+          for c in carried],
         *[F.col(c) for c in left_cols if c not in keys],
     )
 
@@ -110,6 +120,107 @@ def asof_join(
         *[F.col(f"__m_{c}").alias(f"{c}_matched") for c in payload],
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    *,
+    bucket_width: float,
+    allow_exact_matches: bool = True,
+    direction: str = "backward",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Hot-key-safe as-of join: two passes, no row replication.
+
+    Pass 1 — time-bucket both sides (``floor(ts / bucket_width)``, ts
+    in epoch seconds for timestamps) and run the union-window as-of
+    with the bucket as an extra key: every window partition holds one
+    key's rows within one bucket, so a 100×-hot key costs 100× more
+    *partitions*, never one 100× partition.
+
+    Pass 2 — left rows whose bucket holds no in-bucket match take the
+    carry-in: the best right row from any earlier (later, for
+    ``'forward'``) bucket, fill-forwarded over a per-(key, bucket)
+    spine that is |distinct key×bucket| rows — skew-bounded by the
+    bucket count per key. Equal timestamps land in the same bucket, so
+    exact-match/tiebreak semantics are decided entirely in pass 1.
+
+    Picks ``bucket_width`` ~ the median per-key activity period; the
+    plain ``asof_join`` stays cheaper for un-skewed keys (one pass).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = list(right_payload)
+
+    def bucket(ts: str, df: DataFrame) -> Column:
+        c = F.col(ts)
+        if isinstance(df.schema[ts].dataType, (T_TimestampType, T_DateType)):
+            c = c.cast("double")  # epoch seconds
+        return F.floor(c / F.lit(float(bucket_width))).cast("long")
+
+    lb = left.withColumn("__b", bucket(left_ts, left))
+    rb = right.withColumn("__b", bucket(right_ts, right))
+
+    in_bucket = asof_join(
+        lb,
+        rb,
+        keys + ["__b"],
+        left_ts,
+        right_ts,
+        payload,
+        allow_exact_matches=allow_exact_matches,
+        direction=direction,
+        tiebreak=tiebreak,
+    )
+
+    # pass 2: per-(key, bucket) best right row, fill-forwarded across
+    # the bucket spine of BOTH sides (left-only buckets need carry too)
+    ord_struct = F.struct(
+        F.col(right_ts),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+    agg = (
+        F.max_by(pay_struct, ord_struct)
+        if direction == "backward"
+        else F.min_by(pay_struct, ord_struct)
+    )
+    rb_final = rb.groupBy(*keys, "__b").agg(agg.alias("__fin"))
+    spine = (
+        lb.select(*keys, "__b")
+        .unionByName(rb.select(*keys, "__b"))
+        .distinct()
+        .join(rb_final, keys + ["__b"], "left")
+    )
+    off = (
+        (Window.unboundedPreceding, -1)
+        if direction == "backward"
+        else (1, Window.unboundedFollowing)
+    )
+    w = Window.partitionBy(*keys).orderBy("__b").rowsBetween(*off)
+    carry_fn = F.last if direction == "backward" else F.first
+    carry = spine.select(
+        *keys,
+        "__b",
+        carry_fn(F.col("__fin"), ignorenulls=True).over(w).alias("__carry"),
+    )
+
+    out = in_bucket.join(carry, keys + ["__b"], "left")
+    return out.select(
+        *[c for c in in_bucket.columns if c != "__b" and not c.endswith("_matched")],
+        *[
+            F.coalesce(F.col(f"{c}_matched"), F.col("__carry")[c]).alias(
+                f"{c}_matched"
+            )
+            for c in payload
+        ],
+    )
 
 
 def range_join(
