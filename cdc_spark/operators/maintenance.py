@@ -18,12 +18,14 @@ the pre-compaction version stays readable (time travel / audit).
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
 from pyspark.sql import functions as F
 
 from cdc_spark.streaming.pipeline import VersionedStateTable
+from cdc_spark.streaming.state import BucketedStateTable, _fsync_replace
 
 
 def dir_file_stats(path: str) -> dict:
@@ -95,3 +97,89 @@ def compact(
     else:
         df = df.repartition(n_out)
     return state.write(df)
+
+
+def compact_buckets(
+    state: BucketedStateTable,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+) -> int | None:
+    """Compact fragmented buckets of a ``BucketedStateTable``.
+
+    A micro-batch sink accretes files per touched bucket (one file set
+    per apply); this folds every bucket whose file census trips
+    ``needs_compaction`` into byte-budgeted files, publishing a new
+    version whose manifest points compacted buckets at the new
+    directories and inherits the rest untouched — the same
+    O(touched)-not-O(state) discipline as the apply path, applied to
+    maintenance.
+
+    One Spark job: the fragmented buckets are read together and
+    ``repartitionByRange(n, __bucket, *keys)`` makes output partitions
+    contiguous in bucket order, so almost every partition holds a
+    single bucket and ``partitionBy`` does not re-fragment (total
+    files ≈ ceil(bytes/target) + one boundary file per bucket).
+
+    Returns the new version, or the current one when nothing needs
+    compaction. Data is byte-for-byte equivalent; only layout changes.
+    """
+    v = state.current_version()
+    if v is None:
+        raise ValueError("cannot compact an empty state table")
+    man = state._load_manifest(v)
+    frag: dict[str, dict] = {}
+    for b, rel in man["buckets"].items():
+        stats = dir_file_stats(os.path.join(state.path, rel))
+        if needs_compaction(
+            stats,
+            target_file_bytes=target_file_bytes,
+            min_files=min_files,
+        ):
+            frag[b] = stats
+    if not frag:
+        return v
+
+    total = sum(s["total_bytes"] for s in frag.values())
+    n_out = max(len(frag), math.ceil(total / target_file_bytes))
+    dirs = [os.path.join(state.path, man["buckets"][b]) for b in frag]
+    df = state.spark.read.option("mergeSchema", "true").parquet(*dirs)
+    out = df.withColumn("__bucket", state._bucket_expr())
+
+    v_new = v + 1
+    target = state._version_dir(v_new)
+    (
+        out.repartitionByRange(
+            n_out, F.col("__bucket"), *[F.col(k) for k in state.keys]
+        )
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(target)
+    )
+    written = {
+        name.split("=", 1)[1]: f"v{v_new}/{name}"
+        for name in os.listdir(target)
+        if name.startswith("__bucket=")
+    }
+    buckets = dict(man["buckets"])
+    buckets.update(written)
+    manifest = {
+        "version": v_new,
+        "n_buckets": man["n_buckets"],
+        "keys": man["keys"],
+        "schema": man["schema"],
+        "buckets": buckets,
+        "touched": sorted(int(b) for b in written),
+        "compaction": True,
+    }
+    _fsync_replace(
+        os.path.join(target, "MANIFEST.json.tmp"),
+        os.path.join(target, "MANIFEST.json"),
+        json.dumps(manifest, indent=1),
+    )
+    _fsync_replace(
+        os.path.join(state.path, "CURRENT.tmp"),
+        os.path.join(state.path, "CURRENT"),
+        str(v_new),
+    )
+    return v_new

@@ -518,3 +518,59 @@ def cdc10_pgoutput_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tx_id").cast("int").alias("tx_id"),
         "origin",
     )
+
+
+@register(
+    "cdc11_incremental_apply",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS event_type,
+           ROUND(arg_max(value, lsn), 4) AS value
+    FROM live GROUP BY user_id
+    """,
+    note="incremental bucketed-state apply: the change stream split "
+    "into 3 lsn-ordered micro-batches applied sequentially into a "
+    "BucketedStateTable (changed-bucket-only rewrite) must equal the "
+    "one-shot merge over the whole log",
+    tags=("cdc", "incremental", "state"),
+)
+def cdc11_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events).withColumn(
+        "value", F.round("value", 4)
+    )
+    mx = changes.agg(F.max("lsn")).first()[0] or 0
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc11_state_"),
+        ["user_id"],
+        n_buckets=16,
+    )
+    bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    for lo, hi in bounds:
+        b = changes
+        if lo is not None:
+            b = b.where(F.col("lsn") > lo)
+        if hi is not None:
+            b = b.where(F.col("lsn") <= hi)
+        state.apply(b, ["event_type", "value"])
+    return state.read()

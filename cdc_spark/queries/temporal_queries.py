@@ -233,3 +233,53 @@ def q56_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_purchase_id_matched").alias("next_purchase_id"),
         F.col("next_purchase_ts_matched").alias("next_purchase_ts"),
     )
+
+
+@register(
+    "q58_asof_hotkey_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    note="hot-key-safe as-of join (time-bucketed windows + carry-in "
+    "fix-up pass): same semantics as q25, every window partition "
+    "bounded by (key, 1h bucket) instead of key popularity",
+    tags=("join", "asof", "skew"),
+)
+def q58_asof_hotkey_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.asof import asof_join_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join_bucketed(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        bucket_width=3600.0,
+        tiebreak="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("click_id_matched").alias("click_id"),
+        F.col("click_ts_matched").alias("click_ts"),
+    )

@@ -200,3 +200,40 @@ def test_bucket_pruning_reads_only_touched(spark, table):
             p.rename(p.with_suffix(".parquet"))
     got = {r.id: r.name for r in table.read().collect()}
     assert got[7] == "u7" and len(got) == 64
+
+
+def test_compact_buckets_preserves_data_and_folds_files(spark, table):
+    from cdc_spark.operators.maintenance import compact_buckets, dir_file_stats
+
+    seed = [(i, f"n{i}", i, "c", i) for i in range(1, 129)]
+    # two applies so several buckets hold two file generations' rows;
+    # fragment the writes so each bucket dir holds multiple files
+    table.apply(_changes(spark, seed).repartition(8), ["name", "qty"])
+    table.apply(
+        _changes(spark, [(i, f"u{i}", i * 2, "u", 1000 + i) for i in range(1, 129)]
+        ).repartition(8),
+        ["name", "qty"],
+    )
+    before = sorted((r.id, r.name, r.qty) for r in table.read().collect())
+
+    v = compact_buckets(table, target_file_bytes=1 << 30, min_files=1)
+    assert v == 3
+    man = _manifest(table, v)
+    assert man.get("compaction") is True
+    after = sorted((r.id, r.name, r.qty) for r in table.read().collect())
+    assert after == before
+    # every compacted bucket holds O(1) files now
+    for b, rel in man["buckets"].items():
+        stats = dir_file_stats(os.path.join(table.path, rel))
+        assert stats["n_files"] <= 2  # range boundary may add one
+    # time travel to the pre-compaction version still works
+    assert sorted(
+        (r.id, r.name, r.qty) for r in table.read(version=2).collect()
+    ) == before
+
+
+def test_compact_buckets_noop_below_threshold(spark, table):
+    from cdc_spark.operators.maintenance import compact_buckets
+
+    table.apply(_changes(spark, [(1, "a", 1, "c", 1)]), ["name", "qty"])
+    assert compact_buckets(table, min_files=99) == 1
