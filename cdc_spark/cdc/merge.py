@@ -50,6 +50,50 @@ def latest_by_key(
     )
 
 
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    payload: Sequence[str],
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 view of a change log.
+
+    Every upsert (``c``/``u``/``r``) becomes one version row with a
+    half-open validity interval ``[valid_from, valid_to)`` in LSN
+    space; the next change of *any* kind for the key (including a
+    delete tombstone) closes the interval. ``is_current`` marks rows
+    with no later change — a key whose last change is a delete has no
+    current row, matching latest-wins merge semantics.
+
+    This is the audit/replication face of CDC (deck slide 50): the
+    same log that drives ``apply_changes`` replayed as full history
+    instead of final state.
+
+    Scale shape: one hash shuffle on the key plus a per-key sort for
+    the ``lead`` window — per-key history is bounded by churn, so
+    partitions stay small even when total state is large. Hot keys
+    are bounded by the retention of the change log, not by state size.
+    """
+    keys = list(keys)
+    payload = [c for c in payload if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(lsn_col)
+    return (
+        changes.withColumn("valid_to", F.lead(lsn_col).over(w))
+        .where(F.col(op_col).isin(*UPSERT_OPS))
+        .select(
+            *keys,
+            *payload,
+            F.col(lsn_col).alias("valid_from"),
+            "valid_to",
+            F.when(F.col("valid_to").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_current"),
+        )
+    )
+
+
 def apply_changes(
     base: DataFrame | None,
     changes: DataFrame,

@@ -205,3 +205,48 @@ def ngram_profile(col: str | Column, n: int = 2) -> Column:
             lambda i: F.substr(c, i, F.lit(n)),
         )
     )
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition signals per document.
+
+    Heavily repeated n-grams are the strongest cheap signal of
+    boilerplate / SEO spam / generation loops in web corpora (public
+    Gopher-rule lineage). Emits, per document:
+
+    - ``n_bigrams``: total bigram occurrences;
+    - ``top_bigram_frac``: share of the single most frequent bigram;
+    - ``dup_bigram_frac``: share of bigram occurrences whose bigram
+      appears more than once;
+    - ``dup_trigram_frac``: same for trigrams (null when the document
+      is too short to have any).
+
+    Scale shape: both gram sizes share one union → one hash
+    aggregation on (doc, k, gram) with map-side combine, then one on
+    doc — no window sort, no Python. Per-doc gram cardinality bounds
+    every group, so hot partitions track document length, not corpus
+    size.
+    """
+    bi = shingle_rows(df, text_col, id_col, k=2, distinct=False)
+    tri = shingle_rows(df, text_col, id_col, k=3, distinct=False)
+    grams = bi.withColumn("__k", F.lit(2)).unionByName(
+        tri.withColumn("__k", F.lit(3))
+    )
+    counts = grams.groupBy(id_col, "__k", "shingle").agg(
+        F.count("*").alias("__c")
+    )
+    k, c = F.col("__k"), F.col("__c")
+    bi_total = F.sum(F.when(k == 2, c))
+    tri_total = F.sum(F.when(k == 3, c))
+    return counts.groupBy(id_col).agg(
+        bi_total.cast("long").alias("n_bigrams"),
+        F.round(
+            F.max(F.when(k == 2, c)) / bi_total, 4
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when((k == 2) & (c > 1), c).otherwise(0)) / bi_total, 4
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.sum(F.when((k == 3) & (c > 1), c).otherwise(0)) / tri_total, 4
+        ).alias("dup_trigram_frac"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table
 from cdc_spark.cdc.envelope import parse_wal2json
-from cdc_spark.cdc.merge import apply_changes, latest_by_key
+from cdc_spark.cdc.merge import apply_changes, latest_by_key, scd2_history
 from cdc_spark.cdc.outbox import route_outbox
 from cdc_spark.cdc.registry import SchemaRegistry
 from cdc_spark.cdc.snapshot import snapshot_diff
@@ -574,3 +574,44 @@ def cdc11_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = b.where(F.col("lsn") <= hi)
         state.apply(b, ["event_type", "value"])
     return state.read()
+
+
+@register(
+    "cdc12_scd2_history",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    v AS (
+        SELECT *,
+               LEAD(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to
+        FROM ch
+    )
+    SELECT user_id,
+           event_type,
+           ROUND(value, 4) AS value,
+           lsn AS valid_from,
+           valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v
+    WHERE op IN ('c', 'u')
+    """,
+    note="SCD Type-2 reconstruction: every upsert becomes a version row "
+    "with a half-open [valid_from, valid_to) LSN interval; deletes close "
+    "intervals without emitting rows; is_current marks the live version",
+    tags=("cdc", "scd2", "temporal"),
+)
+def cdc12_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events)
+    return scd2_history(
+        changes, ["user_id"], ["event_type", "value"]
+    ).select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

@@ -14,6 +14,7 @@ from cdc_spark.operators.text import (
     quality_features,
     quality_score,
     regex_tokens,
+    repetition_stats,
     tokens,
 )
 from cdc_spark.queries.base import register
@@ -299,4 +300,82 @@ def tx07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "tx08_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, 2 AS k,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 1, 0)),
+                   i -> array_to_string(l[i:i+1], ' '))) AS g
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3 AS k,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 2, 0)),
+                   i -> array_to_string(l[i:i+2], ' '))) AS g
+        FROM toks
+    ),
+    counts AS (
+        SELECT doc_id, k, g, COUNT(*) AS c FROM grams GROUP BY ALL
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN k = 2 THEN c END) AS BIGINT) AS n_bigrams,
+           ROUND(MAX(CASE WHEN k = 2 THEN c END) * 1.0
+                 / SUM(CASE WHEN k = 2 THEN c END), 4) AS top_bigram_frac,
+           ROUND(SUM(CASE WHEN k = 2 AND c > 1 THEN c ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN k = 2 THEN c END), 4) AS dup_bigram_frac,
+           ROUND(SUM(CASE WHEN k = 3 AND c > 1 THEN c ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN k = 3 THEN c END), 4) AS dup_trigram_frac
+    FROM counts GROUP BY doc_id
+    """,
+    note="Gopher-style repetition quality signals: top-bigram share, "
+    "duplicated-bigram share, duplicated-trigram share per document — "
+    "one unioned gram aggregation, no window sort",
+    tags=("text", "quality", "repetition"),
+)
+def tx08_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+@register(
+    "tx09_stratified_sample",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(length(text)) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          <= CASE lang WHEN 'en' THEN '3f'
+                       WHEN 'zh' THEN 'ff'
+                       ELSE '7f' END
+    GROUP BY lang
+    """,
+    note="deterministic stratified sampling for a training mix: "
+    "downsample dominant en to 25%, keep low-resource zh at 100%, "
+    "others at 50% — md5(doc_id) prefix threshold, reproducible across "
+    "engines/runs/partitionings, pure scan-level filter",
+    tags=("text", "sampling", "split"),
+)
+def tx09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "zh": 1.0},
+        default_rate=0.5,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("text")).cast("long").alias("kept_chars"),
     )

@@ -96,3 +96,52 @@ def test_fingerprint_robust_to_single_token_change(spark):
         ).collect()
     }
     assert out[1] == out[2]
+
+
+def test_repetition_stats_crafted(spark):
+    from cdc_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab → top ab 3/5
+            (2, "x y z w"),          # all bigrams unique
+            (3, "a b"),              # one bigram, no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert got[1].n_bigrams == 5
+    assert got[1].top_bigram_frac == 0.6
+    assert got[1].dup_bigram_frac == 1.0   # every bigram occurs >1 time
+    assert got[1].dup_trigram_frac == 1.0  # aba,bab,aba,bab → all dup
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[2].dup_trigram_frac == 0.0
+    assert got[3].n_bigrams == 1
+    assert got[3].dup_trigram_frac is None  # too short for trigrams
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from cdc_spark.operators.sampling import (
+        hash_sample_predicate,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    kept = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.25, "zh": 1.0}
+    )
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["zh"] == 2000                      # rate 1.0 keeps all
+    assert 350 < counts["en"] < 650                  # ~25% of 2000
+    # deterministic: same predicate → identical sample on re-evaluation
+    again = {r.lang: r.n for r in stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.25, "zh": 1.0}
+    ).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+    # flat predicate agrees with the stratum at the same rate
+    flat = df.where(hash_sample_predicate("doc_id", 0.25))
+    n_flat = flat.where(F.col("lang") == "en").count()
+    assert n_flat == counts["en"]
