@@ -14,6 +14,7 @@ from cdc_spark.queries import temporal_queries  # noqa: E402,F401
 from cdc_spark.queries import cdc_queries  # noqa: E402,F401
 from cdc_spark.queries import text_queries  # noqa: E402,F401
 from cdc_spark.queries import dedup_queries  # noqa: E402,F401
+from cdc_spark.queries import packing_queries  # noqa: E402,F401
 from cdc_spark.queries import similarity_queries  # noqa: E402,F401
 from cdc_spark.queries import multimodal_queries  # noqa: E402,F401
 from cdc_spark.queries import pandas_udf_queries  # noqa: E402,F401
