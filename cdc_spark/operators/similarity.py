@@ -203,3 +203,62 @@ def embedding_near_dup_pairs_lsh(
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
         F.col("cosine_sim") >= threshold
     )
+
+
+# --- int8 scalar quantization ------------------------------------------
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector symmetric quantization scale: max|v| / 127.
+
+    Guarded away from zero so an all-zero vector quantizes to zeros
+    instead of dividing by zero.
+    """
+    max_abs = F.array_max(
+        F.transform(vec, lambda x: F.abs(x.cast("double")))
+    )
+    return F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
+
+
+def int8_quantize(vec: Column, scale: Column) -> Column:
+    """Codes in [-127, 127]: floor(v/scale + 0.5) — explicit half-up
+    so every engine reproduces the identical code-book (plain round()
+    differs across engines on .5 boundaries). The bound needs no
+    clamp: |v|/scale ≤ 127 by construction of the scale."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+            "tinyint"
+        ),
+    )
+
+
+def int8_dequantize(codes: Column, scale: Column) -> Column:
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def quantization_report(
+    df: DataFrame, embedding_col: str, id_col: str
+) -> DataFrame:
+    """Per-vector int8 reconstruction audit: scale, worst absolute
+    element error, cosine between original and dequantized vector.
+
+    4x storage saving is the point at 100 TB: the engine stores codes
+    + one float scale per vector and reconstructs on the fly. The
+    64-element ``transform`` lambdas are interpreted per element but
+    bounded by vector dim, not corpus size (the corpus-scale pattern
+    budget from operators/text.py applies to text, where arrays are
+    unbounded)."""
+    v = F.col(embedding_col)
+    scale = int8_scale(v)
+    deq = int8_dequantize(int8_quantize(v, scale), scale)
+    err = F.array_max(
+        F.zip_with(v, deq, lambda x, y: F.abs(x.cast("double") - y))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+        F.round(
+            dot(v, deq) / (norm(v) * F.sqrt(dot(deq, deq))), 4
+        ).alias("cos_recon"),
+    )

@@ -71,3 +71,42 @@ def ss03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4
     )
+
+
+@register(
+    "ss04_int8_quantization",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+        FROM embeddings
+    ),
+    d AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+                   AS deq
+        FROM q
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(list_transform(
+               generate_series(1, len(embedding)),
+               i -> abs(CAST(embedding[i] AS DOUBLE) - deq[i]))), 6)
+               AS max_abs_err,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], deq), 4)
+               AS cos_recon
+    FROM d
+    """,
+    note="int8 scalar quantization audit: per-vector symmetric scale "
+    "(max|v|/127), explicit half-up codes so the codebook is identical "
+    "across engines, worst element error + reconstruction cosine — 4x "
+    "storage saving for the 100 TB embedding store",
+    tags=("similarity", "quantization"),
+)
+def ss04_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import quantization_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_report(emb, "embedding", "vec_id")

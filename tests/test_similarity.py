@@ -98,3 +98,48 @@ def test_lsh_near_dup_subset_of_exact(spark, emb):
     assert lsh <= exact
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"bucketed near-dup recall too low: {recall:.2f}"
+
+
+def test_int8_quantization_bounds_and_recall(spark, emb):
+    from pyspark.sql import functions as F
+
+    from cdc_spark.operators.similarity import (
+        cosine,
+        int8_dequantize,
+        int8_quantize,
+        int8_scale,
+        quantization_report,
+    )
+
+    rep = quantization_report(emb, "embedding", "vec_id")
+    rows = rep.collect()
+    # worst element error of symmetric int8 is scale/2
+    assert all(r.max_abs_err <= r.scale / 2 + 1e-9 for r in rows)
+    assert all(r.cos_recon >= 0.999 for r in rows)
+
+    # codes stay inside int8 without clamping
+    v = F.col("embedding")
+    s = int8_scale(v)
+    codes = emb.select(
+        F.array_max(int8_quantize(v, s)).alias("mx"),
+        F.array_min(int8_quantize(v, s)).alias("mn"),
+    )
+    agg = codes.agg(F.max("mx"), F.min("mn")).first()
+    assert agg[0] <= 127 and agg[1] >= -127
+
+    # top-20 by cosine over dequantized vectors ≈ exact top-20
+    deq = emb.select(
+        "vec_id", int8_dequantize(int8_quantize(v, s), s).alias("embedding")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).first().embedding
+    qlit = F.array(*[F.lit(float(x)) for x in qrow])
+    def topk(df):
+        return {
+            r.vec_id
+            for r in df.select(
+                "vec_id", cosine(F.col("embedding"), qlit).alias("c")
+            ).orderBy(F.desc("c"), F.asc("vec_id")).limit(20).collect()
+        }
+    exact, quant = topk(emb), topk(deq)
+    recall = len(exact & quant) / 20
+    assert recall >= 0.9, f"int8 top-k recall too low: {recall}"
