@@ -27,6 +27,9 @@ All parse into the canonical change schema::
     col_types  map<string,string>  -- in-band type announcements, if any
     origin     string              -- replication origin ('O' message;
                                    -- only the binary wire dialect emits it)
+    replica_identity string        -- shape of the old image an update/
+                                   -- delete carried: 'K' key-only,
+                                   -- 'O' full old row (main.go:382-392)
 
 Map-presence semantics (all dialects): a column ABSENT from ``after``
 is *unchanged* (pgoutput's 'u' unchanged-TOAST flag); a column present
@@ -56,6 +59,7 @@ CANONICAL_FIELDS = (
     "after",
     "col_types",
     "origin",
+    "replica_identity",
 )
 
 _MAP_SS = T.MapType(T.StringType(), T.StringType())
@@ -227,6 +231,10 @@ def parse_wal2json(
         _zip_map(F.col("c.columnnames"), F.col("c.columnvalues")).alias("after"),
         _zip_map(F.col("c.columnnames"), F.col("c.columntypes")).alias("col_types"),
         F.lit(None).cast("string").alias("origin"),
+        # wal2json's oldkeys carries only key columns — 'K'-shaped
+        F.when(F.col("c.oldkeys").isNotNull(), F.lit("K")).alias(
+            "replica_identity"
+        ),
     )
 
 
@@ -260,6 +268,10 @@ def parse_debezium(
         F.col("__e.after").alias("after"),
         F.lit(None).cast(_MAP_SS).alias("col_types"),
         F.lit(None).cast("string").alias("origin"),
+        # Debezium before is the full old row — REPLICA IDENTITY FULL
+        F.when(F.col("__e.before").isNotNull(), F.lit("O")).alias(
+            "replica_identity"
+        ),
     )
 
 
@@ -278,4 +290,10 @@ def parse_pgoutput_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("__e.after").alias("after"),
         F.col("__e.col_types").alias("col_types"),
         F.lit(None).cast("string").alias("origin"),
+        F.when(F.col("__e.before").isNotNull(), F.lit("O"))
+        .when(
+            F.col("__e.key").isNotNull() & F.col("__e.op").isin("u", "d"),
+            F.lit("K"),
+        )
+        .alias("replica_identity"),
     )

@@ -433,6 +433,7 @@ def parse_pgoutput_binary(
         after.alias("after"),
         col_types.alias("col_types"),
         F.col("__origin").alias("origin"),
+        F.col("old_kind").alias("replica_identity"),
     )
 
 

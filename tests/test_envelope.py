@@ -233,3 +233,53 @@ def test_fallback_lsn_monotonic_without_order_column(spark):
     assert [r.op for r in rows] == ["c", "u", "d"]
     assert rows[0].lsn < rows[1].lsn < rows[2].lsn
     assert all(r.lsn >= 0 for r in rows)  # no sign wrap
+
+
+def test_replica_identity_per_dialect(spark):
+    import json
+
+    from cdc_spark.cdc.envelope import (
+        parse_debezium,
+        parse_pgoutput_json,
+        parse_wal2json,
+    )
+
+    w = spark.createDataFrame(
+        [(0, json.dumps({"change": [
+            {"kind": "update", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columntypes": ["integer", "text"],
+             "columnvalues": [1, "x"],
+             "oldkeys": {"keynames": ["id"], "keytypes": ["integer"],
+                         "keyvalues": [1]}},
+            {"kind": "insert", "schema": "s", "table": "t",
+             "columnnames": ["id"], "columntypes": ["integer"],
+             "columnvalues": [2]},
+        ]}))],
+        "seq long, value string",
+    )
+    rows = parse_wal2json(w, lsn_col="seq").orderBy("lsn").collect()
+    assert rows[0].replica_identity == "K"   # oldkeys → key-only
+    assert rows[1].replica_identity is None  # insert carries no old image
+
+    d = spark.createDataFrame(
+        [(json.dumps({"op": "u", "before": {"id": "1", "v": "a"},
+                      "after": {"id": "1", "v": "b"},
+                      "source": {"schema": "s", "table": "t", "lsn": 5,
+                                 "txId": 1},
+                      "ts_ms": 0}),)],
+        "value string",
+    )
+    assert parse_debezium(d).first().replica_identity == "O"
+
+    pj_full = spark.createDataFrame(
+        [(json.dumps({"op": "u", "schema": "s", "table": "t", "lsn": 1,
+                      "tx_id": 1, "key": {"id": "1"},
+                      "before": {"id": "1", "v": "a"},
+                      "after": {"id": "1", "v": "b"}}),),
+         (json.dumps({"op": "d", "schema": "s", "table": "t", "lsn": 2,
+                      "tx_id": 1, "key": {"id": "1"}}),)],
+        "value string",
+    )
+    got = {r.lsn: r.replica_identity
+           for r in parse_pgoutput_json(pj_full).collect()}
+    assert got[1] == "O" and got[2] == "K"
