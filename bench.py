@@ -37,6 +37,9 @@ HEADLINE = [
     "ss01_cosine_topk",          # similarity top-k
     "tx02_quality_score",        # text features
     "tx05_fingerprint",          # shingle fingerprints
+    "cdc12_scd2_history",        # SCD2 interval reconstruction
+    "tx08_repetition_stats",     # n-gram repetition quality signals
+    "dp01_sequence_packing",     # token-budget packing (Arrow UDF)
 ]
 
 
