@@ -1,0 +1,77 @@
+"""Time-series regularization: gap fill + last-observation-carried-forward.
+
+CDC state tables and event streams are irregular in time; downstream
+consumers (rollups, ML features, monitoring) want a dense per-key
+grid. The declarative shape:
+
+1. per (key, bucket) aggregate to one observation (latest by a total
+   order — the CDC latest-wins rule applied to time buckets);
+2. per key, explode ``sequence(min_bucket, max_bucket, step)`` into
+   the dense grid — bounded by each key's own time span, so no key
+   pays for the corpus' global range;
+3. left-join observations onto the grid (co-partitioned: both sides
+   hash on the key) and forward-fill with ``last(value, ignorenulls)``
+   over an unbounded-preceding row frame.
+
+Scale shape: two hash shuffles on the key (agg, window) — the join
+reuses the aggregation's partitioning under AQE. The window sort is
+per-key and bounded by grid length. No Python, no driver state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    order_col: str,
+    bucket: str = "hour",
+    step: str = "INTERVAL 1 HOUR",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Dense per-key ``bucket`` grid with LOCF-filled ``value_col``.
+
+    ``order_col`` breaks intra-bucket ties (latest observation wins,
+    deterministically). Leading gaps before a key's first observation
+    do not exist by construction (the grid starts at the key's first
+    bucket). Output: keys, ``bucket_ts``, ``value_filled``,
+    ``is_observed``.
+    """
+    keys = list(key_cols)
+    b = F.date_trunc(bucket, F.col(ts_col))
+    v = F.expr(f"max_by({value_col}, {order_col})")
+    if round_digits is not None:
+        v = F.round(v, round_digits)
+    hourly = df.groupBy(*keys, b.alias("__b")).agg(v.alias("__v"))
+
+    bounds = hourly.groupBy(*keys).agg(
+        F.min("__b").alias("__mn"), F.max("__b").alias("__mx")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr(step))
+        ).alias("__b"),
+    )
+    joined = grid.join(hourly, [*keys, "__b"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        F.col("__b").alias("bucket_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+        F.when(F.col("__v").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_observed"),
+    )

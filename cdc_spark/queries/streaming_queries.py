@@ -284,3 +284,108 @@ def st06_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+@register(
+    "st08_cdc_pipeline_bucketed",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd'
+                               ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS event_type,
+           ROUND(arg_max(value, lsn), 4) AS value
+    FROM live GROUP BY user_id
+    """,
+    note="REAL end-to-end streaming CDC: events serialized as "
+    "pgoutput-JSON lines → readStream text → envelope parse → registry "
+    "materialize → incremental apply into a BucketedStateTable "
+    "(changed-bucket-only rewrite) — final state equals the one-shot "
+    "merge over the whole log",
+    tags=("streaming", "cdc", "state"),
+)
+def st08_cdc_pipeline_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.cdc.registry import SchemaRegistry
+    from cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    docs = events.select(
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.lit("public").alias("schema"),
+                F.lit("user_state").alias("table"),
+                F.col("event_id").alias("lsn"),
+                F.lit(0).alias("tx_id"),
+                F.when(
+                    op != "d",
+                    F.map_from_arrays(
+                        F.array(
+                            F.lit("user_id"),
+                            F.lit("event_type"),
+                            F.lit("value"),
+                        ),
+                        F.array(
+                            F.col("user_id").cast("string"),
+                            F.col("event_type"),
+                            F.round("value", 4).cast("string"),
+                        ),
+                    ),
+                ).alias("after"),
+                F.when(
+                    op == "d",
+                    F.map_from_arrays(
+                        F.array(F.lit("user_id")),
+                        F.array(F.col("user_id").cast("string")),
+                    ),
+                ).alias("key"),
+            )
+        ).alias("value")
+    )
+    src_dir = tempfile.mkdtemp(prefix="st08_src_")
+    docs.coalesce(2).write.mode("overwrite").text(src_dir)
+
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "user_state",
+        [
+            ("user_id", "bigint", True),
+            ("event_type", "text"),
+            ("value", "double precision"),
+        ],
+    )
+    pipe = CdcStreamPipeline(
+        spark,
+        reg,
+        "public",
+        "user_state",
+        keys=["user_id"],
+        payload=["event_type", "value"],
+        state_path=tempfile.mkdtemp(prefix="st08_state_"),
+        dialect="pgoutput_json",
+        n_buckets=16,
+    )
+    q = pipe.start(src_dir, tempfile.mkdtemp(prefix="st08_ckpt_"))
+    q.awaitTermination(300)
+    return pipe.state.read()

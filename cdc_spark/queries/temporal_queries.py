@@ -283,3 +283,51 @@ def q58_asof_hotkey_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_id_matched").alias("click_id"),
         F.col("click_ts_matched").alias("click_ts"),
     )
+
+
+@register(
+    "q59_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS b,
+               ROUND(arg_max(value, event_id), 4) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(b) AS mn, MAX(b) AS mx FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.b, h.v
+        FROM grid g LEFT JOIN hourly h USING (user_id, b)
+    )
+    SELECT user_id,
+           b AS bucket_ts,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           CASE WHEN v IS NULL THEN 0 ELSE 1 END AS is_observed
+    FROM j
+    """,
+    note="time-series gap fill + LOCF: dense per-user hourly grid "
+    "(sequence bounded by each key's own span), latest-by-event-id "
+    "observation per bucket, forward fill via last(ignorenulls) window",
+    tags=("temporal", "gapfill", "window"),
+)
+def q59_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.timeseries import gap_fill_locf
+
+    events = load_table(spark, sf_dir, "events")
+    return gap_fill_locf(
+        events,
+        ["user_id"],
+        "ts",
+        "value",
+        order_col="event_id",
+        bucket="hour",
+    )
