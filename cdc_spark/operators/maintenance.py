@@ -177,9 +177,7 @@ def compact_buckets(
         os.path.join(target, "MANIFEST.json"),
         json.dumps(manifest, indent=1),
     )
-    _fsync_replace(
-        os.path.join(state.path, "CURRENT.tmp"),
-        os.path.join(state.path, "CURRENT"),
-        str(v_new),
-    )
+    # same optimistic-concurrency commit as the apply path: an apply
+    # racing this compaction wins cleanly, the compaction rolls back
+    state._commit_pointer(v, v_new)
     return v_new

@@ -41,6 +41,16 @@ from cdc_spark.cdc.merge import apply_changes
 _BUCKET = "__bucket"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a version between this writer's read
+    and its commit. The losing write is rolled back (its version
+    directory is removed); retry the apply against the new current
+    version. One writer per table is the supported regime — a
+    Structured Streaming sink serializes batches per checkpoint; this
+    guard turns a misconfigured second pipeline into a clean error
+    instead of silent lost updates."""
+
+
 def _fsync_replace(tmp: str, dst: str, payload: str) -> None:
     """Durable pointer write: fsync the file, atomic rename, fsync the
     directory so the rename itself survives a crash."""
@@ -238,5 +248,25 @@ class BucketedStateTable:
             self._manifest_path(v_new),
             json.dumps(manifest, indent=1),
         )
-        _fsync_replace(self._pointer + ".tmp", self._pointer, str(v_new))
+        self._commit_pointer(v_cur, v_new)
         return v_new
+
+    def _commit_pointer(self, v_expected: int | None, v_new: int) -> None:
+        """Optimistic-concurrency commit: swap CURRENT only if it still
+        names the version this writer planned against; otherwise roll
+        the prepared version back and raise ``ConcurrentWriteError``."""
+        try:
+            with open(self._pointer) as fh:
+                now = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            now = None
+        if now != v_expected:
+            import shutil
+
+            shutil.rmtree(self._version_dir(v_new), ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"state table {self.path}: expected version {v_expected} "
+                f"at commit but found {now}; apply was rolled back — "
+                "re-read and retry"
+            )
+        _fsync_replace(self._pointer + ".tmp", self._pointer, str(v_new))

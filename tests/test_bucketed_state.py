@@ -237,3 +237,31 @@ def test_compact_buckets_noop_below_threshold(spark, table):
 
     table.apply(_changes(spark, [(1, "a", 1, "c", 1)]), ["name", "qty"])
     assert compact_buckets(table, min_files=99) == 1
+
+
+def test_concurrent_writer_detected_and_rolled_back(spark, table):
+    from unittest import mock
+
+    from cdc_spark.streaming.state import ConcurrentWriteError
+
+    import pytest
+
+    table.apply(_changes(spark, [(1, "a", 1, "c", 1)]), ["name", "qty"])
+    # writer B commits v2 while writer A (same handle, stale read) is
+    # mid-apply: force A to plan against v1 by pinning current_version
+    with mock.patch.object(table, "current_version", return_value=1):
+        with pytest.raises(ConcurrentWriteError):
+            # a real interleaving: bump CURRENT under A's feet first
+            from cdc_spark.streaming.state import _fsync_replace
+
+            _fsync_replace(
+                table._pointer + ".tmp", table._pointer, "2"
+            )
+            table.apply(
+                _changes(spark, [(2, "b", 2, "c", 2)]), ["name", "qty"]
+            )
+    # loser rolled back: A's prepared v2 directory is gone, and the
+    # dangling pointer recovers to the highest valid manifest (v1)
+    assert not os.path.exists(table._version_dir(2))
+    got = {r.id for r in table.read().collect()}
+    assert got == {1}
