@@ -22,7 +22,7 @@ import math
 import random
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -262,3 +262,122 @@ def quantization_report(
             dot(v, deq) / (norm(v) * F.sqrt(dot(deq, deq))), 4
         ).alias("cos_recon"),
     )
+
+
+def batch_cosine_topk(
+    corpus: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    queries: DataFrame,
+    *,
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    k: int = 5,
+    n_salt: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors (DataFrame
+    probe side) — the cluster-scale twin of
+    ``batch_cosine_topk_literal``.
+
+    Two deliberate plan choices keep it scale-safe:
+
+    - **broadcast hash join on a constant-valued derived key**: both
+      sides join on ``pmod(xxhash64(id), 1)`` — always 0, but not
+      constant-foldable, so Catalyst plans a BroadcastHashJoin (the
+      probe batch hashes, the corpus streams fully partitioned)
+      instead of the BroadcastNestedLoopJoin a literal cross join
+      degenerates to;
+    - **salted two-stage top-k**: ranking all |corpus| scored rows in
+      one window per query would funnel the whole corpus into
+      |queries| partitions. Stage 1 takes top-k within (query, salt)
+      — bounded partitions — stage 2 ranks the n_salt*k survivors per
+      query. Both window sorts are bounded.
+
+    Ranking uses the ROUNDED similarity with the corpus id as
+    tiebreak, so results are deterministic and engine-portable.
+    """
+    pair_key = lambda c: F.pmod(F.xxhash64(c), F.lit(1))  # noqa: E731
+    scored = (
+        corpus.withColumn("__pk", pair_key(F.col(id_col)))
+        .join(
+            F.broadcast(
+                queries.withColumn("__pk", pair_key(F.col(q_id_col)))
+            ),
+            "__pk",
+        )
+        .where(F.col(id_col) != F.col(q_id_col))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.round(
+                cosine(F.col(embedding_col), F.col(q_emb_col)),
+                round_digits,
+            ).alias("sim"),
+        )
+    )
+    return _salted_topk(scored, q_id_col, id_col, k=k, n_salt=n_salt)
+
+
+def _salted_topk(
+    scored: DataFrame, q_id_col: str, id_col: str, *, k: int, n_salt: int
+) -> DataFrame:
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(q_id_col, "__salt").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    partial = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= k)
+        .drop("__salt", "__r")
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        partial.withColumn("__r", F.row_number().over(w2))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def batch_cosine_topk_literal(
+    corpus: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    probes: Sequence[tuple[int, Sequence[float]]],
+    *,
+    k: int = 5,
+    n_salt: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k for a small literal probe batch: the probes are
+    inlined into the plan and exploded against each corpus row — no
+    join node, no shuffle of the corpus for the pairing, and the same
+    salted two-stage top-k as the DataFrame variant. Bounded by plan
+    size (use ``batch_cosine_topk`` beyond a few thousand probes)."""
+    probe_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("q_id"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("q_emb"),
+            )
+            for qid, vec in probes
+        ]
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col),
+            F.col(embedding_col),
+            F.explode(probe_arr).alias("__q"),
+        )
+        .where(F.col(id_col) != F.col("__q.q_id"))
+        .select(
+            F.col("__q.q_id").alias("q_id"),
+            F.col(id_col),
+            F.round(
+                cosine(F.col(embedding_col), F.col("__q.q_emb")),
+                round_digits,
+            ).alias("sim"),
+        )
+    )
+    return _salted_topk(scored, "q_id", id_col, k=k, n_salt=n_salt)

@@ -250,3 +250,27 @@ def repetition_stats(df, text_col: str, id_col: str):
             F.sum(F.when((k == 3) & (c > 1), c).otherwise(0)) / tri_total, 4
         ).alias("dup_trigram_frac"),
     )
+
+
+# Engine-portable PII patterns (kept RE2-compatible: no backrefs or
+# lookarounds, so DuckDB/RE2 and Java regex agree on every match).
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"\+?\d{1,3}[ -]?\(?\d{2,3}\)?[ -]?\d{3}[ -]?\d{2,4}",
+}
+
+
+def redact_pii(col: str | Column):
+    """Replace emails, IPs and phone-like spans with <TYPE> tokens.
+
+    A scan-level projection (chained regexp_replace, JVM regex, no
+    Python) — the standard pre-training scrub. Order matters: emails
+    first (their local parts can contain digits a later phone pass
+    would mangle), then IPs (dotted quads would otherwise match the
+    phone pattern), then phones.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("EMAIL", "IP", "PHONE"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind}>")
+    return c

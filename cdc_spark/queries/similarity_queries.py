@@ -110,3 +110,44 @@ def ss04_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantization_report(emb, "embedding", "vec_id")
+
+
+@register(
+    "ss05_batch_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.q_emb::DOUBLE[]), 4) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY sim DESC, vec_id
+        ) AS r FROM scored
+    ) WHERE r <= 5
+    """,
+    note="batch exact top-5 for 8 query vectors: literal probe batch "
+    "exploded against the corpus (no join node, corpus never shuffles "
+    "for the pairing) + salted two-stage top-k (both window sorts "
+    "bounded); batch_cosine_topk is the DataFrame-probe twin",
+    tags=("similarity", "topk", "batch"),
+)
+def ss05_batch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import batch_cosine_topk_literal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [
+        (r.vec_id, r.embedding)
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return batch_cosine_topk_literal(
+        emb, "embedding", "vec_id", probes, k=5, n_salt=64
+    )

@@ -379,3 +379,58 @@ def tx09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum(F.length("text")).cast("long").alias("kept_chars"),
     )
+
+
+_PII_DOCS = [
+    (1, "contact John.Doe+spam@example.co.uk or call +1 555-123-4567 now"),
+    (2, "server 192.168.10.1 responded; fallback 10.0.0.255 was idle"),
+    (3, "email bob@test.org, phone (020) 7946 0958, ip 8.8.8.8"),
+    (4, "no sensitive content in this perfectly ordinary sentence"),
+    (5, "mixed: a@b.io then 255.255.255.255 then +48 22 123 45 67 end"),
+]
+
+
+@register(
+    "tx10_pii_redaction",
+    oracle="""
+    WITH docs(doc_id, text) AS (VALUES
+        (1, 'contact John.Doe+spam@example.co.uk or call +1 555-123-4567 now'),
+        (2, 'server 192.168.10.1 responded; fallback 10.0.0.255 was idle'),
+        (3, 'email bob@test.org, phone (020) 7946 0958, ip 8.8.8.8'),
+        (4, 'no sensitive content in this perfectly ordinary sentence'),
+        (5, 'mixed: a@b.io then 255.255.255.255 then +48 22 123 45 67 end')
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+?\\d{1,3}[ -]?\\(?\\d{2,3}\\)?[ -]?\\d{3}[ -]?\\d{2,4}',
+               '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails
+    FROM docs
+    """,
+    note="PII scrub for pre-training text: chained engine-portable "
+    "RE2-compatible regexes (emails -> IPs -> phones, order prevents "
+    "cross-matching), pure scan-level projection",
+    tags=("text", "pii", "redaction"),
+)
+def tx10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import PII_PATTERNS, redact_pii
+
+    docs = spark.createDataFrame(_PII_DOCS, "doc_id int, text string")
+    return docs.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(PII_PATTERNS["EMAIL"]), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_emails"),
+    )

@@ -143,3 +143,28 @@ def test_int8_quantization_bounds_and_recall(spark, emb):
     exact, quant = topk(emb), topk(deq)
     recall = len(exact & quant) / 20
     assert recall >= 0.9, f"int8 top-k recall too low: {recall}"
+
+
+def test_batch_topk_join_variant_is_bhj_and_matches_literal(spark, emb):
+    from pyspark.sql import functions as F
+
+    from cdc_spark.operators.similarity import (
+        batch_cosine_topk,
+        batch_cosine_topk_literal,
+    )
+
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = batch_cosine_topk(emb, "embedding", "vec_id", queries, k=3)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    probes = [
+        (r.q_id, r.q_emb) for r in queries.collect()
+    ]
+    lit = batch_cosine_topk_literal(emb, "embedding", "vec_id", probes, k=3)
+    a = sorted((r.q_id, r.vec_id, r.sim) for r in joined.collect())
+    b = sorted((r.q_id, r.vec_id, r.sim) for r in lit.collect())
+    assert a == b
