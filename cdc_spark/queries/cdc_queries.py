@@ -577,6 +577,86 @@ def cdc11_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc13_ivm_agg",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    ),
+    state AS (
+        SELECT user_id,
+               arg_max(event_type, lsn) AS last_type,
+               arg_max(value, lsn) AS last_value
+        FROM live GROUP BY user_id
+    )
+    SELECT last_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(last_value AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_value
+    FROM state GROUP BY last_type
+    """,
+    note="incremental view maintenance: a materialized per-group "
+    "aggregate (count + exact sum) maintained by folding only the "
+    "tail batch's touched-key pre/post delta into the base aggregate "
+    "(cdc_spark/cdc/ivm.py) — O(batch) apply, yet bit-identical to "
+    "the oracle's full recompute over the whole log",
+    tags=("cdc", "ivm", "incremental"),
+)
+def cdc13_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.cdc.ivm import (
+        agg_delta,
+        base_agg,
+        finish_agg,
+        merge_agg,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events).withColumn("value", F.round("value", 4))
+
+    # Split the log 80/20 at a data-derived lsn threshold — a 1-row
+    # broadcast aggregate, no collect (the merge.py t_agg pattern).
+    t_agg = changes.agg(
+        (F.max("lsn") * F.lit(0.8)).cast("long").alias("__t")
+    )
+    tagged = changes.crossJoin(F.broadcast(t_agg))
+    head = tagged.where(F.col("lsn") <= F.col("__t")).drop("__t")
+    batch = tagged.where(F.col("lsn") > F.col("__t")).drop("__t")
+
+    keys, payload, gcols = ["user_id"], ["event_type", "value"], ["event_type"]
+    measures = {"sum_value": F.col("value")}
+
+    base_state = apply_changes(None, head, keys, payload)
+    agg0 = base_agg(base_state, gcols, measures)
+
+    touched = batch.select(*keys).distinct()
+    pre = base_state.join(touched, on=keys, how="left_semi")
+    post = apply_changes(pre, batch, keys, payload)
+    delta = agg_delta(pre, post, gcols, measures)
+
+    out = finish_agg(
+        merge_agg(agg0, delta, gcols),
+        gcols,
+        ["sum_value"],
+        count_alias="n_users",
+    )
+    return out.select(
+        F.col("event_type").alias("last_type"), "n_users", "sum_value"
+    )
+
+
+@register(
     "cdc12_scd2_history",
     oracle=f"""
     WITH ch AS (
