@@ -100,6 +100,70 @@ def bench_incremental_apply(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_ivm_maintenance(spark, sf_dir: str) -> float:
+    """Materialized-aggregate maintenance must also track the BATCH.
+
+    Seeds a bucketed state + per-custkey-segment aggregate from
+    `orders` (untimed), then times one 200-key micro-batch through
+    IncrementalAggregate.apply: pre/post images come from bucket-pruned
+    reads, the delta fold is O(touched groups), and the aggregate
+    store rewrites only the buckets those groups hash into. A full
+    recompute of the aggregate would scan the whole state instead.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_spark.catalog import load_table
+    from cdc_spark.streaming.ivm_sink import IncrementalAggregate
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    d = tempfile.mkdtemp(prefix="bench_ivm_")
+    try:
+        state = BucketedStateTable(
+            spark, os.path.join(d, "rows"), ["o_orderkey"], n_buckets=64
+        )
+        inc = IncrementalAggregate(
+            state,
+            os.path.join(d, "agg"),
+            ["o_seg"],
+            {"price_sum": F.col("o_totalprice")},
+            n_buckets=16,
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        seed = orders.select(
+            "o_orderkey",
+            F.pmod(F.col("o_custkey"), F.lit(1000)).alias("o_seg"),
+            "o_totalprice",
+            F.lit("c").alias("op"),
+            F.col("o_orderkey").alias("lsn"),
+        )
+        inc.apply(seed, ["o_seg", "o_totalprice"])  # untimed seed
+
+        batch_rows = (
+            seed.where(
+                F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(64)) == 0
+            )
+            .limit(200)
+            .collect()
+        )
+        batch = spark.createDataFrame(batch_rows, seed.schema).select(
+            "o_orderkey",
+            "o_seg",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("u").alias("op"),
+            (F.col("lsn") + 10_000_000).alias("lsn"),
+        )
+        inc.apply(batch, ["o_seg", "o_totalprice"])  # warm-up
+        batch = batch.withColumn("lsn", F.col("lsn") + 1)
+        t0 = time.time()
+        inc.apply(batch, ["o_seg", "o_totalprice"])
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("cdc_spark_bench")
@@ -126,6 +190,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     timings["cdc_incr_apply_small_batch"] = bench_incremental_apply(
+        spark, sf_dir
+    )
+    timings["ivm_agg_maintenance_small_batch"] = bench_ivm_maintenance(
         spark, sf_dir
     )
 

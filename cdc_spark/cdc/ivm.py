@@ -60,7 +60,7 @@ def _contributions(
 
 
 def agg_delta(
-    pre_rows: DataFrame,
+    pre_rows: DataFrame | None,
     post_rows: DataFrame,
     group_cols: Sequence[str],
     measures: Mapping[str, Column],
@@ -72,16 +72,19 @@ def agg_delta(
     ``pre_rows`` / ``post_rows`` are the state rows of the keys the
     batch touches, before and after applying it (untouched keys must
     not appear — they cancel by construction and would only add I/O).
-    Output: one row per affected group with ``__dn`` (count delta) and
-    split-long measure deltas, ready for :func:`merge_agg`.
+    ``pre_rows=None`` means cold start (no prior state). Output: one
+    row per affected group with ``__dn`` (count delta) and split-long
+    measure deltas, ready for :func:`merge_agg`.
     """
-    pre = _contributions(pre_rows, group_cols, measures, -1, scale)
     post = _contributions(post_rows, group_cols, measures, +1, scale)
+    if pre_rows is not None:
+        pre = _contributions(pre_rows, group_cols, measures, -1, scale)
+        post = post.unionByName(pre)
     sums = [F.sum("__w").alias("__dn")]
     for alias in measures:
         sums.append(F.sum(f"__hi_{alias}").alias(f"__dhi_{alias}"))
         sums.append(F.sum(f"__lo_{alias}").alias(f"__dlo_{alias}"))
-    return post.unionByName(pre).groupBy(*group_cols).agg(*sums)
+    return post.groupBy(*group_cols).agg(*sums)
 
 
 def base_agg(
@@ -106,20 +109,31 @@ def base_agg(
 
 
 def merge_agg(
-    base: DataFrame,
+    base: DataFrame | None,
     delta: DataFrame,
     group_cols: Sequence[str],
+    *,
+    keep_empty: bool = False,
 ) -> DataFrame:
     """base ⊕ delta: full-outer merge on group, add counters exactly.
 
     Groups whose row count reaches zero disappear (the aggregate of an
-    empty group is no row, matching a full recompute). The join is
-    group-cardinality-sized — both sides are aggregates, so AQE
+    empty group is no row, matching a full recompute) unless
+    ``keep_empty`` is set — sinks keep them to emit delete tombstones
+    for groups that vanished. ``base=None`` means cold start. The join
+    is group-cardinality-sized — both sides are aggregates, so AQE
     broadcasts the (small) delta side against a large base at scale.
     """
     gc = list(group_cols)
-    d = delta
-    joined = base.join(d, on=gc, how="full")
+    if base is None:
+        out = [F.col(c) for c in gc]
+        out.append(F.col("__dn").alias("__n"))
+        for c in delta.columns:
+            if c.startswith("__dhi_") or c.startswith("__dlo_"):
+                out.append(F.col(c).alias("__" + c[3:]))
+        merged = delta.select(*out)
+        return merged if keep_empty else merged.where(F.col("__n") > 0)
+    joined = base.join(delta, on=gc, how="full")
     n = F.coalesce(F.col("__n"), F.lit(0)) + F.coalesce(
         F.col("__dn"), F.lit(0)
     )
@@ -135,7 +149,8 @@ def merge_agg(
                     + F.coalesce(F.col(dcol), F.lit(0))
                 ).alias(alias)
             )
-    return joined.select(*out).where(F.col("__n") > 0)
+    merged = joined.select(*out)
+    return merged if keep_empty else merged.where(F.col("__n") > 0)
 
 
 def finish_agg(

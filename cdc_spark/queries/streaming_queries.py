@@ -389,3 +389,144 @@ def st08_cdc_pipeline_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pipe.start(src_dir, tempfile.mkdtemp(prefix="st08_ckpt_"))
     q.awaitTermination(300)
     return pipe.state.read()
+
+
+@register(
+    "st09_stream_ivm_agg",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd'
+                               ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    ),
+    state AS (
+        SELECT user_id,
+               arg_max(event_type, lsn) AS last_type,
+               arg_max(value, lsn) AS last_value
+        FROM live GROUP BY user_id
+    )
+    SELECT last_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(last_value AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_value
+    FROM state GROUP BY last_type
+    """,
+    note="streaming IVM: 3 lsn-ordered micro-batches (maxFilesPerTrigger"
+    "=1 over mtime-ordered files) each fold their touched-key delta into "
+    "a bucketed materialized aggregate (streaming/ivm_sink.py) — the "
+    "continuously-maintained aggregate equals the full recompute over "
+    "the whole log",
+    tags=("streaming", "cdc", "ivm"),
+)
+def st09_stream_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.cdc.registry import SchemaRegistry
+    from cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    docs = events.select(
+        F.col("event_id").alias("lsn"),
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.lit("public").alias("schema"),
+                F.lit("user_state").alias("table"),
+                F.col("event_id").alias("lsn"),
+                F.lit(0).alias("tx_id"),
+                F.when(
+                    op != "d",
+                    F.map_from_arrays(
+                        F.array(
+                            F.lit("user_id"),
+                            F.lit("event_type"),
+                            F.lit("value"),
+                        ),
+                        F.array(
+                            F.col("user_id").cast("string"),
+                            F.col("event_type"),
+                            F.round("value", 4).cast("string"),
+                        ),
+                    ),
+                ).alias("after"),
+                F.when(
+                    op == "d",
+                    F.map_from_arrays(
+                        F.array(F.lit("user_id")),
+                        F.array(F.col("user_id").cast("string")),
+                    ),
+                ).alias("key"),
+            )
+        ).alias("value"),
+    )
+    # three lsn-range files with increasing mtimes: the file source
+    # (ordered by timestamp) replays them as lsn-ordered micro-batches
+    mx = docs.agg(F.max("lsn")).first()[0] or 0
+    src_dir = tempfile.mkdtemp(prefix="st09_src_")
+    bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = docs
+        if lo is not None:
+            part = part.where(F.col("lsn") > lo)
+        if hi is not None:
+            part = part.where(F.col("lsn") <= hi)
+        tmp = tempfile.mkdtemp(prefix=f"st09_part{i}_")
+        part.select("value").coalesce(1).write.mode("overwrite").text(tmp)
+        [f] = [n for n in os.listdir(tmp) if n.startswith("part-")]
+        dst = os.path.join(src_dir, f"{i:02d}.txt")
+        os.rename(os.path.join(tmp, f), dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "user_state",
+        [
+            ("user_id", "bigint", True),
+            ("event_type", "text"),
+            ("value", "double precision"),
+        ],
+    )
+    pipe = CdcStreamPipeline(
+        spark,
+        reg,
+        "public",
+        "user_state",
+        keys=["user_id"],
+        payload=["event_type", "value"],
+        state_path=tempfile.mkdtemp(prefix="st09_state_"),
+        dialect="pgoutput_json",
+        n_buckets=16,
+    )
+    agg = pipe.attach_aggregate(
+        tempfile.mkdtemp(prefix="st09_agg_"),
+        ["event_type"],
+        {"sum_value": F.col("value")},
+    )
+    q = pipe.start(
+        src_dir,
+        tempfile.mkdtemp(prefix="st09_ckpt_"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    out = agg.read(count_alias="n_users")
+    return out.select(
+        F.col("event_type").alias("last_type"), "n_users", "sum_value"
+    )

@@ -1,0 +1,181 @@
+"""Continuously-maintained materialized aggregate over CDC state.
+
+Pairs :class:`~cdc_spark.streaming.state.BucketedStateTable` (the row
+store the reference's apply loop maintains, ``main.go:115-130``) with
+the delta folds of :mod:`cdc_spark.cdc.ivm`: each micro-batch updates
+BOTH the row state and a per-group aggregate in O(batch), and the
+aggregate is itself stored as a bucketed state table keyed by the
+group columns — so the aggregate write is also a changed-bucket-only
+rewrite, never a full-table one.
+
+Per batch the work is:
+
+1. bucket-pruned read of the row-state buckets the batch touches,
+   semi-joined to the batch's keys → pre-images;
+2. the normal incremental row-state apply;
+3. same pruned read against the new version → post-images;
+4. ``agg_delta(pre, post)`` → per-group counter deltas (exact
+   split-long fixed point, so base ⊕ delta ≡ full recompute bit for
+   bit);
+5. the affected groups' aggregate rows are read bucket-pruned, merged
+   with the delta, and written back through ``apply_changes`` as
+   upserts — groups whose row count reaches zero become delete
+   tombstones, so the aggregate table never carries empty groups.
+
+State size appears nowhere: both sides cost O(batch + touched
+buckets). A truncate in the batch degrades to O(state) by necessity
+(every key dies), after which the aggregate is rebuilt from the
+post-truncate survivors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_spark.cdc.ivm import agg_delta, finish_agg, merge_agg
+from cdc_spark.streaming.state import BucketedStateTable
+
+_BUCKET = "__bucket"
+
+
+class IncrementalAggregate:
+    """A materialized per-group aggregate maintained by CDC deltas."""
+
+    def __init__(
+        self,
+        state: BucketedStateTable,
+        agg_path: str,
+        group_cols: Sequence[str],
+        measures: Mapping[str, Column],
+        *,
+        scale: int = 6,
+        n_buckets: int = 16,
+    ):
+        self.state = state
+        self.group_cols = list(group_cols)
+        self.measures = dict(measures)
+        self.scale = scale
+        self.table = BucketedStateTable(
+            state.spark,
+            agg_path,
+            self.group_cols,
+            n_buckets=n_buckets,
+            one_file_per_bucket=True,  # group-cardinality table: keep
+            # one footer per bucket so pruned reads stay metadata-cheap
+        )
+        self._payload = ["__n"]
+        for alias in self.measures:
+            self._payload += [f"__hi_{alias}", f"__lo_{alias}"]
+
+    # -----------------------------------------------------------------
+    def apply(
+        self,
+        changes: DataFrame,
+        payload: Sequence[str],
+        *,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+    ) -> int | None:
+        """Apply one change batch to the row state AND the aggregate.
+
+        Returns the new row-state version. The touched-bucket scan
+        duplicates the one ``BucketedStateTable.apply`` runs — two
+        bounded 1-row jobs per batch, accepted for composability.
+        """
+        st = self.state
+        ch = changes.withColumn(_BUCKET, st._bucket_expr())
+        info = ch.agg(
+            F.collect_set(F.col(_BUCKET)).alias("bs"),
+            F.max(F.col(op_col) == "t").alias("has_t"),
+        ).first()
+        touched = sorted(info["bs"] or ())
+        if not touched:
+            return st.current_version()
+        any_t = bool(info["has_t"])
+        touched_info = (set(touched), any_t)
+
+        v_cur = st.current_version()
+        touched_keys = (
+            changes.where(F.col(op_col) != "t")
+            .select(*st.keys)
+            .distinct()
+        )
+        if any_t:
+            pre = st.read(version=v_cur) if v_cur is not None else None
+        else:
+            pre = (
+                st.read_buckets(touched, version=v_cur)
+                if v_cur is not None
+                else None
+            )
+            if pre is not None:
+                pre = pre.join(touched_keys, on=st.keys, how="left_semi")
+
+        v_new = st.apply(
+            changes,
+            payload,
+            lsn_col=lsn_col,
+            op_col=op_col,
+            touched_info=touched_info,
+        )
+
+        post_buckets = range(st.n_buckets) if any_t else touched
+        post = st.read_buckets(post_buckets, version=v_new)
+        if not any_t:
+            post = post.join(touched_keys, on=st.keys, how="left_semi")
+
+        delta = agg_delta(
+            pre, post, self.group_cols, self.measures, scale=self.scale
+        )
+        # the delta is group-cardinality-sized but its subtree reads
+        # state buckets twice; downstream actions (bucket scan, state
+        # apply's own scan, the write) would each re-evaluate it —
+        # checkpoint once, then every consumer reads the tiny result
+        delta = delta.localCheckpoint(eager=False)
+        self._merge_delta(delta)
+        return v_new
+
+    def _merge_delta(self, delta: DataFrame) -> None:
+        """Fold a per-group delta into the stored aggregate.
+
+        The touched agg buckets' new content is computed directly —
+        carried-over rows of unaffected groups plus the merged rows of
+        affected ones (dead groups simply not written) — and committed
+        through ``overwrite_buckets``: one write job, no generic merge
+        machinery on a table whose rows we already fully know."""
+        gc = self.group_cols
+        at = self.table
+        v_agg = at.current_version()
+        dd = delta.withColumn(_BUCKET, at._bucket_expr())
+        binfo = dd.agg(F.collect_set(F.col(_BUCKET)).alias("bs")).first()
+        bucket_ids = sorted(binfo["bs"] or ())
+        if not bucket_ids:
+            return
+        groups = delta.select(*gc)
+        if v_agg is None:
+            content = merge_agg(None, delta, gc)
+        else:
+            bucket_rows = at.read_buckets(bucket_ids, version=v_agg)
+            affected = bucket_rows.join(groups, on=gc, how="left_semi")
+            keep = bucket_rows.join(groups, on=gc, how="left_anti")
+            content = keep.unionByName(merge_agg(affected, delta, gc))
+        at.overwrite_buckets(content, bucket_ids, version=v_agg)
+
+    # -----------------------------------------------------------------
+    def read(
+        self, *, count_alias: str = "n_rows", version: int | None = None
+    ) -> DataFrame | None:
+        """User-facing aggregate: groups + count + measure doubles."""
+        raw = self.table.read(version=version)
+        if raw is None:
+            return None
+        return finish_agg(
+            raw,
+            self.group_cols,
+            list(self.measures),
+            scale=self.scale,
+            count_alias=count_alias,
+        )

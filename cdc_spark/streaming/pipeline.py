@@ -122,6 +122,19 @@ class CdcStreamPipeline:
             spark, state_path, self.keys, n_buckets=n_buckets
         )
         self.dialect = dialect
+        self.aggregate = None
+
+    def attach_aggregate(self, agg_path, group_cols, measures, **kw):
+        """Maintain a materialized per-group aggregate alongside the
+        row state (``streaming/ivm_sink.py``): every micro-batch folds
+        its delta into the aggregate in O(batch). Returns the
+        :class:`IncrementalAggregate` for reading."""
+        from cdc_spark.streaming.ivm_sink import IncrementalAggregate
+
+        self.aggregate = IncrementalAggregate(
+            self.state, agg_path, group_cols, measures, **kw
+        )
+        return self.aggregate
 
     def _parse(self, raw: DataFrame) -> DataFrame:
         if self.dialect == "wal2json":
@@ -143,7 +156,10 @@ class CdcStreamPipeline:
         typed = self.registry.materialize(
             self._parse(raw_batch), self.schema, self.table
         )
-        self.state.apply(typed, self.payload)
+        if self.aggregate is not None:
+            self.aggregate.apply(typed, self.payload)
+        else:
+            self.state.apply(typed, self.payload)
 
     def start(
         self,

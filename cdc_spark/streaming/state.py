@@ -76,11 +76,19 @@ class BucketedStateTable:
         keys: Sequence[str],
         *,
         n_buckets: int = 16,
+        one_file_per_bucket: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        # For SMALL tables (materialized aggregates, dimension state) a
+        # pre-write repartition by bucket costs a tiny shuffle and buys
+        # exactly one file per bucket — reads open n_buckets footers
+        # instead of tasks × n_buckets. Leave False for large row
+        # state, where the extra full shuffle of touched data per
+        # micro-batch is the wrong trade.
+        self.one_file_per_bucket = one_file_per_bucket
         os.makedirs(path, exist_ok=True)
 
     # --- layout -------------------------------------------------------
@@ -144,6 +152,28 @@ class BucketedStateTable:
         man = self._load_manifest(v)
         return self._read_manifest(man)
 
+    def read_buckets(
+        self, bucket_ids, version: int | None = None
+    ) -> DataFrame | None:
+        """Bucket-pruned read: only the named buckets' directories are
+        opened — the I/O analog of partition pruning, O(touched
+        buckets) regardless of table size. Buckets with no files yet
+        are silently absent (an empty bucket has no rows)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        man = self._load_manifest(v)
+        wanted = {str(int(b)) for b in bucket_ids}
+        dirs = [
+            os.path.join(self.path, rel)
+            for b, rel in man["buckets"].items()
+            if b in wanted
+        ]
+        if not dirs:
+            schema = StructType.fromJson(man["schema"])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
     def _read_manifest(self, man: dict) -> DataFrame:
         dirs = [os.path.join(self.path, rel) for rel in man["buckets"].values()]
         if not dirs:
@@ -162,26 +192,30 @@ class BucketedStateTable:
         *,
         lsn_col: str = "lsn",
         op_col: str = "op",
+        touched_info: tuple[set, bool] | None = None,
     ) -> int | None:
         """Merge one batch of typed changes; rewrite only touched
         buckets. Returns the new version (or the current one for an
-        empty batch)."""
+        empty batch). ``touched_info=(bucket_ids, has_truncate)`` lets
+        a caller that already scanned the batch skip the scan here."""
         v_cur = self.current_version()
         ch = changes.withColumn(_BUCKET, self._bucket_expr())
 
-        # one bounded 1-row job: which buckets does this batch touch,
-        # and does it truncate (truncate wipes every key, so every
-        # bucket is dirty)? A global aggregate — collect_set is capped
-        # at n_buckets — gets map-side partials and a single-row
-        # exchange, ~3x cheaper per micro-batch than a grouped shuffle.
-        info = ch.agg(
-            F.collect_set(F.col(_BUCKET)).alias("bs"),
-            F.max(F.col(op_col) == "t").alias("has_t"),
-        ).first()
-        touched = set(info["bs"] or ())
+        if touched_info is None:
+            # one bounded 1-row job: which buckets does this batch
+            # touch, and does it truncate (truncate wipes every key, so
+            # every bucket is dirty)? A global aggregate — collect_set
+            # is capped at n_buckets — gets map-side partials and a
+            # single-row exchange, ~3x cheaper per micro-batch than a
+            # grouped shuffle.
+            info = ch.agg(
+                F.collect_set(F.col(_BUCKET)).alias("bs"),
+                F.max(F.col(op_col) == "t").alias("has_t"),
+            ).first()
+            touched_info = (set(info["bs"] or ()), bool(info["has_t"]))
+        touched, any_t = set(touched_info[0]), touched_info[1]
         if not touched:
             return v_cur  # empty batch: no new version
-        any_t = bool(info["has_t"])
         if any_t:
             touched = set(range(self.n_buckets))
 
@@ -213,6 +247,26 @@ class BucketedStateTable:
             may_truncate=any_t,
         )
 
+        return self._commit_new_version(new_state, touched, v_cur)
+
+    def overwrite_buckets(
+        self, new_rows: DataFrame, bucket_ids, *, version: int | None = None
+    ) -> int:
+        """Replace the content of the named buckets with ``new_rows``
+        (which must contain only keys hashing into those buckets);
+        untouched buckets are inherited. The fast path for callers
+        that already computed the buckets' final rows — no merge."""
+        v_cur = self.current_version() if version is None else version
+        return self._commit_new_version(
+            new_rows, {int(b) for b in bucket_ids}, v_cur
+        )
+
+    def _commit_new_version(
+        self, new_state: DataFrame, touched: set, v_cur: int | None
+    ) -> int:
+        prev_buckets: dict[str, str] = {}
+        if v_cur is not None:
+            prev_buckets = self._load_manifest(v_cur)["buckets"]
         v_new = (v_cur or 0) + 1
         target = self._version_dir(v_new)
         # no pre-write repartition (saves a full shuffle of the touched
@@ -222,6 +276,8 @@ class BucketedStateTable:
         # tasks, and compaction (operators/maintenance.py) folds
         # fragments when the count matters.
         out = new_state.withColumn(_BUCKET, self._bucket_expr())
+        if self.one_file_per_bucket:
+            out = out.repartition(self.n_buckets, F.col(_BUCKET))
         out.write.partitionBy(_BUCKET).mode("overwrite").parquet(target)
 
         written = {

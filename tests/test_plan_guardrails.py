@@ -39,6 +39,12 @@ BOUNDED_DIMS = {"nation.parquet", "region.parquet"}
 
 def _walk(node):
     yield node
+    # ReusedExchangeExec is a leaf whose `child` points at the original
+    # exchange subtree — follow it, or a reused 1-row-aggregate
+    # broadcast looks like an unbounded build side
+    if _cls(node) == "ReusedExchangeExec":
+        yield from _walk(node.child())
+        return
     for i in range(node.children().size()):
         yield from _walk(node.children().apply(i))
 
