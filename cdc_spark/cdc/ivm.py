@@ -87,6 +87,90 @@ def agg_delta(
     return post.groupBy(*group_cols).agg(*sums)
 
 
+def agg_delta_from_batch(
+    pre_rows: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    payload: Sequence[str],
+    group_cols: Sequence[str],
+    measures: Mapping[str, Column],
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    scale: int = 6,
+) -> DataFrame:
+    """Group-level delta straight from (pre-images, change batch) in a
+    SINGLE fold — no separate post-state input.
+
+    Semantically identical to ``agg_delta(pre, apply_changes(pre,
+    batch))`` but half the plan: the batch is folded per key once
+    (:func:`~cdc_spark.cdc.merge.fold_per_key`), joined to the
+    pre-images, and each key emits its −pre and +post contribution
+    from the same join row via an exploded 2-element array. One key
+    shuffle + one group shuffle; ``pre_rows`` is scanned once.
+
+    ``pre_rows`` must be restricted to the batch's keys (semi join or
+    bucket pruning) and must NOT contain truncates-survivors logic —
+    callers handle ``op='t'`` batches via the generic path. ``None``
+    means cold start.
+    """
+    from cdc_spark.cdc.merge import fold_per_key, post_image_col
+
+    keys = list(keys)
+    payload = [c for c in payload if c not in keys]
+    per_key = fold_per_key(
+        changes, keys, payload, lsn_col=lsn_col, op_col=op_col
+    )
+
+    if pre_rows is not None:
+        bp = pre_rows.select(
+            *keys,
+            *[F.col(c).alias(f"__b_{c}") for c in payload],
+            F.lit(True).alias("__has_base"),
+        )
+        j = per_key.join(bp, on=keys, how="left")
+        post_cols = [post_image_col(c).alias(c) for c in payload]
+        pre_branch = F.when(
+            F.col("__has_base"),
+            F.struct(
+                F.lit(-1).alias("__w"),
+                *[F.col(f"__b_{c}").alias(c) for c in payload],
+            ),
+        )
+    else:
+        j = per_key
+        post_cols = [F.col(c).alias(c) for c in payload]
+        pre_branch = None
+
+    post_branch = F.when(
+        F.col("__last_live").isNotNull(),
+        F.struct(F.lit(1).alias("__w"), *post_cols),
+    )
+    branches = (
+        [post_branch] if pre_branch is None else [pre_branch, post_branch]
+    )
+    rows = (
+        j.select(*keys, F.explode(F.array(*branches)).alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .select(*keys, "__s.*")
+    )
+
+    cols = [F.col(c) for c in group_cols]
+    w = F.col("__w")
+    cols.append(w)
+    for alias, expr in measures.items():
+        hi, lo = _split_sums(expr, scale)
+        cols.append((hi * w).alias(f"__hi_{alias}"))
+        cols.append((lo * w).alias(f"__lo_{alias}"))
+    contrib = rows.select(*cols)
+
+    sums = [F.sum("__w").alias("__dn")]
+    for alias in measures:
+        sums.append(F.sum(f"__hi_{alias}").alias(f"__dhi_{alias}"))
+        sums.append(F.sum(f"__lo_{alias}").alias(f"__dlo_{alias}"))
+    return contrib.groupBy(*group_cols).agg(*sums)
+
+
 def base_agg(
     state_rows: DataFrame,
     group_cols: Sequence[str],

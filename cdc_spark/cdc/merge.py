@@ -128,25 +128,96 @@ def apply_changes(
     keys = list(keys)
     payload = [c for c in payload if c not in keys]
     out_cols = keys + payload
-    op = F.col(op_col)
-    lsn = F.col(lsn_col)
 
     if may_truncate:
-        # --- truncate: wipe state as of the newest 't' lsn
-        # (declarative — a broadcast 1-row aggregate, no collect) -----
-        t_agg = changes.agg(F.max(F.when(op == "t", lsn)).alias("__tmax"))
-        changes = (
-            changes.crossJoin(F.broadcast(t_agg))
-            .where(
-                (op != "t")
-                & (F.col("__tmax").isNull() | (lsn > F.col("__tmax")))
-            )
-            .drop("__tmax")
+        changes, base = _truncate_filter(
+            changes, base, lsn_col=lsn_col, op_col=op_col
         )
-        if base is not None:
-            base = base.crossJoin(F.broadcast(t_agg)).where(
-                F.col("__tmax").isNull()
-            ).drop("__tmax")
+
+    per_key = fold_per_key(
+        changes, keys, payload, lsn_col=lsn_col, op_col=op_col
+    )
+
+    upserts = per_key.where(F.col("__last_live").isNotNull())
+    # keys whose final state is "deleted" need no row at all — they are
+    # simply part of changed_keys and excluded from the base carry-over.
+
+    if base is None:
+        # cold start: no prior rows to carry over or coalesce against
+        return upserts.select(*out_cols)
+
+    changed_keys = per_key.select(*keys)
+    untouched = base.join(changed_keys, on=keys, how="left_anti")
+
+    base_payload = base.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in payload]
+    )
+    merged = upserts.join(base_payload, on=keys, how="left").select(
+        *keys,
+        *[post_image_col(c).alias(c) for c in payload],
+    )
+    return untouched.select(*out_cols).unionByName(merged)
+
+
+def _truncate_filter(
+    changes: DataFrame,
+    base: DataFrame | None,
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> tuple[DataFrame, DataFrame | None]:
+    """Drop every change at-or-before the newest truncate, and the
+    whole base when any truncate is present (declarative — a broadcast
+    1-row aggregate, no collect)."""
+    op = F.col(op_col)
+    lsn = F.col(lsn_col)
+    t_agg = changes.agg(F.max(F.when(op == "t", lsn)).alias("__tmax"))
+    changes = (
+        changes.crossJoin(F.broadcast(t_agg))
+        .where(
+            (op != "t")
+            & (F.col("__tmax").isNull() | (lsn > F.col("__tmax")))
+        )
+        .drop("__tmax")
+    )
+    if base is not None:
+        base = base.crossJoin(F.broadcast(t_agg)).where(
+            F.col("__tmax").isNull()
+        ).drop("__tmax")
+    return changes, base
+
+
+def post_image_col(c: str) -> Column:
+    """Final value of payload column ``c`` for an upserted key, given
+    the fold output and a ``__b_{c}`` base-image column: a live insert
+    resets the row (no fallback); otherwise null folds mean
+    unchanged-TOAST and fall back to the base image."""
+    return F.when(F.col("__last_ins").isNotNull(), F.col(c)).otherwise(
+        F.coalesce(F.col(c), F.col(f"__b_{c}"))
+    )
+
+
+def fold_per_key(
+    changes: DataFrame,
+    keys: Sequence[str],
+    payload: Sequence[str],
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-key LSN-ordered fold of one change batch → ONE hash
+    aggregation, no truncate handling (callers filter truncates first).
+
+    Output: key columns, ``__last_live`` (lsn of the newest surviving
+    upsert, null ⇒ the key's final state is deleted/absent),
+    ``__last_ins`` (lsn of the newest surviving full image), and each
+    payload column holding the validated last-non-null fold (null ⇒
+    unchanged-TOAST, to be coalesced against a base image).
+    """
+    keys = list(keys)
+    payload = [c for c in payload if c not in keys]
+    op = F.col(op_col)
+    lsn = F.col(lsn_col)
 
     # --- per-key fold in lsn order: ONE hash aggregation ------------
     # The thresholds (newest delete, newest live full image) and the
@@ -177,7 +248,7 @@ def apply_changes(
     def _after_del(c):  # strictly newer than the last delete
         return F.col("__last_del").isNull() | (c > F.col("__last_del"))
 
-    per_key = per_key.select(
+    return per_key.select(
         *keys,
         F.when(_after_del(F.col("__live_cand")), F.col("__live_cand"))
         .alias("__last_live"),
@@ -196,28 +267,3 @@ def apply_changes(
             for c in payload
         ],
     )
-
-    upserts = per_key.where(F.col("__last_live").isNotNull())
-    # keys whose final state is "deleted" need no row at all — they are
-    # simply part of changed_keys and excluded from the base carry-over.
-
-    if base is None:
-        # cold start: no prior rows to carry over or coalesce against
-        return upserts.select(*out_cols)
-
-    changed_keys = per_key.select(*keys)
-    untouched = base.join(changed_keys, on=keys, how="left_anti")
-
-    base_payload = base.select(
-        *keys, *[F.col(c).alias(f"__b_{c}") for c in payload]
-    )
-    merged = upserts.join(base_payload, on=keys, how="left").select(
-        *keys,
-        *[
-            F.when(F.col("__last_ins").isNotNull(), F.col(c))
-            .otherwise(F.coalesce(F.col(c), F.col(f"__b_{c}")))
-            .alias(c)
-            for c in payload
-        ],
-    )
-    return untouched.select(*out_cols).unionByName(merged)

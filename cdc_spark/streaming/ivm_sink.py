@@ -35,7 +35,12 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_spark.cdc.ivm import agg_delta, finish_agg, merge_agg
+from cdc_spark.cdc.ivm import (
+    agg_delta,
+    agg_delta_from_batch,
+    finish_agg,
+    merge_agg,
+)
 from cdc_spark.streaming.state import BucketedStateTable
 
 _BUCKET = "__bucket"
@@ -85,6 +90,8 @@ class IncrementalAggregate:
         duplicates the one ``BucketedStateTable.apply`` runs — two
         bounded 1-row jobs per batch, accepted for composability.
         """
+        from cdc_spark.cdc.merge import apply_changes
+
         st = self.state
         ch = changes.withColumn(_BUCKET, st._bucket_expr())
         info = ch.agg(
@@ -96,16 +103,34 @@ class IncrementalAggregate:
             return st.current_version()
         any_t = bool(info["has_t"])
         touched_info = (set(touched), any_t)
-
         v_cur = st.current_version()
-        touched_keys = (
-            changes.where(F.col(op_col) != "t")
-            .select(*st.keys)
-            .distinct()
-        )
+
         if any_t:
+            # truncate: every key dies — O(state) by necessity. Compute
+            # post in-plan (apply_changes over the whole old state) and
+            # diff against the full pre image.
             pre = st.read(version=v_cur) if v_cur is not None else None
+            post = apply_changes(
+                pre,
+                changes,
+                st.keys,
+                payload,
+                lsn_col=lsn_col,
+                op_col=op_col,
+                may_truncate=True,
+            )
+            delta = agg_delta(
+                pre, post, self.group_cols, self.measures, scale=self.scale
+            )
         else:
+            # common path: ONE fold computes both sides of the delta.
+            # Pre-images come from a bucket-pruned read semi-joined to
+            # the batch's keys; the batch's per-key post-images are
+            # derived in the same join (fold_per_key + base coalesce —
+            # exactly what the state write persists, since
+            # apply_changes is per-key), so the new version is never
+            # read back and the pre buckets are scanned once.
+            touched_keys = changes.select(*st.keys).distinct()
             pre = (
                 st.read_buckets(touched, version=v_cur)
                 if v_cur is not None
@@ -113,7 +138,24 @@ class IncrementalAggregate:
             )
             if pre is not None:
                 pre = pre.join(touched_keys, on=st.keys, how="left_semi")
-
+            delta = agg_delta_from_batch(
+                pre,
+                changes,
+                st.keys,
+                payload,
+                self.group_cols,
+                self.measures,
+                lsn_col=lsn_col,
+                op_col=op_col,
+                scale=self.scale,
+            )
+        # the delta is group-cardinality-sized but its subtree reads
+        # the pre-image buckets twice (pre contributions + post's
+        # apply base); downstream actions (agg bucket scan, the two
+        # writes) would each re-evaluate it — checkpoint once, then
+        # every consumer reads the tiny result. Lazy: it materializes
+        # on first use, against v_cur's immutable files.
+        delta = delta.localCheckpoint(eager=False)
         v_new = st.apply(
             changes,
             payload,
@@ -121,20 +163,6 @@ class IncrementalAggregate:
             op_col=op_col,
             touched_info=touched_info,
         )
-
-        post_buckets = range(st.n_buckets) if any_t else touched
-        post = st.read_buckets(post_buckets, version=v_new)
-        if not any_t:
-            post = post.join(touched_keys, on=st.keys, how="left_semi")
-
-        delta = agg_delta(
-            pre, post, self.group_cols, self.measures, scale=self.scale
-        )
-        # the delta is group-cardinality-sized but its subtree reads
-        # state buckets twice; downstream actions (bucket scan, state
-        # apply's own scan, the write) would each re-evaluate it —
-        # checkpoint once, then every consumer reads the tiny result
-        delta = delta.localCheckpoint(eager=False)
         self._merge_delta(delta)
         return v_new
 
