@@ -55,18 +55,38 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+def normalize_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Canonicalize event-time columns to TIMESTAMP (with local tz).
+
+    The driver's events.parquet stores TIMESTAMP(NANOS); depending on
+    how the session was built, Spark surfaces it as either
+
+    - ``bigint`` (``spark.sql.legacy.parquet.nanosAsLong=true`` set at
+      session build — our own sessions), or
+    - ``timestamp_ntz`` (pyspark 4.1 default read path — the driver's
+      session; the legacy conf is a no-op when set post-startup).
+
+    Watermarks/stream-stream joins require TIMESTAMP, so both shapes
+    are converted here. With session tz pinned to UTC
+    (``ensure_session_confs``) the NTZ→LTZ cast preserves wall-clock
+    values, so results stay comparable to the UTC-naive DuckDB oracle.
+    Integer DIV keeps full precision on the bigint path; a double
+    division would not (epoch-nanos exceeds 2^53).
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long
-    # (spark.sql.legacy.parquet.nanosAsLong) — convert to a real
-    # timestamp at microsecond precision (matches DuckDB's ns→us cast).
-    # Integer DIV keeps full precision; a double division would not
-    # (epoch-nanos exceeds 2^53).
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return normalize_event_time(df, "ts")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

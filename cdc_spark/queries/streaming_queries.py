@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_spark.catalog import load_table, table_path
+from cdc_spark.catalog import load_table, normalize_event_time, table_path
 from cdc_spark.queries.base import dsum_sql, register
 from cdc_spark.streaming.pipeline import (
     sessionized_counts,
@@ -40,9 +40,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .parquet(stream_dir)
     )
-    # same nanos→timestamp conversion the batch catalog applies
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # same bigint/timestamp_ntz → TIMESTAMP canonicalization the batch
+    # catalog applies (watermarks reject TIMESTAMP_NTZ event time)
+    raw = normalize_event_time(raw, "ts")
     assert raw.schema == batch.schema
     return raw
 

@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_spark.catalog import normalize_event_time
 from cdc_spark.cdc.envelope import parse_pgoutput_json, parse_wal2json
 from cdc_spark.cdc.registry import SchemaRegistry
 from cdc_spark.streaming.state import BucketedStateTable, _fsync_replace
@@ -196,6 +197,7 @@ def windowed_agg(
     value_col: str = "value",
 ) -> DataFrame:
     """Tumbling/sliding window counts+sums with late-data watermark."""
+    stream = normalize_event_time(stream, ts_col)
     win = (
         F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     )
@@ -221,6 +223,7 @@ def sessionized_counts(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Session windows (gap-merged) per key."""
+    stream = normalize_event_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap), *key_cols)
@@ -243,6 +246,7 @@ def stream_dedup(
 ) -> DataFrame:
     """At-least-once → effectively-once: drop duplicate keys within the
     watermark horizon (bounded state, unlike global dropDuplicates)."""
+    stream = normalize_event_time(stream, ts_col)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

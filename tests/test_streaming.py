@@ -381,3 +381,53 @@ def test_stream_stream_interval_join_matches_batch(spark):
         r.user_id: r.n_pairs for r in q26_range_join(spark, sf).collect()
     }
     assert stream_out == batch_out and stream_out
+
+
+def test_watermark_accepts_timestamp_ntz_event_time(spark):
+    """The driver's session reads parquet TIMESTAMP(NANOS) as
+    TIMESTAMP_NTZ (pyspark 4.1 default; the nanosAsLong legacy conf is
+    a no-op when set post-startup), which withWatermark rejects
+    outright. normalize_event_time must canonicalize NTZ → TIMESTAMP so
+    every watermark-bearing operator still runs — regression for the
+    round-3 st02/st03/st07 gate failures."""
+    rows = [
+        (1, "2024-01-01 00:05:00", 1.0),
+        (1, "2024-01-01 00:06:00", 1.0),  # dup key for dedup path
+        (2, "2024-01-01 00:55:00", 2.0),
+        (3, "2024-01-01 01:05:00", 4.0),
+    ]
+    base = spark.createDataFrame(rows, "id long, ts string, value double")
+    ntz = base.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    d = tempfile.mkdtemp()
+    ntz.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ntz.schema).parquet(d)
+    assert dict(stream.dtypes)["ts"] == "timestamp_ntz"
+
+    def run(df, mode):
+        name = f"ntz_{uuid.uuid4().hex[:8]}"
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    # windowed agg (st01/st02-shaped), session windows, and
+    # dropDuplicatesWithinWatermark (st03-shaped) all watermark on ts
+    agg = {
+        str(r.window_start): (r.n, r.total_value)
+        for r in run(windowed_agg(stream, "ts", "1 hour"), "complete")
+    }
+    assert agg["2024-01-01 00:00:00"] == (3, 4.0)
+    assert agg["2024-01-01 01:00:00"] == (1, 4.0)
+
+    sessions = run(
+        sessionized_counts(stream, "ts", "10 minutes", ["id"]), "complete"
+    )
+    assert {(r.id, r.n_events) for r in sessions} == {(1, 2), (2, 1), (3, 1)}
+
+    deduped = run(stream_dedup(stream, ["id"], "ts"), "append")
+    assert sorted(r.id for r in deduped) == [1, 2, 3]
