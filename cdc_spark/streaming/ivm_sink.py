@@ -31,6 +31,7 @@ post-truncate survivors.
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +39,7 @@ from pyspark.sql import functions as F
 from cdc_spark.cdc.ivm import (
     agg_delta,
     agg_delta_from_batch,
+    base_agg,
     finish_agg,
     merge_agg,
 )
@@ -93,6 +95,9 @@ class IncrementalAggregate:
         from cdc_spark.cdc.merge import apply_changes
 
         st = self.state
+        v_cur = st.current_version()
+        self._sync_with_state(v_cur)
+
         ch = changes.withColumn(_BUCKET, st._bucket_expr())
         info = ch.agg(
             F.collect_set(F.col(_BUCKET)).alias("bs"),
@@ -100,10 +105,9 @@ class IncrementalAggregate:
         ).first()
         touched = sorted(info["bs"] or ())
         if not touched:
-            return st.current_version()
+            return v_cur
         any_t = bool(info["has_t"])
         touched_info = (set(touched), any_t)
-        v_cur = st.current_version()
 
         if any_t:
             # truncate: every key dies — O(state) by necessity. Compute
@@ -122,6 +126,16 @@ class IncrementalAggregate:
             delta = agg_delta(
                 pre, post, self.group_cols, self.measures, scale=self.scale
             )
+            delta = delta.localCheckpoint(eager=False)
+            v_new = st.apply(
+                changes,
+                payload,
+                lsn_col=lsn_col,
+                op_col=op_col,
+                touched_info=touched_info,
+            )
+            self._merge_delta(delta, row_version=v_new)
+            return v_new
         else:
             # common path: ONE fold computes both sides of the delta.
             # Pre-images come from a bucket-pruned read semi-joined to
@@ -150,23 +164,113 @@ class IncrementalAggregate:
                 scale=self.scale,
             )
         # the delta is group-cardinality-sized but its subtree reads
-        # the pre-image buckets twice (pre contributions + post's
-        # apply base); downstream actions (agg bucket scan, the two
-        # writes) would each re-evaluate it — checkpoint once, then
-        # every consumer reads the tiny result. Lazy: it materializes
-        # on first use, against v_cur's immutable files.
-        delta = delta.localCheckpoint(eager=False)
-        v_new = st.apply(
-            changes,
-            payload,
-            lsn_col=lsn_col,
-            op_col=op_col,
-            touched_info=touched_info,
-        )
-        self._merge_delta(delta)
+        # the pre-image buckets; downstream actions (agg bucket scan,
+        # the writes) would each re-evaluate it — checkpoint once, then
+        # every consumer reads the tiny result. The checkpoint reads
+        # v_cur's immutable files, so it is independent of the row-state
+        # write: its analysis + materialization run in a worker thread
+        # CONCURRENTLY with the row-state apply (Spark schedules jobs
+        # from separate threads fine), overlapping the two dominant
+        # per-batch latencies — Catalyst analysis of the fold plan and
+        # the bucket-rewrite write job — instead of paying them
+        # serially.
+        def _materialize_delta():
+            d = delta.localCheckpoint(eager=False)
+            return d, self._delta_buckets(d)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_materialize_delta)
+            v_new = st.apply(
+                changes,
+                payload,
+                lsn_col=lsn_col,
+                op_col=op_col,
+                touched_info=touched_info,
+            )
+            delta_ck, bucket_ids = fut.result()
+        self._merge_delta(delta_ck, row_version=v_new, bucket_ids=bucket_ids)
         return v_new
 
-    def _merge_delta(self, delta: DataFrame) -> None:
+    # --- agg/state consistency ---------------------------------------
+    def _sync_with_state(self, v_cur: int | None) -> None:
+        """Bring the aggregate up to the row state's current version.
+
+        The row state and the aggregate are two tables with no shared
+        commit, so a crash (or a failed batch) between the row-state
+        commit and the aggregate merge must not leave the aggregate
+        silently stale forever. Every aggregate version records the
+        row-state version it reflects (``row_version``); on divergence
+        the missed transitions are replayed as one pre/post diff of
+        exactly the buckets those transitions touched (the state
+        manifests record them) — O(missed touched buckets), not
+        O(state). Replaying a batch whose effects are already in the
+        row state then folds a zero delta, so the combination gives
+        effectively-once aggregate maintenance on top of an
+        at-least-once stream."""
+        v_agg = self.table.current_version()
+        if v_agg is None:
+            if v_cur is not None:
+                # adopting an existing row state: backfill the aggregate
+                # with a one-time full aggregation (cold start only)
+                content = base_agg(
+                    self.state.read(version=v_cur),
+                    self.group_cols,
+                    self.measures,
+                    scale=self.scale,
+                )
+                self.table.overwrite_buckets(
+                    content,
+                    range(self.table.n_buckets),
+                    extra_meta={"row_version": v_cur},
+                )
+            return
+        rv = self.table._load_manifest(v_agg).get("row_version")
+        if rv == v_cur or v_cur is None:
+            return
+        try:
+            missed: set[int] = set()
+            start = rv + 1 if rv is not None else v_cur + 1
+            for w in range(start, v_cur + 1):
+                missed |= {int(b) for b in self.state._load_manifest(w)["touched"]}
+            pre = (
+                self.state.read_buckets(sorted(missed), version=rv)
+                if rv is not None
+                else None
+            )
+            post = self.state.read_buckets(sorted(missed), version=v_cur)
+        except FileNotFoundError:
+            # the pre version was garbage-collected: rebuild outright
+            content = base_agg(
+                self.state.read(version=v_cur),
+                self.group_cols,
+                self.measures,
+                scale=self.scale,
+            )
+            self.table.overwrite_buckets(
+                content,
+                range(self.table.n_buckets),
+                extra_meta={"row_version": v_cur},
+            )
+            return
+        delta = agg_delta(
+            pre, post, self.group_cols, self.measures, scale=self.scale
+        ).localCheckpoint(eager=False)
+        self._merge_delta(delta, row_version=v_cur)
+
+    def _delta_buckets(self, delta: DataFrame) -> list[int]:
+        """Materialize the (checkpointed) delta and return the agg
+        buckets it lands in — the one job that forces the checkpoint."""
+        dd = delta.withColumn(_BUCKET, self.table._bucket_expr())
+        binfo = dd.agg(F.collect_set(F.col(_BUCKET)).alias("bs")).first()
+        return sorted(binfo["bs"] or ())
+
+    def _merge_delta(
+        self,
+        delta: DataFrame,
+        *,
+        row_version: int | None,
+        bucket_ids: list[int] | None = None,
+    ) -> None:
         """Fold a per-group delta into the stored aggregate.
 
         The touched agg buckets' new content is computed directly —
@@ -177,10 +281,14 @@ class IncrementalAggregate:
         gc = self.group_cols
         at = self.table
         v_agg = at.current_version()
-        dd = delta.withColumn(_BUCKET, at._bucket_expr())
-        binfo = dd.agg(F.collect_set(F.col(_BUCKET)).alias("bs")).first()
-        bucket_ids = sorted(binfo["bs"] or ())
+        if bucket_ids is None:
+            bucket_ids = self._delta_buckets(delta)
+        meta = {"row_version": row_version}
         if not bucket_ids:
+            # nothing to fold, but the row_version watermark must still
+            # advance or every later apply would re-diff these versions
+            if v_agg is not None:
+                at.commit_meta(meta, version=v_agg)
             return
         groups = delta.select(*gc)
         if v_agg is None:
@@ -190,7 +298,9 @@ class IncrementalAggregate:
             affected = bucket_rows.join(groups, on=gc, how="left_semi")
             keep = bucket_rows.join(groups, on=gc, how="left_anti")
             content = keep.unionByName(merge_agg(affected, delta, gc))
-        at.overwrite_buckets(content, bucket_ids, version=v_agg)
+        at.overwrite_buckets(
+            content, bucket_ids, version=v_agg, extra_meta=meta
+        )
 
     # -----------------------------------------------------------------
     def read(

@@ -169,19 +169,24 @@ class BucketedStateTable:
             for b, rel in man["buckets"].items()
             if b in wanted
         ]
+        return self._read_dirs(man, dirs)
+
+    def _read_dirs(self, man: dict, dirs: list[str]) -> DataFrame:
+        schema = StructType.fromJson(man["schema"])
         if not dirs:
-            schema = StructType.fromJson(man["schema"])
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # The manifest records the table's current schema, so the scan
+        # needs no footer-based inference (one listing+schema job per
+        # read saved — that fixed cost dominates small micro-batch
+        # applies). Buckets inherited from before a schema evolution
+        # may lack newer columns; an explicit user schema makes the
+        # parquet reader fill those with null, which is exactly what
+        # mergeSchema=true derived by scanning every footer.
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     def _read_manifest(self, man: dict) -> DataFrame:
         dirs = [os.path.join(self.path, rel) for rel in man["buckets"].values()]
-        if not dirs:
-            schema = StructType.fromJson(man["schema"])
-            return self.spark.createDataFrame([], schema)
-        # mergeSchema: buckets inherited across versions may predate a
-        # schema evolution; missing columns read as null
-        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return self._read_dirs(man, dirs)
 
     # --- incremental apply -------------------------------------------
 
@@ -219,19 +224,16 @@ class BucketedStateTable:
         if any_t:
             touched = set(range(self.n_buckets))
 
-        prev_buckets: dict[str, str] = {}
         base = None
         if v_cur is not None:
-            prev_buckets = self._load_manifest(v_cur)["buckets"]
+            man = self._load_manifest(v_cur)
             base_dirs = [
                 os.path.join(self.path, rel)
-                for b, rel in prev_buckets.items()
+                for b, rel in man["buckets"].items()
                 if int(b) in touched
             ]
             if base_dirs:
-                base = self.spark.read.option("mergeSchema", "true").parquet(
-                    *base_dirs
-                )
+                base = self._read_dirs(man, base_dirs)
 
         if len(touched) < self.n_buckets:
             ch = ch.where(F.col(_BUCKET).isin([int(b) for b in touched]))
@@ -250,19 +252,57 @@ class BucketedStateTable:
         return self._commit_new_version(new_state, touched, v_cur)
 
     def overwrite_buckets(
-        self, new_rows: DataFrame, bucket_ids, *, version: int | None = None
+        self,
+        new_rows: DataFrame,
+        bucket_ids,
+        *,
+        version: int | None = None,
+        extra_meta: dict | None = None,
     ) -> int:
         """Replace the content of the named buckets with ``new_rows``
         (which must contain only keys hashing into those buckets);
         untouched buckets are inherited. The fast path for callers
-        that already computed the buckets' final rows — no merge."""
+        that already computed the buckets' final rows — no merge.
+        ``extra_meta`` lands in the new version's manifest (e.g. the
+        row-state version a derived aggregate reflects)."""
         v_cur = self.current_version() if version is None else version
         return self._commit_new_version(
-            new_rows, {int(b) for b in bucket_ids}, v_cur
+            new_rows, {int(b) for b in bucket_ids}, v_cur, extra_meta
         )
 
+    def commit_meta(self, extra_meta: dict, *, version: int | None = None) -> int:
+        """Metadata-only commit: a new version inheriting every bucket
+        unchanged, with ``extra_meta`` merged into the manifest. No
+        Spark job — pure manifest/pointer work."""
+        v_cur = self.current_version() if version is None else version
+        if v_cur is None:
+            raise ValueError("commit_meta requires an existing version")
+        prev = self._load_manifest(v_cur)
+        v_new = v_cur + 1
+        os.makedirs(self._version_dir(v_new), exist_ok=True)
+        manifest = {
+            "version": v_new,
+            "n_buckets": self.n_buckets,
+            "keys": self.keys,
+            "schema": prev["schema"],
+            "buckets": prev["buckets"],
+            "touched": [],
+        }
+        manifest.update(extra_meta)
+        _fsync_replace(
+            self._manifest_path(v_new) + ".tmp",
+            self._manifest_path(v_new),
+            json.dumps(manifest, indent=1),
+        )
+        self._commit_pointer(v_cur, v_new)
+        return v_new
+
     def _commit_new_version(
-        self, new_state: DataFrame, touched: set, v_cur: int | None
+        self,
+        new_state: DataFrame,
+        touched: set,
+        v_cur: int | None,
+        extra_meta: dict | None = None,
     ) -> int:
         prev_buckets: dict[str, str] = {}
         if v_cur is not None:
@@ -297,6 +337,8 @@ class BucketedStateTable:
             "buckets": buckets,
             "touched": sorted(touched),
         }
+        if extra_meta:
+            manifest.update(extra_meta)
         # manifest lands before the pointer: a crash in between leaves
         # a complete, unreferenced version that recovery may adopt
         _fsync_replace(

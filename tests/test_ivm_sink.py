@@ -183,3 +183,65 @@ def test_pipeline_attach_aggregate(spark, tmp_path):
         (r["seg"], r["n_rows"], r["bal_sum"]) for r in agg.read().collect()
     )
     assert rows == [("gold", 1, 12.0)]
+
+
+def test_resync_after_state_only_commit(spark, tmp_path):
+    """Crash consistency: a row-state commit whose aggregate merge never
+    ran (crash between the two) must be caught up on the next apply —
+    the aggregate records the row-state version it reflects and replays
+    the missed transitions as a bucket-pruned pre/post diff."""
+    inc = _mk(spark, tmp_path)
+    inc.apply(
+        spark.createDataFrame(
+            [("c", 1, 1, "a", 1.0), ("c", 2, 2, "b", 2.0)], SCHEMA
+        ),
+        PAYLOAD,
+    )
+    # simulate the crash: apply a batch to the ROW STATE ONLY
+    inc.state.apply(
+        spark.createDataFrame(
+            [("u", 3, 1, "a", 10.0), ("c", 4, 3, "b", 5.0)], SCHEMA
+        ),
+        PAYLOAD,
+    )
+    assert _agg_rows(inc) != _recompute(inc)  # agg is stale right now
+    # next apply must first resync, then fold its own batch
+    inc.apply(
+        spark.createDataFrame([("c", 5, 4, "c", 7.0)], SCHEMA), PAYLOAD
+    )
+    assert _agg_rows(inc) == _recompute(inc)
+
+
+def test_replayed_batch_folds_zero_delta(spark, tmp_path):
+    """At-least-once replay: re-applying a fully committed batch leaves
+    the aggregate unchanged (the delta computes against pre-images that
+    already include the batch, so it cancels)."""
+    inc = _mk(spark, tmp_path)
+    b1 = [("c", 1, 1, "a", 1.0), ("c", 2, 2, "b", 2.0)]
+    b2 = [("u", 3, 1, "a", 4.0), ("d", 4, 2, None, None)]
+    inc.apply(spark.createDataFrame(b1, SCHEMA), PAYLOAD)
+    inc.apply(spark.createDataFrame(b2, SCHEMA), PAYLOAD)
+    want = _agg_rows(inc)
+    inc.apply(spark.createDataFrame(b2, SCHEMA), PAYLOAD)  # replay
+    assert _agg_rows(inc) == want
+    assert _agg_rows(inc) == _recompute(inc)
+
+
+def test_adopt_existing_state_backfills(spark, tmp_path):
+    """Attaching an IncrementalAggregate to a row state that already
+    has data must backfill the aggregate before folding deltas."""
+    st = BucketedStateTable(spark, str(tmp_path / "rows"), ["k"], n_buckets=8)
+    st.apply(
+        spark.createDataFrame(
+            [("c", 1, 1, "a", 1.0), ("c", 2, 2, "a", 2.0)], SCHEMA
+        ),
+        PAYLOAD,
+    )
+    inc = IncrementalAggregate(
+        st, str(tmp_path / "agg"), ["grp"], {"sum_v": F.col("v")}, n_buckets=4
+    )
+    inc.apply(
+        spark.createDataFrame([("c", 3, 3, "b", 9.0)], SCHEMA), PAYLOAD
+    )
+    assert _agg_rows(inc) == [("a", 2, 3.0), ("b", 1, 9.0)]
+    assert _agg_rows(inc) == _recompute(inc)
