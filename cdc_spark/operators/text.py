@@ -274,3 +274,74 @@ def redact_pii(col: str | Column):
     for kind in ("EMAIL", "IP", "PHONE"):
         c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind}>")
     return c
+
+
+def chunk_rows(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_size: int = 32,
+    stride: int = 24,
+):
+    """Token-window chunking: one row per (doc, chunk) with an
+    overlapping stride — the standard pre-training/RAG document split.
+
+    Chunk j starts at token ``1 + j*stride`` and spans up to
+    ``chunk_size`` tokens; every document yields at least one chunk
+    (short docs produce a single short chunk). All expressions are
+    codegen'd (sequence + explode + slice); the fan-out is bounded by
+    total corpus tokens / stride, and no shuffle is introduced — the
+    chunk rows inherit the scan's partitioning, so a downstream
+    repartition is the consumer's choice.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("__t"), F.lit(1)), F.lit(stride))
+    )
+    chunk = F.slice(F.col("__t"), F.col("__i"), chunk_size)
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), F.col("__t"), starts.alias("__i"))
+        .select(
+            F.col(id_col),
+            (((F.col("__i") - 1) / stride).cast("long")).alias("chunk_idx"),
+            F.col("__i").cast("long").alias("start_token"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )
+
+
+def contamination_overlap(
+    train_df,
+    probe_df,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    probe_id_alias: str = "probe_id",
+):
+    """Benchmark decontamination: per train doc, how many distinct
+    k-gram shingles it shares with the probe (benchmark) corpus, and
+    with how many distinct probe docs.
+
+    Scale shape: an inverted-index equi-join on the shingle — each
+    side is (id, distinct shingle) rows, shuffled once on the shingle;
+    cost is O(shared-shingle pairs), never all-pairs. At 100 TB, join
+    on ``xxhash64(shingle)`` instead of the raw string to shrink the
+    shuffle key, and drop shingles whose probe-side document frequency
+    exceeds a cap (boilerplate phrases) to bound skew — both are
+    pre-join projections that do not change the candidate set for
+    natural-language k >= 5.
+    """
+    train = shingle_rows(train_df, text_col, id_col, k=k, distinct=True)
+    probe = shingle_rows(probe_df, text_col, id_col, k=k, distinct=True)
+    probe = probe.select(
+        F.col(id_col).alias(probe_id_alias), F.col("shingle")
+    )
+    joined = train.join(probe, on="shingle")
+    return joined.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_overlap_ngrams"),
+        F.countDistinct(probe_id_alias).alias("n_probe_docs"),
+    )

@@ -75,3 +75,39 @@ def gap_fill_locf(
         .otherwise(F.lit(1))
         .alias("is_observed"),
     )
+
+
+def downsample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    bucket: str = "hour",
+    order_cols: Sequence[str] = (),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Downsample an irregular series to per-bucket OHLC bars
+    (open/high/low/close + count) — the standard resample for metric
+    and market-style event streams.
+
+    ``order_cols`` breaks timestamp ties deterministically (pass a
+    unique id). One hash shuffle on (groups, bucket); open/close come
+    from ``min_by``/``max_by`` over a struct-ordered key, so the whole
+    aggregation is a single map-side-combined hash aggregate — no
+    window sort of the raw series.
+    """
+    keys = [F.col(c) for c in group_cols]
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    v = F.col(value_col)
+    return df.groupBy(b, *keys).agg(
+        F.round(F.expr(f"min_by({value_col}, struct({ts_col}"
+                       + "".join(f", {c}" for c in order_cols) + "))"),
+                round_digits).alias("open"),
+        F.round(F.max(v), round_digits).alias("high"),
+        F.round(F.min(v), round_digits).alias("low"),
+        F.round(F.expr(f"max_by({value_col}, struct({ts_col}"
+                       + "".join(f", {c}" for c in order_cols) + "))"),
+                round_digits).alias("close"),
+        F.count("*").alias("n_obs"),
+    )

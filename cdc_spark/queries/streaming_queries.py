@@ -530,3 +530,103 @@ def st09_stream_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_type").alias("last_type"), "n_users", "sum_value"
     )
+
+
+@register(
+    "st10_stream_outer_join",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    cut AS (
+        SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+               - INTERVAL 70 MINUTE AS cutoff
+    ),
+    j AS (
+        SELECT c.user_id, c.click_id, p.pts
+        FROM c CROSS JOIN cut
+        LEFT JOIN p
+          ON c.user_id = p.user_id
+         AND p.pts >= c.cts
+         AND p.pts <= c.cts + INTERVAL 5 MINUTE
+        WHERE c.cts <= cut.cutoff
+    )
+    SELECT user_id,
+           COUNT(pts) AS n_pairs,
+           COUNT(DISTINCT CASE WHEN pts IS NULL THEN click_id END)
+               AS n_unmatched
+    FROM j GROUP BY user_id
+    """,
+    note="REAL stream-stream LEFT OUTER interval join: unmatched "
+    "clicks emit with nulls once the watermark passes their join "
+    "horizon (state eviction -> no-data batch emission). Both engine "
+    "output and oracle are restricted to clicks a safe margin below "
+    "the final watermark, where outer emission is guaranteed and "
+    "boundary semantics cannot differ",
+    tags=("streaming", "join", "outer"),
+)
+def st10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr("INTERVAL 5 MINUTES")
+        ),
+        "left_outer",
+    )
+    out = _run_to_memory(
+        joined.select("user_id", "click_id", "click_ts", "purchase_ts"),
+        "append",
+    )
+    # same cutoff the oracle applies: min(last click, last purchase)
+    # minus watermark delay minus a 10-minute safety margin — below it
+    # every click's outer result is guaranteed emitted
+    batch = load_table(spark, sf_dir, "events")
+    cut = (
+        batch.agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(
+                        F.when(F.col("event_type") == "purchase", F.col("ts"))
+                    ),
+                )
+                - F.expr("INTERVAL 70 MINUTES")
+            ).alias("cutoff")
+        )
+    )
+    kept = out.crossJoin(F.broadcast(cut)).where(
+        F.col("click_ts") <= F.col("cutoff")
+    )
+    return kept.groupBy("user_id").agg(
+        F.count("purchase_ts").alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("purchase_ts").isNull(), F.col("click_id"))
+        ).alias("n_unmatched"),
+    )

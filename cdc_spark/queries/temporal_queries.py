@@ -331,3 +331,45 @@ def q59_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="event_id",
         bucket="hour",
     )
+
+
+@register(
+    "q60_ohlc_downsample",
+    oracle="""
+    WITH r AS (
+        SELECT date_trunc('hour', ts) AS bucket_ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT bucket_ts, event_type,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_obs
+    FROM r GROUP BY bucket_ts, event_type
+    """,
+    note="time-series downsample to hourly OHLC bars: single hash "
+    "aggregate with min_by/max_by over a (ts, event_id) struct order "
+    "— no window sort of the raw series (the oracle uses the "
+    "row_number formulation; results are identical because the "
+    "tie-break is total)",
+    tags=("temporal", "downsample", "ohlc"),
+)
+def q60_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.timeseries import downsample_ohlc
+
+    events = load_table(spark, sf_dir, "events")
+    return downsample_ohlc(
+        events,
+        "ts",
+        "value",
+        group_cols=["event_type"],
+        bucket="hour",
+        order_cols=["event_id"],
+    )

@@ -434,3 +434,63 @@ def tx10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_emails"),
     )
+
+
+@register(
+    "tx11_decontamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(l) - 4, 0)),
+                   i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ),
+    probe AS (
+        SELECT DISTINCT doc_id AS probe_id, shingle
+        FROM sh WHERE doc_id % 17 = 0
+    ),
+    train AS (SELECT * FROM sh WHERE doc_id % 17 <> 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.shingle) AS n_overlap_ngrams,
+           COUNT(DISTINCT p.probe_id) AS n_probe_docs
+    FROM train t JOIN probe p USING (shingle)
+    GROUP BY t.doc_id
+    """,
+    note="benchmark decontamination: 5-gram shingle overlap between "
+    "the training split and a probe (benchmark) split via an "
+    "inverted-index equi-join on the shingle — O(shared-shingle "
+    "pairs), never all-pairs; at 100 TB join on xxhash64(shingle) and "
+    "cap probe-side shingle document frequency to bound skew",
+    tags=("text", "dedup", "decontamination"),
+)
+def tx11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return contamination_overlap(train, probe, "text", "doc_id", k=5)
+
+
+@register(
+    "tx12_chunking",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           CAST((i - 1) // 24 AS BIGINT) AS chunk_idx,
+           CAST(i AS BIGINT) AS start_token,
+           CAST(len(l[i:i+31]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(l[i:i+31], ' ')) AS chunk_md5
+    FROM d, UNNEST(generate_series(1, greatest(len(l), 1), 24)) AS u(i)
+    """,
+    note="token-window chunking (size 32, stride 24): overlapping "
+    "pre-training/RAG chunks via sequence+explode+slice — all "
+    "codegen'd, fan-out bounded by corpus tokens / stride, no shuffle "
+    "(chunks inherit the scan's partitioning)",
+    tags=("text", "chunking"),
+)
+def tx12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import chunk_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_rows(docs, "text", "doc_id", chunk_size=32, stride=24)
