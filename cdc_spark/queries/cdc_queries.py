@@ -695,3 +695,83 @@ def cdc12_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@register(
+    "cdc14_txn_barrier",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE (o_orderkey % 101) % 9 <> 0
+    GROUP BY o_orderstatus
+    """,
+    note="transactional Begin/Commit barrier (main.go:352-366): data "
+    "ops buffer in a tx-bucketed pending pool until their COMMIT "
+    "marker arrives — including transactions whose commit lands in a "
+    "LATER micro-batch — and never-committed transactions stay "
+    "invisible; the admitted state equals a plain filter on the "
+    "committed-tx set",
+    tags=("cdc", "transaction", "state"),
+)
+def cdc14_txn_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.cdc.txn import TransactionalApply
+
+    orders = load_table(spark, sf_dir, "orders")
+    tx = (F.col("o_orderkey") % 101).cast("long")
+    data = orders.select(
+        F.lit("c").alias("op"),
+        F.col("o_orderkey").alias("lsn"),
+        tx.alias("tx_id"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    committed = (
+        data.select("tx_id")
+        .distinct()
+        .where(F.col("tx_id") % 9 != 0)
+    )
+    commit_rows = committed.select(
+        F.lit("C").alias("op"),
+        (F.col("tx_id") + 10_000_000).alias("lsn"),
+        "tx_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    # WAL-ordered batching: a COMMIT never precedes its data. Batch 1
+    # carries tx_id < 50's data but only the EVEN committed markers;
+    # the odd ones commit in batch 2 — the cross-batch buffering case.
+    applier = TransactionalApply(
+        spark,
+        tempfile.mkdtemp(prefix="cdc14_target_"),
+        tempfile.mkdtemp(prefix="cdc14_pending_"),
+        ["o_orderkey"],
+        ["o_custkey", "o_totalprice", "o_orderstatus"],
+        n_buckets=16,
+    )
+    b1 = data.where(F.col("tx_id") < 50).unionByName(
+        commit_rows.where((F.col("tx_id") < 50) & (F.col("tx_id") % 2 == 0))
+    )
+    b2 = data.where(F.col("tx_id") >= 50).unionByName(
+        commit_rows.where((F.col("tx_id") >= 50) | (F.col("tx_id") % 2 != 0))
+    )
+    applier.apply_batch(b1)
+    applier.apply_batch(b2)
+    return (
+        applier.state()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
