@@ -92,10 +92,15 @@ def downsample_ohlc(
     and market-style event streams.
 
     ``order_cols`` breaks timestamp ties deterministically (pass a
-    unique id). One hash shuffle on (groups, bucket); open/close come
-    from ``min_by``/``max_by`` over a struct-ordered key, so the whole
-    aggregation is a single map-side-combined hash aggregate — no
-    window sort of the raw series.
+    unique id). Plan shape: a two-phase aggregate whose partial side
+    runs per input partition and ships only group-cardinality rows
+    through the exchange. The struct-ordered ``min_by``/``max_by``
+    buffer is not a fixed-width type, so Spark plans SortAggregate
+    rather than HashAggregate — but the sort is on the GROUP KEY only
+    and happens map-side before any shuffle. The alternative
+    row_number-window formulation would instead Exchange every raw
+    row and sort within partitions; at 100 TB the agg formulation
+    moves orders of magnitude less data.
     """
     keys = [F.col(c) for c in group_cols]
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")

@@ -354,11 +354,12 @@ def q59_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_obs
     FROM r GROUP BY bucket_ts, event_type
     """,
-    note="time-series downsample to hourly OHLC bars: single hash "
+    note="time-series downsample to hourly OHLC bars: one two-phase "
     "aggregate with min_by/max_by over a (ts, event_id) struct order "
-    "— no window sort of the raw series (the oracle uses the "
-    "row_number formulation; results are identical because the "
-    "tie-break is total)",
+    "— only group-cardinality partials cross the exchange, vs the "
+    "row_number formulation which would shuffle every raw row (the "
+    "oracle uses it; results are identical because the tie-break is "
+    "total)",
     tags=("temporal", "downsample", "ohlc"),
 )
 def q60_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
