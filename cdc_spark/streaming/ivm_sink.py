@@ -85,6 +85,7 @@ class IncrementalAggregate:
         *,
         lsn_col: str = "lsn",
         op_col: str = "op",
+        batch_id: int | None = None,
     ) -> int | None:
         """Apply one change batch to the row state AND the aggregate.
 
@@ -96,6 +97,16 @@ class IncrementalAggregate:
 
         st = self.state
         v_cur = st.current_version()
+        if (
+            batch_id is not None
+            and v_cur is not None
+            and st._load_manifest(v_cur).get("batch_id") == batch_id
+        ):
+            # exactly-once replay skip: the row state already has this
+            # epoch; _sync catches the aggregate up if its merge was
+            # the part that crashed
+            self._sync_with_state(v_cur)
+            return v_cur
         self._sync_with_state(v_cur)
 
         ch = changes.withColumn(_BUCKET, st._bucket_expr())
@@ -133,6 +144,7 @@ class IncrementalAggregate:
                 lsn_col=lsn_col,
                 op_col=op_col,
                 touched_info=touched_info,
+                batch_id=batch_id,
             )
             self._merge_delta(delta, row_version=v_new)
             return v_new
@@ -186,6 +198,7 @@ class IncrementalAggregate:
                 lsn_col=lsn_col,
                 op_col=op_col,
                 touched_info=touched_info,
+                batch_id=batch_id,
             )
             delta_ck, bucket_ids = fut.result()
         self._merge_delta(delta_ck, row_version=v_new, bucket_ids=bucket_ids)

@@ -157,10 +157,14 @@ class CdcStreamPipeline:
         typed = self.registry.materialize(
             self._parse(raw_batch), self.schema, self.table
         )
+        # epoch id recorded in the committed manifest → a replayed
+        # micro-batch (crash between sink commit and checkpoint commit)
+        # is recognized and skipped: exactly-once apply over the
+        # at-least-once stream
         if self.aggregate is not None:
-            self.aggregate.apply(typed, self.payload)
+            self.aggregate.apply(typed, self.payload, batch_id=epoch_id)
         else:
-            self.state.apply(typed, self.payload)
+            self.state.apply(typed, self.payload, batch_id=epoch_id)
 
     def start(
         self,

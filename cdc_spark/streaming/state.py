@@ -198,12 +198,26 @@ class BucketedStateTable:
         lsn_col: str = "lsn",
         op_col: str = "op",
         touched_info: tuple[set, bool] | None = None,
+        batch_id: int | None = None,
     ) -> int | None:
         """Merge one batch of typed changes; rewrite only touched
         buckets. Returns the new version (or the current one for an
         empty batch). ``touched_info=(bucket_ids, has_truncate)`` lets
-        a caller that already scanned the batch skip the scan here."""
+        a caller that already scanned the batch skip the scan here.
+
+        ``batch_id`` (a foreachBatch epoch id) upgrades at-least-once
+        replay to exactly-once apply: the committed manifest records
+        it, and re-applying the same id is a no-op — the replayed
+        batch after a crash between the sink commit and the stream's
+        checkpoint commit neither rewrites buckets nor burns a
+        version."""
         v_cur = self.current_version()
+        if (
+            batch_id is not None
+            and v_cur is not None
+            and self._load_manifest(v_cur).get("batch_id") == batch_id
+        ):
+            return v_cur
         ch = changes.withColumn(_BUCKET, self._bucket_expr())
 
         if touched_info is None:
@@ -249,7 +263,12 @@ class BucketedStateTable:
             may_truncate=any_t,
         )
 
-        return self._commit_new_version(new_state, touched, v_cur)
+        return self._commit_new_version(
+            new_state,
+            touched,
+            v_cur,
+            {"batch_id": batch_id} if batch_id is not None else None,
+        )
 
     def overwrite_buckets(
         self,

@@ -265,3 +265,52 @@ def test_concurrent_writer_detected_and_rolled_back(spark, table):
     assert not os.path.exists(table._version_dir(2))
     got = {r.id for r in table.read().collect()}
     assert got == {1}
+
+
+def test_batch_id_makes_replay_exactly_once(spark, tmp_path):
+    """A replayed foreachBatch epoch (same batch_id) must be a no-op:
+    no version bump, no bucket rewrite — even though the batch's
+    content would otherwise merge 'successfully' a second time."""
+    from pyspark.sql import functions as F
+
+    st = BucketedStateTable(spark, str(tmp_path / "eo"), ["k"], n_buckets=4)
+    b1 = spark.createDataFrame(
+        [("c", 1, 1, "a"), ("c", 2, 2, "b")], "op string, lsn long, k long, v string"
+    )
+    v1 = st.apply(b1, ["v"], batch_id=7)
+    assert st._load_manifest(v1)["batch_id"] == 7
+    v2 = st.apply(b1, ["v"], batch_id=7)  # replay
+    assert v2 == v1
+    # a NEW epoch with overlapping keys applies normally
+    b2 = spark.createDataFrame(
+        [("u", 3, 1, "a2")], "op string, lsn long, k long, v string"
+    )
+    v3 = st.apply(b2, ["v"], batch_id=8)
+    assert v3 == v1 + 1
+    got = sorted((r.k, r.v) for r in st.read().collect())
+    assert got == [(1, "a2"), (2, "b")]
+
+
+def test_batch_id_replay_skip_in_ivm_sink(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdc_spark.streaming.ivm_sink import IncrementalAggregate
+
+    st = BucketedStateTable(spark, str(tmp_path / "rows"), ["k"], n_buckets=4)
+    inc = IncrementalAggregate(
+        st, str(tmp_path / "agg"), ["g"], {"sum_v": F.col("v")}, n_buckets=2
+    )
+    b = spark.createDataFrame(
+        [("c", 1, 1, "x", 2.0), ("c", 2, 2, "x", 3.0)],
+        "op string, lsn long, k long, g string, v double",
+    )
+    v1 = inc.apply(b, ["g", "v"], batch_id=3)
+    rows1 = sorted(
+        (r.g, r.n_rows, r.sum_v) for r in inc.read().collect()
+    )
+    v2 = inc.apply(b, ["g", "v"], batch_id=3)  # replay
+    assert v2 == v1
+    rows2 = sorted(
+        (r.g, r.n_rows, r.sum_v) for r in inc.read().collect()
+    )
+    assert rows2 == rows1 == [("x", 2, 5.0)]
