@@ -775,3 +775,63 @@ def cdc14_txn_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "cdc15_replication_progress",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT DISTINCT user_id FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT (SELECT MAX(lsn) FROM ch) AS applied_lsn,
+           (SELECT COUNT(*) FROM live) AS n_live_rows,
+           3 AS n_batches
+    """,
+    note="replication-progress surface (main.go:61-74 standby acks): "
+    "the applied-LSN watermark is folded into the touched-bucket scan "
+    "at zero extra job cost and committed in every manifest; "
+    "progress() is pure manifest reads — the lag monitor never "
+    "launches a Spark job",
+    tags=("cdc", "monitoring", "state"),
+)
+def cdc15_replication_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events)
+    mx = changes.agg(F.max("lsn")).first()[0] or 0
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc15_state_"),
+        ["user_id"],
+        n_buckets=16,
+    )
+    bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    n_batches = 0
+    for lo, hi in bounds:
+        b = changes
+        if lo is not None:
+            b = b.where(F.col("lsn") > lo)
+        if hi is not None:
+            b = b.where(F.col("lsn") <= hi)
+        state.apply(b, ["event_type", "value"], batch_id=n_batches)
+        n_batches += 1
+    prog = state.replication_progress()
+    n_live = state.read().count()
+    return spark.createDataFrame(
+        [(int(prog["applied_lsn"]), n_live, n_batches)],
+        "applied_lsn long, n_live_rows long, n_batches int",
+    )

@@ -113,12 +113,13 @@ class IncrementalAggregate:
         info = ch.agg(
             F.collect_set(F.col(_BUCKET)).alias("bs"),
             F.max(F.col(op_col) == "t").alias("has_t"),
+            F.max(F.col(lsn_col)).alias("mx"),
         ).first()
         touched = sorted(info["bs"] or ())
         if not touched:
             return v_cur
         any_t = bool(info["has_t"])
-        touched_info = (set(touched), any_t)
+        touched_info = (set(touched), any_t, info["mx"])
 
         if any_t:
             # truncate: every key dies — O(state) by necessity. Compute

@@ -222,17 +222,25 @@ class BucketedStateTable:
 
         if touched_info is None:
             # one bounded 1-row job: which buckets does this batch
-            # touch, and does it truncate (truncate wipes every key, so
-            # every bucket is dirty)? A global aggregate — collect_set
-            # is capped at n_buckets — gets map-side partials and a
-            # single-row exchange, ~3x cheaper per micro-batch than a
-            # grouped shuffle.
+            # touch, does it truncate (truncate wipes every key, so
+            # every bucket is dirty), and what is its high LSN (the
+            # reference's standby ack position, main.go:61-74 — free
+            # here, folded into the same scan)? A global aggregate —
+            # collect_set is capped at n_buckets — gets map-side
+            # partials and a single-row exchange, ~3x cheaper per
+            # micro-batch than a grouped shuffle.
             info = ch.agg(
                 F.collect_set(F.col(_BUCKET)).alias("bs"),
                 F.max(F.col(op_col) == "t").alias("has_t"),
+                F.max(F.col(lsn_col)).alias("mx"),
             ).first()
-            touched_info = (set(info["bs"] or ()), bool(info["has_t"]))
+            touched_info = (
+                set(info["bs"] or ()),
+                bool(info["has_t"]),
+                info["mx"],
+            )
         touched, any_t = set(touched_info[0]), touched_info[1]
+        batch_max_lsn = touched_info[2] if len(touched_info) > 2 else None
         if not touched:
             return v_cur  # empty batch: no new version
         if any_t:
@@ -263,12 +271,42 @@ class BucketedStateTable:
             may_truncate=any_t,
         )
 
-        return self._commit_new_version(
-            new_state,
-            touched,
-            v_cur,
-            {"batch_id": batch_id} if batch_id is not None else None,
+        # applied-LSN watermark: the confirmed replication position
+        # (monotone across versions; the analog of the standby status
+        # update the reference sends every 10s)
+        prev_lsn = None
+        if v_cur is not None:
+            prev_lsn = self._load_manifest(v_cur).get("applied_lsn")
+        applied = max(
+            (x for x in (prev_lsn, batch_max_lsn) if x is not None),
+            default=None,
         )
+        meta: dict = {}
+        if batch_id is not None:
+            meta["batch_id"] = batch_id
+        if applied is not None:
+            meta["applied_lsn"] = applied
+        return self._commit_new_version(
+            new_state, touched, v_cur, meta or None
+        )
+
+    def replication_progress(self) -> dict | None:
+        """Confirmed replication position + commit metadata of the
+        current version — the engine's standby-status surface (the
+        reference acks its applied LSN upstream every 10s,
+        main.go:61-74; here the manifest IS the ack record). Pure
+        manifest reads, no Spark job."""
+        v = self.current_version()
+        if v is None:
+            return None
+        man = self._load_manifest(v)
+        return {
+            "version": v,
+            "applied_lsn": man.get("applied_lsn"),
+            "batch_id": man.get("batch_id"),
+            "n_buckets": man["n_buckets"],
+            "last_touched_buckets": man.get("touched", []),
+        }
 
     def overwrite_buckets(
         self,

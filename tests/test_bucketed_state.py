@@ -314,3 +314,28 @@ def test_batch_id_replay_skip_in_ivm_sink(spark, tmp_path):
         (r.g, r.n_rows, r.sum_v) for r in inc.read().collect()
     )
     assert rows2 == rows1 == [("x", 2, 5.0)]
+
+
+def test_replication_progress_tracks_applied_lsn(spark, tmp_path):
+    st = BucketedStateTable(spark, str(tmp_path / "prog"), ["k"], n_buckets=4)
+    assert st.replication_progress() is None
+    st.apply(
+        spark.createDataFrame(
+            [("c", 5, 1, "a"), ("c", 9, 2, "b")],
+            "op string, lsn long, k long, v string",
+        ),
+        ["v"],
+        batch_id=0,
+    )
+    p = st.replication_progress()
+    assert p["applied_lsn"] == 9 and p["batch_id"] == 0
+    # watermark is monotone even if a later batch carries older lsns
+    st.apply(
+        spark.createDataFrame(
+            [("u", 7, 1, "a2")], "op string, lsn long, k long, v string"
+        ),
+        ["v"],
+        batch_id=1,
+    )
+    p = st.replication_progress()
+    assert p["applied_lsn"] == 9 and p["batch_id"] == 1 and p["version"] == 2
