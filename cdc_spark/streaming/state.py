@@ -290,6 +290,51 @@ class BucketedStateTable:
             new_state, touched, v_cur, meta or None
         )
 
+    def vacuum(self, *, keep_last: int = 2) -> dict:
+        """Version GC: drop history beyond the last ``keep_last``
+        versions while never touching a file a retained manifest still
+        references.
+
+        Bucket inheritance makes naive deletion wrong: manifest vN may
+        point at ``vK/__bucket=i`` for K << N (the bucket was never
+        rewritten since), so a version directory stays pinned as long
+        as ANY retained manifest references it. Unreferenced, unretained
+        version directories (superseded bucket rewrites + aborted
+        writes) are removed whole. Time travel shrinks to the retained
+        window; the IVM sink's resync handles a vacuumed-away pre
+        version by falling back to a full rebuild. O(versions) driver
+        work, no Spark job.
+
+        Returns ``{"removed": [...], "kept": [...]}`` (version ints).
+        """
+        import shutil
+
+        v_cur = self.current_version()
+        if v_cur is None:
+            return {"removed": [], "kept": []}
+        versions = sorted(
+            int(n[1:])
+            for n in os.listdir(self.path)
+            if n.startswith("v") and n[1:].isdigit()
+        )
+        retained = [v for v in versions if v > v_cur - keep_last]
+        pinned: set[int] = set(retained)
+        for v in retained:
+            try:
+                man = self._load_manifest(v)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            for rel in man["buckets"].values():
+                head = rel.split("/", 1)[0]
+                if head.startswith("v") and head[1:].isdigit():
+                    pinned.add(int(head[1:]))
+        removed = []
+        for v in versions:
+            if v not in pinned:
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+                removed.append(v)
+        return {"removed": removed, "kept": sorted(pinned)}
+
     def replication_progress(self) -> dict | None:
         """Confirmed replication position + commit metadata of the
         current version — the engine's standby-status surface (the
