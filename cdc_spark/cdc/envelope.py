@@ -297,3 +297,105 @@ def parse_pgoutput_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
         )
         .alias("replica_identity"),
     )
+
+
+MAXWELL_SCHEMA = T.StructType(
+    [
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("commit", T.BooleanType()),
+        T.StructField("position", T.StringType()),
+        T.StructField("data", _MAP_SS),
+        T.StructField("old", _MAP_SS),
+    ]
+)
+
+_MAXWELL_TYPE_TO_OP = {
+    "insert": "c",
+    "update": "u",
+    "delete": "d",
+    "bootstrap-insert": "r",  # Maxwell's snapshot rows = Debezium 'r'
+    "truncate": "t",
+}
+
+
+def parse_maxwell(
+    raw: DataFrame,
+    value_col: str = "value",
+    lsn_col: str | None = None,
+    key_names: list[str] | None = None,
+) -> DataFrame:
+    """Parse Maxwell daemon JSON (the MySQL-binlog ecosystem's CDC
+    format: one row-change per document with ``database/table/type/
+    ts/xid/data/old``) → canonical change rows.
+
+    Dialect quirks handled here, not downstream:
+
+    - ``data`` is the full AFTER image on insert/update but the full
+      OLD image on delete (Maxwell has no after for deletes) — mapped
+      to the canonical before/after accordingly;
+    - ``old`` on updates carries ONLY the changed columns' previous
+      values (a partial before image): the canonical ``before`` is
+      ``data`` overlaid with ``old`` (map_concat right-biased), which
+      reconstructs the full pre-update row exactly;
+    - typed JSON values (numbers/bools) coerce to strings in the map,
+      matching the other dialects' string-typed canonical maps;
+    - ``lsn``: Maxwell's binlog ``position`` strings are not totally
+      ordered across files lexicographically, so the caller passes a
+      transport order (Kafka offset / file line) via ``lsn_col``;
+      fallback is the same partition/row bit-packing as wal2json.
+    - Unknown ``type`` values (DDL like table-create, bootstrap-start)
+      parse with null op → the dead-letter path, same permissive
+      policy as the other dialects.
+    """
+    doc = raw.withColumn("__e", F.from_json(F.col(value_col), MAXWELL_SCHEMA))
+    if lsn_col:
+        lsn_expr = F.col(lsn_col).cast("long")
+    else:
+        pid = F.shiftright(F.monotonically_increasing_id(), 33)
+        row = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        lsn_expr = F.shiftleft(pid, 43) + row
+    op_map = F.create_map(
+        *[F.lit(x) for kv in _MAXWELL_TYPE_TO_OP.items() for x in kv]
+    )
+    op = op_map[F.col("__e.type")]
+    data, old = F.col("__e.data"), F.col("__e.old")
+    before = (
+        F.when(op == "d", data)
+        .when(
+            (op == "u") & old.isNotNull(),
+            F.map_concat(
+                F.map_filter(data, lambda k, _: ~F.map_contains_key(old, k)),
+                old,
+            ),
+        )
+    )
+    after = F.when(op != "d", data)
+    if key_names:
+        img = F.coalesce(data, old)
+        key = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in key_names]),
+            F.array(*[F.try_element_at(img, F.lit(k)) for k in key_names]),
+        )
+    else:
+        key = F.lit(None).cast(_MAP_SS)
+    return doc.select(
+        op.alias("op"),
+        F.col("__e.database").alias("src_schema"),
+        F.col("__e.table").alias("src_table"),
+        lsn_expr.alias("lsn"),
+        F.col("__e.xid").alias("tx_id"),
+        F.timestamp_seconds(F.col("__e.ts")).alias("commit_ts"),
+        key.alias("key"),
+        before.alias("before"),
+        after.alias("after"),
+        F.lit(None).cast(_MAP_SS).alias("col_types"),
+        F.lit(None).cast("string").alias("origin"),
+        # delete's data / update's reconstructed old are full images
+        F.when(op.isin("d", "u") & before.isNotNull(), F.lit("O")).alias(
+            "replica_identity"
+        ),
+    )

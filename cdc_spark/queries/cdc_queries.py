@@ -835,3 +835,100 @@ def cdc15_replication_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(prog["applied_lsn"]), n_live, n_batches)],
         "applied_lsn long, n_live_rows long, n_batches int",
     )
+
+
+@register(
+    "cdc16_maxwell_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN NULL
+                    WHEN c_custkey % 3 = 0
+                        THEN ROUND(CAST(c_acctbal AS DECIMAL(18,2)) + 100, 2)
+                    ELSE ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2)
+               END AS bal
+        FROM customer
+    )
+    SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM base WHERE bal IS NOT NULL
+    """,
+    note="Maxwell (MySQL-binlog ecosystem) dialect round-trip: rows → "
+    "to_json(maxwell doc) → parse_maxwell → canonical merge. Inserts "
+    "for every customer, then partial-old updates (+100) for custkey%3 "
+    "and deletes (data = old image, Maxwell quirk) for custkey%10 — "
+    "the merged state equals the plain CASE filter",
+    tags=("cdc", "maxwell", "envelope"),
+)
+def cdc16_maxwell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.cdc.envelope import parse_maxwell
+    from cdc_spark.queries.base import dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2).cast("string")
+    row_map = F.map_from_arrays(
+        F.array(F.lit("c_custkey"), F.lit("c_acctbal")),
+        F.array(F.col("c_custkey").cast("string"), bal),
+    )
+    bal_new = F.round(
+        F.col("c_acctbal").cast("decimal(18,2)") + 100, 2
+    ).cast("string")
+    upd_map = F.map_from_arrays(
+        F.array(F.lit("c_custkey"), F.lit("c_acctbal")),
+        F.array(F.col("c_custkey").cast("string"), bal_new),
+    )
+    old_map = F.map_from_arrays(
+        F.array(F.lit("c_acctbal")), F.array(bal)
+    )
+
+    def doc(typ, data, old, lsn):
+        return F.to_json(
+            F.struct(
+                F.lit("shop").alias("database"),
+                F.lit("customer").alias("table"),
+                F.lit(typ).alias("type"),
+                F.lit(1700000000).cast("long").alias("ts"),
+                F.col("c_custkey").cast("long").alias("xid"),
+                F.lit(True).alias("commit"),
+                data.alias("data"),
+                old.alias("old"),
+                lsn.cast("long").alias("seq"),
+            )
+        )
+
+    nil = F.lit(None).cast("map<string,string>")
+    inserts = cust.select(
+        doc("insert", row_map, nil, F.col("c_custkey")).alias("value")
+    )
+    updates = cust.where(F.col("c_custkey") % 3 == 0).select(
+        doc(
+            "update", upd_map, old_map, F.col("c_custkey") + 10_000_000
+        ).alias("value")
+    )
+    deletes = cust.where(F.col("c_custkey") % 10 == 0).select(
+        # Maxwell quirk: a delete's `data` is the OLD row image
+        doc(
+            "delete", row_map, nil, F.col("c_custkey") + 20_000_000
+        ).alias("value")
+    )
+    raw = inserts.unionByName(updates).unionByName(deletes)
+    raw = raw.withColumn(
+        "seq", F.get_json_object("value", "$.seq").cast("long")
+    )
+    parsed = parse_maxwell(raw, lsn_col="seq", key_names=["c_custkey"])
+    typed = parsed.select(
+        "op",
+        "lsn",
+        F.try_element_at(
+            F.coalesce("after", "key"), F.lit("c_custkey")
+        ).cast("long").alias("c_custkey"),
+        F.try_element_at("after", F.lit("c_acctbal"))
+        .cast("double")
+        .alias("c_acctbal"),
+    )
+    merged = apply_changes(None, typed, ["c_custkey"], ["c_acctbal"])
+    return merged.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        dsum("c_acctbal", 2).alias("total_bal"),
+    )

@@ -283,3 +283,63 @@ def test_replica_identity_per_dialect(spark):
     got = {r.lsn: r.replica_identity
            for r in parse_pgoutput_json(pj_full).collect()}
     assert got[1] == "O" and got[2] == "K"
+
+
+def test_maxwell_update_reconstructs_full_before(spark):
+    """Maxwell's `old` carries only the changed columns; the canonical
+    before image must be data overlaid with old (full pre-update row)."""
+    from cdc_spark.cdc.envelope import parse_maxwell
+
+    doc = (
+        '{"database":"shop","table":"users","type":"update","ts":1700000000,'
+        '"xid":7,"commit":true,'
+        '"data":{"id":"1","name":"new","city":"berlin"},'
+        '"old":{"name":"oldname"}}'
+    )
+    raw = spark.createDataFrame([(doc, 5)], "value string, seq long")
+    got = parse_maxwell(raw, lsn_col="seq", key_names=["id"]).collect()[0]
+    assert got.op == "u" and got.lsn == 5 and got.tx_id == 7
+    assert got.after == {"id": "1", "name": "new", "city": "berlin"}
+    assert got.before == {"id": "1", "name": "oldname", "city": "berlin"}
+    assert got.key == {"id": "1"}
+    assert got.replica_identity == "O"
+
+
+def test_maxwell_delete_data_is_old_image(spark):
+    from cdc_spark.cdc.envelope import parse_maxwell
+
+    doc = (
+        '{"database":"shop","table":"users","type":"delete","ts":1,'
+        '"xid":9,"data":{"id":"2","name":"x"}}'
+    )
+    raw = spark.createDataFrame([(doc,)], "value string")
+    got = parse_maxwell(raw, key_names=["id"]).collect()[0]
+    assert got.op == "d"
+    assert got.after is None
+    assert got.before == {"id": "2", "name": "x"}
+    assert got.key == {"id": "2"}
+
+
+def test_maxwell_unknown_type_dead_letters(spark):
+    from cdc_spark.cdc.envelope import parse_maxwell, split_dead_letter
+
+    docs = [
+        ('{"database":"shop","table":"t","type":"table-create","ts":1}',),
+        ('{"database":"shop","table":"t","type":"insert","ts":1,'
+         '"data":{"id":"1"}}',),
+        ("not json at all",),
+    ]
+    raw = spark.createDataFrame(docs, "value string")
+    good, dead = split_dead_letter(parse_maxwell(raw))
+    assert good.count() == 1 and dead.count() == 2
+
+
+def test_maxwell_bootstrap_maps_to_snapshot_read(spark):
+    from cdc_spark.cdc.envelope import parse_maxwell
+
+    doc = (
+        '{"database":"shop","table":"users","type":"bootstrap-insert",'
+        '"ts":1,"data":{"id":"3"}}'
+    )
+    raw = spark.createDataFrame([(doc,)], "value string")
+    assert parse_maxwell(raw).collect()[0].op == "r"
