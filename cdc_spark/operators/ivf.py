@@ -132,3 +132,116 @@ def ivf_topk(
     return cosine_topk(
         near, embedding_col, id_col, query_vec, k, round_digits=round_digits
     )
+
+
+class IvfIndex:
+    """Persisted IVF index: the production shape of the ANN path.
+
+    ``ivf_topk`` above re-assigns the whole corpus per query — fine
+    for a one-shot batch job, wrong for a serving/index workload. The
+    persisted index stores the corpus parquet **partitioned by
+    cluster id** plus the codebook in a sidecar JSON, so a query
+    reads ONLY the ``n_probe`` probed clusters' directories (true
+    on-disk partition pruning: ~n_probe/k of the corpus bytes), and
+    new vectors append to their cluster partitions without touching
+    the rest. The codebook is k×dim floats — driver-held and
+    broadcast by literal folding, never a join.
+    """
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "CODEBOOK.json")) as fh:
+            meta = json.load(fh)
+        self.centroids = meta["centroids"]
+        self.embedding_col = meta["embedding_col"]
+        self.id_col = meta["id_col"]
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        path: str,
+        df: DataFrame,
+        embedding_col: str,
+        id_col: str,
+        *,
+        k: int = 16,
+        iterations: int = 3,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        centroids = train_codebook(
+            df, embedding_col, id_col, k=k, iterations=iterations
+        )
+        assigned = ivf_assign(df, embedding_col, centroids)
+        # one file per cluster partition at this scale; at real scale
+        # the repartition keys on cluster and AQE sizes the files
+        assigned.repartition(len(centroids), F.col("cluster")).write.partitionBy(
+            "cluster"
+        ).mode("overwrite").parquet(os.path.join(path, "corpus"))
+        payload = json.dumps(
+            {
+                "centroids": centroids,
+                "embedding_col": embedding_col,
+                "id_col": id_col,
+            }
+        )
+        tmp = os.path.join(path, "CODEBOOK.json.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, "CODEBOOK.json"))
+        return cls(spark, path)
+
+    def add(self, df: DataFrame) -> None:
+        """Incrementally index new vectors: assign against the frozen
+        codebook, append to their cluster partitions only. (Codebook
+        drift under sustained growth is handled by a rebuild, the
+        standard IVF practice.)"""
+        import os
+
+        assigned = ivf_assign(df, self.embedding_col, self.centroids)
+        assigned.write.partitionBy("cluster").mode("append").parquet(
+            os.path.join(self.path, "corpus")
+        )
+
+    def corpus(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.path, "corpus"))
+
+    def topk(
+        self,
+        query_vec: Sequence[float],
+        *,
+        k: int = 10,
+        n_probe: int = 4,
+        round_digits: int = 4,
+    ) -> DataFrame:
+        """ANN top-k over the probed clusters only. The cluster filter
+        is a partition-column predicate — Spark prunes the untouched
+        cluster directories at planning time (no file of an unprobed
+        cluster is opened)."""
+        import math
+
+        def pdot(c):
+            return math.fsum(x * y for x, y in zip(query_vec, c))
+
+        order = sorted(
+            range(len(self.centroids)),
+            key=lambda i: -pdot(self.centroids[i]),
+        )
+        probes = order[:n_probe]
+        near = self.corpus().where(F.col("cluster").isin(probes))
+        return cosine_topk(
+            near,
+            self.embedding_col,
+            self.id_col,
+            query_vec,
+            k,
+            round_digits=round_digits,
+        )

@@ -151,3 +151,34 @@ def ss05_batch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_cosine_topk_literal(
         emb, "embedding", "vec_id", probes, k=5, n_salt=64
     )
+
+
+@register(
+    "ss06_ivf_persisted_index",
+    oracle=None,  # ANN over an engine-internal persisted index layout
+    note="persisted IVF index (the serving shape): corpus parquet "
+    "partitioned by cluster id + sidecar codebook; a probe query "
+    "prunes to n_probe cluster DIRECTORIES at planning time "
+    "(PartitionFilters), never opening the rest — and incremental "
+    "adds append to their cluster partitions only. Answers match the "
+    "in-memory ivf_topk twin (asserted in tests) and recall vs exact "
+    "is measured there too",
+    tags=("similarity", "ann", "ivf", "index"),
+)
+def ss06_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.operators.ivf import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(
+        spark,
+        tempfile.mkdtemp(prefix="ss06_ivf_"),
+        emb,
+        "embedding",
+        "vec_id",
+        k=16,
+        iterations=2,
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    return idx.topk(q, k=10, n_probe=4)

@@ -106,3 +106,54 @@ def test_components_raise_when_budget_too_small(spark):
         connected_components(chain, max_iterations=2)
     comps = connected_components(chain, max_iterations=20)
     assert comps.select("cluster_id").distinct().count() == 1
+
+
+def test_ivf_index_persist_query_parity(spark, emb, codebook, tmp_path):
+    """Persisted index answers == in-memory ivf_topk (same codebook),
+    and probe queries open only the probed clusters' files."""
+    from cdc_spark.operators.ivf import IvfIndex
+
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, "embedding", "vec_id",
+        k=16, iterations=2,
+    )
+    assert idx.centroids == codebook
+    q = emb.where(F.col("vec_id") == 3).first().embedding
+    want = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_topk(
+            emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4
+        ).collect()
+    ]
+    topk_df = idx.topk(q, k=10, n_probe=4)
+    got = [(r.vec_id, r.cosine_sim) for r in topk_df.collect()]
+    assert got == want
+    # partition pruning: the probe predicate must land in the scan's
+    # PartitionFilters (directory-level pruning, not a post-scan filter)
+    plan = topk_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("cluster" in l for l in part_lines), plan
+
+
+def test_ivf_index_incremental_add(spark, emb, tmp_path):
+    from cdc_spark.operators.ivf import IvfIndex
+
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf2"), half1, "embedding", "vec_id",
+        k=8, iterations=2,
+    )
+    n1 = idx.corpus().count()
+    idx.add(half2)
+    assert idx.corpus().count() == n1 + half2.count()
+    # reloaded index sees the appended vectors with the same codebook
+    idx2 = IvfIndex(spark, str(tmp_path / "ivf2"))
+    assert idx2.centroids == idx.centroids
+    q = emb.where(F.col("vec_id") == 1).first().embedding
+    ids = {r.vec_id for r in idx2.topk(q, k=5, n_probe=8).collect()}
+    assert 1 in ids  # the appended query vector finds itself
