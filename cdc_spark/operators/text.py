@@ -1,12 +1,17 @@
-"""Text analysis for training-data pipelines — all JVM-side built-ins.
+"""Text analysis for training-data pipelines — JVM-side built-ins.
 
-Every function here is a pure Column expression (no UDFs): whitespace
+Every function here is a pure Column expression (no UDFs) — whitespace
 and regex tokenization, n-gram shingles, stopword-overlap language ID,
-quality scoring, and shingle-fingerprinting. At 100 TB these run
-inside whole-stage codegen per partition with zero Python transfer.
+quality scoring, shingle-fingerprinting — with ONE deliberate
+exception: Unicode normalization (``normalize_unicode``), which no
+Spark built-in can express and therefore runs as an Arrow-batched
+pandas UDF. At 100 TB everything else runs inside whole-stage codegen
+per partition with zero Python transfer.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -344,4 +349,50 @@ def contamination_overlap(
     return joined.groupBy(id_col).agg(
         F.countDistinct("shingle").alias("n_overlap_ngrams"),
         F.countDistinct(probe_id_alias).alias("n_probe_docs"),
+    )
+
+
+def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) as an Arrow-batched
+    pandas UDF — the honest UDF case: Spark has NO built-in Unicode
+    normalizer (regexp/translate cannot express canonical composition),
+    so this is exactly where the engine's "built-ins first, Arrow UDF
+    when semantics demand it" rule lands on the UDF side. Vectorized
+    str.normalize over Arrow batches, no per-row Python dispatch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(c)
+
+
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def url_stats(df, text_col: str, id_col: str):
+    """Per-document URL extraction + per-domain corpus stats — the
+    web-corpus curation primitive (domain blocklists, dedup by URL,
+    per-site caps). All JVM-side: regexp_extract_all → explode →
+    domain parse → hash aggregate; one shuffle on the domain.
+    """
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    domain = F.regexp_extract(F.col("url"), r"https?://([^/\s]+)", 1)
+    return (
+        urls.select(id_col, "url", domain.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.countDistinct("url").alias("n_unique_urls"),
+        )
     )

@@ -494,3 +494,95 @@ def tx12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_rows(docs, "text", "doc_id", chunk_size=32, stride=24)
+
+
+@register(
+    "tx13_unicode_normalize",
+    oracle="""
+    WITH deco AS (
+        SELECT doc_id,
+               'cafe' || chr(769) || ' no' || chr(776) || 'el ' ||
+               substr(text, 1, 40) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           length(raw) AS len_raw,
+           length(nfc_normalize(raw)) AS len_nfc,
+           md5(nfc_normalize(raw)) AS nfc_md5
+    FROM deco
+    """,
+    note="Unicode NFC normalization — the honest Arrow-UDF case (no "
+    "Spark built-in can express canonical composition): vectorized "
+    "pandas str.normalize over Arrow batches, hash-checked against "
+    "DuckDB's nfc_normalize on text decorated with combining marks "
+    "(the corpus is ASCII, so the marks are added deterministically)",
+    tags=("text", "unicode", "udf"),
+)
+def tx13_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("café nöel "), F.substring("text", 1, 40)
+    )
+    deco = docs.select("doc_id", raw.alias("raw"))
+    norm = normalize_unicode("raw", "NFC")
+    return deco.select(
+        "doc_id",
+        F.length("raw").alias("len_raw"),
+        F.length(norm).alias("len_nfc"),
+        F.md5(norm).alias("nfc_md5"),
+    )
+
+
+@register(
+    "tx14_url_domain_stats",
+    oracle="""
+    WITH deco AS (
+        SELECT doc_id,
+               substr(text, 1, 30) || ' https://site' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+               CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' http://mirror.example/p/' ||
+                         CAST(doc_id % 50 AS VARCHAR)
+                    ELSE '' END AS body
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(body, 'https?://[^\\s]+')) AS url
+        FROM deco
+    )
+    SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(DISTINCT url) AS n_unique_urls
+    FROM u GROUP BY domain
+    """,
+    note="web-corpus curation: URL extraction + per-domain stats "
+    "(blocklists, per-site caps, URL dedup) — regexp_extract_all → "
+    "explode → domain parse → one hash aggregate, all JVM-side; the "
+    "ASCII corpus is decorated with deterministic synthetic URLs",
+    tags=("text", "url", "web"),
+)
+def tx14_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import url_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring("text", 1, 30),
+        F.lit(" https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" http://mirror.example/p/"),
+                (F.col("doc_id") % 50).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    deco = docs.select("doc_id", body.alias("body"))
+    return url_stats(deco, "body", "doc_id")
