@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # similarity/multimodal), then the relational inventory — if a gate
 # only samples a prefix of ``queries()``, it sees the queries that
 # best distinguish this engine before the TPC-H shapes.
-_PRIORITY = ("cdc", "dd", "tx", "st", "pu", "ss", "mm", "q")
+_PRIORITY = ("cdc", "dd", "tx", "st", "pu", "ss", "mm", "dp", "io", "q")
 
 
 def _rank(name: str) -> tuple[int, str]:
