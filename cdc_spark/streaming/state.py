@@ -152,6 +152,28 @@ class BucketedStateTable:
         man = self._load_manifest(v)
         return self._read_manifest(man)
 
+    def read_as_of_lsn(self, lsn: int) -> DataFrame | None:
+        """Snapshot-consistent read at a replication position: the
+        newest version whose applied-LSN watermark is ≤ ``lsn`` (the
+        state as it stood when that WAL position had been applied).
+        Version manifests double as the LSN→version index — a driver-
+        side scan of manifest files, no Spark job; versions predating
+        LSN tracking (no watermark recorded) are skipped."""
+        v_cur = self.current_version()
+        if v_cur is None:
+            return None
+        best = None
+        for v in range(v_cur, 0, -1):
+            try:
+                man = self._load_manifest(v)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # vacuumed or aborted version
+            applied = man.get("applied_lsn")
+            if applied is not None and applied <= lsn:
+                best = v
+                break
+        return self.read(version=best) if best is not None else None
+
     def read_buckets(
         self, bucket_ids, version: int | None = None
     ) -> DataFrame | None:

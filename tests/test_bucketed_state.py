@@ -410,3 +410,28 @@ def test_ivm_resync_survives_vacuum(spark, tmp_path):
     )
     got = sorted((r.g, r.n_rows, r.sum_v) for r in inc.read().collect())
     assert got == [("a", 1, 7.0), ("b", 2, 11.0)]
+
+
+def test_read_as_of_lsn_snapshot_consistency(spark, tmp_path):
+    """AS-OF-LSN reads resolve to the newest version whose applied
+    watermark is <= the asked position — the state exactly as it stood
+    at that WAL point."""
+    st = BucketedStateTable(spark, str(tmp_path / "asof"), ["k"], n_buckets=4)
+    schema = "op string, lsn long, k long, v string"
+    st.apply(spark.createDataFrame([("c", 10, 1, "a")], schema), ["v"])
+    st.apply(spark.createDataFrame([("u", 20, 1, "a2")], schema), ["v"])
+    st.apply(
+        spark.createDataFrame(
+            [("c", 30, 2, "b"), ("d", 31, 1, None)], schema
+        ),
+        ["v"],
+    )
+
+    def rows(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    assert rows(st.read_as_of_lsn(10)) == [(1, "a")]
+    assert rows(st.read_as_of_lsn(15)) == [(1, "a")]
+    assert rows(st.read_as_of_lsn(20)) == [(1, "a2")]
+    assert rows(st.read_as_of_lsn(99)) == [(2, "b")]
+    assert st.read_as_of_lsn(5) is None  # before any applied state
