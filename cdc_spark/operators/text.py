@@ -396,3 +396,20 @@ def url_stats(df, text_col: str, id_col: str):
             F.countDistinct("url").alias("n_unique_urls"),
         )
     )
+
+
+def canonicalize_url(col: str | Column) -> Column:
+    """URL canonicalization for URL-keyed dedup: lowercase the scheme
+    and host (path stays case-sensitive per RFC 3986), drop fragments
+    and query strings, strip a trailing slash. Pure regexp projection,
+    codegen'd — the key-normalization step before an exact
+    hash-groupBy dedup on web corpora.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"[#?].*$", "")
+    scheme_host = F.lower(
+        F.regexp_extract(no_frag, r"^(https?://[^/]+)", 1)
+    )
+    path = F.regexp_replace(no_frag, r"^https?://[^/]+", "")
+    no_slash = F.regexp_replace(path, r"/$", "")
+    return F.concat(scheme_host, no_slash)

@@ -248,3 +248,69 @@ def dd06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.8)
     return connected_components(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "dd07_url_dedup",
+    oracle="""
+    WITH deco AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'https://Site' ELSE 'https://site' END
+               || CAST(doc_id % 5 AS VARCHAR) || '.Example/page/'
+               || CAST(doc_id % 40 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN '?utm=x&ref=y' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(regexp_replace(url, '[#?].*$', ''),
+                                    '^(https?://[^/]+)', 1))
+               || regexp_replace(
+                      regexp_replace(regexp_replace(url, '[#?].*$', ''),
+                                     '^https?://[^/]+', ''),
+                      '/$', '') AS curl
+        FROM deco
+    )
+    SELECT curl AS canonical_url,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_dups
+    FROM canon GROUP BY curl
+    """,
+    note="URL-keyed dedup for web corpora: canonicalize (lowercase "
+    "scheme+host, drop query/fragment, strip trailing slash — case "
+    "variants, utm params and fragments all collapse) then exact "
+    "hash-groupBy keeping the min doc id; one shuffle on the "
+    "canonical URL. Synthetic URLs decorate the ASCII corpus "
+    "deterministically",
+    tags=("dedup", "url", "web"),
+)
+def dd07_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://Site")).otherwise(
+            F.lit("https://site")
+        ),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm=x&ref=y")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    deco = docs.select("doc_id", url.alias("url"))
+    return (
+        deco.select(
+            "doc_id", canonicalize_url("url").alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
