@@ -630,3 +630,66 @@ def st10_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("purchase_ts").isNull(), F.col("click_id"))
         ).alias("n_unmatched"),
     )
+
+
+@register(
+    "st11_timeout_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) > 1800000000 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts_us,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, sess,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sess
+    ),
+    wm AS (
+        SELECT MAX(epoch_us(ts)) - 1800000000 AS final_wm FROM events
+    )
+    SELECT user_id, start_us, end_us, n_events
+    FROM sess, wm
+    WHERE end_us + 1800000000 < final_wm
+    """,
+    note="REAL custom stateful sessionization (applyInPandasWithState "
+    "+ EVENT-TIME TIMEOUT): in-batch sessions close by gap logic, "
+    "each key's open tail closes via setTimeoutTimestamp when the "
+    "watermark passes — emitted without new events for that key. "
+    "Gated on sessions strictly below the final watermark horizon, "
+    "where emission is guaranteed and boundary semantics cannot "
+    "differ; equals the batch lag/gap sessionization there",
+    tags=("streaming", "stateful", "session", "timeout"),
+)
+def st11_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.streaming.stateful import gap_timeout_sessions
+
+    stream = _events_stream(spark, sf_dir)
+    sessions = gap_timeout_sessions(
+        stream, "ts", "user_id", gap="30 minutes", watermark="30 minutes"
+    )
+    out = _run_to_memory(sessions, "append")
+    # same safety cutoff as the oracle: keep sessions whose timeout
+    # horizon is strictly below the final watermark — those MUST have
+    # been emitted (either by gap logic or timeout eviction)
+    batch = load_table(spark, sf_dir, "events")
+    wm = batch.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(1_800_000_000)).alias("final_wm")
+    )
+    kept = out.crossJoin(F.broadcast(wm)).where(
+        F.col("end_us") + F.lit(1_800_000_000) < F.col("final_wm")
+    )
+    return kept.select("user_id", "start_us", "end_us", "n_events")

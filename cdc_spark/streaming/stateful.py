@@ -76,3 +76,119 @@ def running_counts(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def timeout_sessionizer(gap_us: int):
+    """Custom gap sessionization with EVENT-TIME TIMEOUT state closure.
+
+    The session_window() built-in emits sessions through the windowed
+    aggregation; this is the applyInPandasWithState twin for when the
+    per-session logic outgrows an aggregate (custom close conditions,
+    side outputs). Sessions that end inside a batch close by gap
+    logic; each key's OPEN tail session closes via
+    ``setTimeoutTimestamp(last + gap)`` — the state store evicts and
+    emits it in the no-data batch once the watermark passes, so open
+    sessions still emit without new events for that key (bounded
+    state: one open session per key).
+    """
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start],
+                    "end_us": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple] = []
+        for pdf in batches:
+            for ts in sorted(
+                int(v) for v in (pdf["ts_us"].to_numpy())
+            ):
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    last, n = max(last, ts), n + 1
+        state.update((start, last, n))
+        # event-time timeout: fire once the watermark passes the gap
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def gap_timeout_sessions(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Sessionize ``stream`` by per-key event-time gaps with timeout-
+    driven closure of open sessions. Input needs (key_col, ts_col);
+    output: key, session start/end epoch-micros, event count."""
+    from pyspark.sql import functions as F
+
+    from cdc_spark.catalog import normalize_event_time
+
+    stream = normalize_event_time(stream, ts_col)
+    prepared = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).cast("long").alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(ts_col),
+        )
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        timeout_sessionizer(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
