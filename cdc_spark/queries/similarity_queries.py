@@ -182,3 +182,56 @@ def ss06_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vector(spark, sf_dir, 0)
     return idx.topk(q, k=10, n_probe=4)
+
+
+@register(
+    "ss07_matryoshka_rerank",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    s1 AS (
+        SELECT e.vec_id, e.embedding,
+               ROUND(list_cosine_similarity(
+                   (e.embedding::DOUBLE[])[1:16],
+                   (q.embedding::DOUBLE[])[1:16]), 6) AS coarse_sim
+        FROM embeddings e CROSS JOIN q
+        ORDER BY coarse_sim DESC, e.vec_id
+        LIMIT 50
+    )
+    SELECT s1.vec_id,
+           ROUND(list_cosine_similarity(s1.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]), 4)
+               AS cosine_sim
+    FROM s1 CROSS JOIN q
+    ORDER BY cosine_sim DESC, s1.vec_id
+    LIMIT 10
+    """,
+    note="Matryoshka-style two-stage retrieval: coarse top-50 by the "
+    "first 16 dimensions (at scale the truncated prefix is a stored "
+    "column ~dim/8 the bytes, scanned instead of the full vector), "
+    "exact full-dim re-rank to top-10 — fully SQL-expressible, so "
+    "unlike the LSH/IVF entries this ANN pattern is hash-checked",
+    tags=("similarity", "ann", "matryoshka"),
+)
+def ss07_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    q16 = F.array(*[F.lit(float(x)) for x in q[:16]])
+    qfull = F.array(*[F.lit(float(x)) for x in q])
+    coarse = F.round(
+        cosine(F.slice("embedding", 1, 16), q16), 6
+    ).alias("coarse_sim")
+    s1 = (
+        emb.select("vec_id", "embedding", coarse)
+        .orderBy(F.desc("coarse_sim"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return (
+        s1.select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), qfull), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
