@@ -435,3 +435,36 @@ def test_read_as_of_lsn_snapshot_consistency(spark, tmp_path):
     assert rows(st.read_as_of_lsn(20)) == [(1, "a2")]
     assert rows(st.read_as_of_lsn(99)) == [(2, "b")]
     assert st.read_as_of_lsn(5) is None  # before any applied state
+
+
+def test_hot_key_skewed_batch_applies_correctly(spark, tmp_path):
+    """Skew stress: a batch where 95% of changes hit ONE key (the
+    Zipf-head shape a busy CDC entity produces) must fold to the same
+    state as an even batch — the per-key fold is a hash aggregate with
+    map-side combine, so the hot key reduces to one row per partition
+    before the shuffle rather than concentrating raw rows on one
+    reducer."""
+    from pyspark.sql import functions as F
+
+    st = BucketedStateTable(spark, str(tmp_path / "hot"), ["k"], n_buckets=8)
+    n = 20_000
+    rows = spark.range(n).select(
+        F.lit("u").alias("op"),
+        F.col("id").alias("lsn"),
+        # 95% of rows on key 0, the rest spread over 1..999
+        F.when(F.col("id") % 20 != 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .cast("long")
+        .alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    st.apply(rows, ["v"])
+    got = {r.k: r.v for r in st.read().collect()}
+    # the hot key's final value is the max-lsn update for k=0
+    want_hot = f"v{max(i for i in range(n) if i % 20 != 0)}"
+    assert got[0] == want_hot
+    # spot-check a cold key: max lsn among id%20==0 with id%1000==that key
+    assert got[40] == f"v{max(i for i in range(n) if i % 20 == 0 and i % 1000 == 40)}"
+    assert len(got) == len(
+        {0} | {i % 1000 for i in range(n) if i % 20 == 0}
+    )
