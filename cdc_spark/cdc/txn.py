@@ -50,6 +50,7 @@ def filter_committed(
     op_col: str = "op",
     commit_op: str = "C",
     abort_op: str = "A",
+    begin_op: str = "B",
 ) -> DataFrame:
     """Within-batch transaction barrier: keep only data ops whose
     transaction has a commit marker in the same batch.
@@ -60,7 +61,9 @@ def filter_committed(
     the semi join's build side.
     """
     op = F.col(op_col)
-    data = changes.where((op != commit_op) & (op != abort_op))
+    data = changes.where(
+        (op != commit_op) & (op != abort_op) & (op != begin_op)
+    )
     commits = changes.where(op == commit_op).select(tx_col).distinct()
     return data.join(commits, on=tx_col, how="left_semi")
 
@@ -98,6 +101,7 @@ class TransactionalApply:
         op_col: str = "op",
         commit_op: str = "C",
         abort_op: str = "A",
+        begin_op: str = "B",
     ) -> int | None:
         """Apply one micro-batch of interleaved data ops + tx markers.
 
@@ -106,7 +110,12 @@ class TransactionalApply:
         """
         tx = self.tx_col
         op = F.col(op_col)
-        data = batch.where((op != commit_op) & (op != abort_op))
+        # Begin markers are framing, not data: pooling them would
+        # inflate pending_stats forever (an open tx's Begin never
+        # drains) and apply them as null-key rows on commit.
+        data = batch.where(
+            (op != commit_op) & (op != abort_op) & (op != begin_op)
+        )
         commits = batch.where(op == commit_op).select(tx).distinct()
         aborts = batch.where(op == abort_op).select(tx).distinct()
         finished = commits.unionByName(aborts).distinct()

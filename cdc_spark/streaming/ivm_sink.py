@@ -30,6 +30,8 @@ post-truncate survivors.
 
 from __future__ import annotations
 
+import json
+
 from collections.abc import Mapping, Sequence
 from concurrent.futures import ThreadPoolExecutor
 
@@ -242,17 +244,18 @@ class IncrementalAggregate:
         if rv == v_cur or v_cur is None:
             return
         try:
+            if rv is None:
+                # pre-upgrade aggregate with no recorded row_version:
+                # there is no anchor to diff from, so a zero-delta
+                # "adopt v_cur" would stamp a possibly-stale aggregate
+                # as in sync — force the full rebuild path instead
+                raise FileNotFoundError("no row_version anchor")
             missed: set[int] = set()
-            start = rv + 1 if rv is not None else v_cur + 1
-            for w in range(start, v_cur + 1):
+            for w in range(rv + 1, v_cur + 1):
                 missed |= {int(b) for b in self.state._load_manifest(w)["touched"]}
-            pre = (
-                self.state.read_buckets(sorted(missed), version=rv)
-                if rv is not None
-                else None
-            )
+            pre = self.state.read_buckets(sorted(missed), version=rv)
             post = self.state.read_buckets(sorted(missed), version=v_cur)
-        except FileNotFoundError:
+        except (FileNotFoundError, json.JSONDecodeError):
             # the pre version was garbage-collected: rebuild outright
             content = base_agg(
                 self.state.read(version=v_cur),

@@ -232,7 +232,14 @@ class BucketedStateTable:
         it, and re-applying the same id is a no-op — the replayed
         batch after a crash between the sink commit and the stream's
         checkpoint commit neither rewrites buckets nor burns a
-        version."""
+        version.
+
+        The guard compares against the CURRENT manifest only, so the
+        state path and the streaming checkpoint form one unit: deleting
+        the checkpoint restarts epoch ids at 0, and if the table's last
+        manifest already records batch_id=0 from the prior run, the
+        first legitimate new batch would be silently dropped. Reset
+        (or retarget) both together — never just the checkpoint."""
         v_cur = self.current_version()
         if (
             batch_id is not None

@@ -133,17 +133,20 @@ def timeout_sessionizer(gap_us: int):
             start = last = None
             n = 0
         closed: list[tuple] = []
+        # One key's rows may span several Arrow chunks (maxRecordsPerBatch);
+        # gap detection needs a single global time order, so collect every
+        # chunk's timestamps before the one sort + fold.
+        all_ts: list[int] = []
         for pdf in batches:
-            for ts in sorted(
-                int(v) for v in (pdf["ts_us"].to_numpy())
-            ):
-                if start is None:
-                    start, last, n = ts, ts, 1
-                elif ts - last > gap_us:
-                    closed.append((start, last, n))
-                    start, last, n = ts, ts, 1
-                else:
-                    last, n = max(last, ts), n + 1
+            all_ts.extend(int(v) for v in pdf["ts_us"].to_numpy())
+        for ts in sorted(all_ts):
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = max(last, ts), n + 1
         state.update((start, last, n))
         # event-time timeout: fire once the watermark passes the gap
         state.setTimeoutTimestamp((last + gap_us) // 1000)

@@ -245,3 +245,58 @@ def test_adopt_existing_state_backfills(spark, tmp_path):
     )
     assert _agg_rows(inc) == [("a", 2, 3.0), ("b", 1, 9.0)]
     assert _agg_rows(inc) == _recompute(inc)
+
+
+def test_pre_upgrade_agg_without_row_version_rebuilds(spark, tmp_path):
+    """An agg manifest with no row_version (written by pre-upgrade
+    code) has no diff anchor: sync must FULL-REBUILD, not adopt the
+    current row version with a zero delta (which would stamp a stale
+    aggregate as in sync)."""
+    import json
+
+    inc = _mk(spark, tmp_path)
+    inc.apply(
+        spark.createDataFrame(
+            [("c", 1, 1, "a", 1.0), ("c", 2, 2, "b", 2.0)], SCHEMA
+        ),
+        PAYLOAD,
+    )
+    # simulate pre-upgrade metadata: strip row_version from the manifest
+    v_agg = inc.table.current_version()
+    mp = inc.table._manifest_path(v_agg)
+    man = json.load(open(mp))
+    man.pop("row_version", None)
+    json.dump(man, open(mp, "w"))
+    # advance the ROW STATE ONLY (the agg is now stale with no anchor)
+    inc.state.apply(
+        spark.createDataFrame([("u", 3, 1, "a", 10.0)], SCHEMA), PAYLOAD
+    )
+    inc._sync_with_state(inc.state.current_version())
+    assert _agg_rows(inc) == _recompute(inc)
+
+
+def test_torn_state_manifest_triggers_rebuild(spark, tmp_path):
+    """A torn (half-written) row-state manifest in the replay window
+    must fall back to the full rebuild, not crash the sync."""
+    inc = _mk(spark, tmp_path)
+    inc.apply(
+        spark.createDataFrame(
+            [("c", 1, 1, "a", 1.0), ("c", 2, 2, "b", 2.0)], SCHEMA
+        ),
+        PAYLOAD,
+    )
+    # two state-only commits; tear the INTERMEDIATE one's manifest
+    inc.state.apply(
+        spark.createDataFrame([("u", 3, 1, "a", 10.0)], SCHEMA), PAYLOAD
+    )
+    v_mid = inc.state.current_version()
+    inc.state.apply(
+        spark.createDataFrame([("c", 4, 3, "c", 5.0)], SCHEMA), PAYLOAD
+    )
+    v_cur = inc.state.current_version()
+    with open(inc.state._manifest_path(v_mid), "w") as fh:
+        fh.write('{"touched": [')
+    # replaying the missed window hits the torn v_mid manifest; the
+    # sync must fall back to the full rebuild from the intact v_cur
+    inc._sync_with_state(v_cur)
+    assert _agg_rows(inc) == _recompute(inc)

@@ -182,3 +182,40 @@ def test_compaction_reduces_files_preserves_content(spark, tmp_path):
     rows = sorted(files.collect(), key=lambda r: r.lo)
     for a, b in zip(rows, rows[1:]):
         assert a.hi < b.lo  # disjoint → parquet footer stats prune files
+
+
+def test_sessionizer_folds_chunks_in_global_time_order():
+    """Rows for one key can span multiple Arrow chunks inside a single
+    micro-batch; gap detection must sort ACROSS chunks, not per chunk,
+    or a spurious gap splits one session into two."""
+    import pandas as pd
+
+    from cdc_spark.streaming.stateful import timeout_sessionizer
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    fn = timeout_sessionizer(gap_us=1000)
+    state = FakeState()
+    # chunk boundary splits [100, 200] around 5000; per-chunk folding
+    # would close (100,100) then absorb 200 into the 5000 session
+    chunks = iter(
+        [
+            pd.DataFrame({"ts_us": [100, 5000]}),
+            pd.DataFrame({"ts_us": [200]}),
+        ]
+    )
+    out = list(fn((7,), chunks, state))
+    assert len(out) == 1
+    closed = out[0]
+    assert closed["start_us"].tolist() == [100]
+    assert closed["end_us"].tolist() == [200]
+    assert closed["n_events"].tolist() == [2]
+    assert state.value == (5000, 5000, 1)  # open tail session

@@ -123,3 +123,29 @@ def test_delete_inside_committed_tx(spark, tmp_path):
     )
     app.apply_batch(b)
     assert _state_rows(app) == [(2, "b")]
+
+
+def test_begin_markers_are_framing_not_data(spark, tmp_path):
+    """Begin ('B') rows must neither pool as pending data nor apply
+    as null-key rows on commit — they are framing, like Commit."""
+    app = _mk(spark, tmp_path)
+    # tx 10: B + data, no commit yet; tx 20: full B..C envelope
+    b1 = spark.createDataFrame(
+        [
+            ("B", 0, 10, None, None),
+            ("c", 1, 10, 1, "a"),
+            ("B", 2, 20, None, None),
+            ("c", 3, 20, 2, "b"),
+            ("C", 4, 20, None, None),
+        ],
+        SCHEMA,
+    )
+    app.apply_batch(b1)
+    # committed tx 20 applied WITHOUT a null-key row from its Begin
+    assert _state_rows(app) == [(2, "b")]
+    # open tx 10 buffers only its data op, not its Begin
+    stats = {r.tx_id: r.n_buffered for r in app.pending_stats().collect()}
+    assert stats == {10: 1}
+    # within-batch form drops Begins too
+    got = filter_committed(b1)
+    assert sorted(r.k for r in got.collect()) == [2]
