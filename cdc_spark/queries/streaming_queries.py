@@ -265,11 +265,17 @@ def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st06_stateful_running_counts",
-    oracle=None,  # custom per-key streaming state: non-SQL-expressible
-    # (update-mode emissions); final-state equality is
-    # asserted in tests/test_stateful_and_io.py
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(arg_max(value, event_id), 4) AS last_value
+    FROM events GROUP BY user_id
+    """,
     note="applyInPandasWithState custom stateful operator: per-key "
-    "running count + last-value register over the event stream",
+    "running count + last-value register over the event stream. "
+    "Update-mode emissions are cumulative, so the final emission per "
+    "key (the one with max n_events) IS the batch aggregate — gated "
+    "against COUNT(*)/arg_max over the whole log",
     tags=("streaming", "stateful"),
 )
 def st06_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,10 +285,11 @@ def st06_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "value"
     )
     out = _run_to_memory(running_counts(stream), "update")
-    # last emission per key carries the final accumulated state
-    return (
-        out.groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"))
+    # the last (cumulative) emission per key carries the final state;
+    # n_events strictly increases per emission, so max_by is unique
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("last_value", "n_events"), 4).alias("last_value"),
     )
 
 
