@@ -17,10 +17,14 @@ Five strategies, each with its scale story (100 TB = billions of docs):
   verifier behind MinHash, or standalone at moderate scale.
 - **embedding cosine**: see cdc_spark.operators.similarity.
 
-Signatures/fingerprints use xxhash64 (JVM-native, engine-specific) —
-fine because every *declared output* is either verified by exact
-Jaccard (portable) or checked rows-only; tests validate recall against
-the exact method.
+Signatures/fingerprints default to xxhash64 (JVM-native, fastest).
+``portable=True`` switches the shingle hash to an md5-derived 60-bit
+value (``conv(substr(md5(s),1,15),16,10)``) that any engine with md5
+can recompute — DuckDB: ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``
+— so the *banding itself* is oracle-hash-checkable, not just the
+exact-Jaccard verify. md5 costs ~2× xxhash64 per shingle but both are
+JVM codegen; the bucket-join shape (the thing that matters at 100 TB)
+is identical.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ from __future__ import annotations
 import random
 
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_spark.operators.text import shingle_rows
@@ -36,6 +40,15 @@ from cdc_spark.operators.text import shingle_rows
 # 31-bit Mersenne prime hash domain: products a*h stay < 2^62, so the
 # affine permutations never overflow ANSI-mode long arithmetic.
 _MERSENNE = (1 << 31) - 1
+
+
+def portable_hash60(c: Column | str) -> Column:
+    """md5-derived 60-bit non-negative hash, recomputable cross-engine.
+
+    15 hex chars = 60 bits < 2^63: always positive, products with
+    31-bit multipliers stay in long range."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(
@@ -75,12 +88,15 @@ def minhash_signature(
     num_hashes: int = 32,
     seed: int = 7,
     keep_text: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as an array<long> column ``sig``.
 
     Per row: shingle-hash set (document-local), then for each of the
     ``num_hashes`` affine permutations take the min — all inside one
     projection of higher-order functions; no explode, no shuffle.
+    ``portable=True`` swaps xxhash64 for the md5-derived shingle hash
+    so an external engine can recompute the signature bit-for-bit.
     """
     # Exploded shingle rows (codegen'd; see shingle_rows) → num_hashes
     # permutation minima as plain aggregates: whole-stage-codegen'd
@@ -92,11 +108,16 @@ def minhash_signature(
     # so the dedup shuffle is pure waste — the groupBy below is then
     # the ONLY exchange (map-side partial mins shrink it to one row
     # per doc per partition before it ships)
+    shingle_hash = (
+        portable_hash60(F.col("shingle"))
+        if portable
+        else F.xxhash64("shingle")
+    )
     exploded = shingle_rows(
         df, text_col, id_col, k_shingle, distinct=False
     ).select(
         F.col(id_col),
-        F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("__h"),
+        F.pmod(shingle_hash, F.lit(_MERSENNE)).alias("__h"),
     )
     params = _minhash_params(num_hashes, seed)
     mins = [
@@ -120,31 +141,33 @@ def lsh_candidate_pairs(
     *,
     bands: int = 8,
     rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
     Shape: explode to (band, bucket-hash) — band count is a small
     constant — then a self-equi-join on (band, bucket). Output
     distinct (id_a < id_b) pairs. Never compares non-colliding docs.
+    ``portable=True`` joins on the band's raw value string instead of
+    its xxhash64 (wider shuffle key, engine-recomputable buckets).
     """
+
+    def band_key(b):
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return key if portable else F.xxhash64(key)
+
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
+                band_key,
             )
         ).alias("band", "bucket"),
     )
@@ -229,18 +252,25 @@ def simhash(
     *,
     bits: int = 64,
     k_shingle: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash fingerprint: per bit, sign of Σ±1 over shingle hashes.
 
     Shingles (not unigrams) keep the fingerprint discriminative on
     small vocabularies. Document-local higher-order-function fold —
-    no shuffle at all.
+    no shuffle at all. ``portable=True`` uses the md5-derived 60-bit
+    shingle hash (callers should pass bits<=60 with it).
     """
     # Exploded shingle hashes → `bits` sign-vote sums as plain
     # aggregates (codegen'd, map-side combine), then fold vote signs
     # into the fingerprint long.
+    shingle_hash = (
+        portable_hash60(F.col("shingle"))
+        if portable
+        else F.xxhash64("shingle")
+    )
     exploded = shingle_rows(df, text_col, id_col, k_shingle).select(
-        F.col(id_col), F.xxhash64("shingle").alias("__h")
+        F.col(id_col), shingle_hash.alias("__h")
     )
     votes = [
         F.sum(

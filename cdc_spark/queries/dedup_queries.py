@@ -1,9 +1,12 @@
 """Dedup operators over `documents` — queries + oracles.
 
-Exact and n-gram-Jaccard dedup carry full SQL oracles. MinHash-LSH
-and SimHash outputs depend on engine-internal hash functions, so the
-driver records rows-only checks; their semantic validation against
-the exact methods lives in tests/test_dedup.py.
+Every entry carries a full SQL oracle: the gated MinHash-LSH and
+SimHash variants use the md5-derived portable shingle hash
+(``operators.dedup.portable_hash60``), so DuckDB recomputes the
+signatures / fingerprints / banding bit-for-bit — the approximate
+structure itself is hash-checked, not just the exact verify. The
+xxhash64 fast path stays the operator default; tests validate its
+recall against the exact methods.
 """
 
 from __future__ import annotations
@@ -13,6 +16,8 @@ from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table
 from cdc_spark.operators.dedup import (
+    _MERSENNE,
+    _minhash_params,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -137,25 +142,156 @@ def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.8)
 
 
+_PHASH60 = "CAST('0x' || substr(md5({s}),1,15) AS BIGINT)"
+
+_SHINGLE_CTES = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    shm AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 2, 0)),
+                   i -> array_to_string(l[i:i+2], ' '))) AS s
+        FROM toks
+    )"""
+
+
+def _minhash_lsh_oracle(
+    *,
+    num_hashes: int = 32,
+    seed: int = 7,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin of the PORTABLE MinHash+LSH+verify pipeline.
+
+    Embeds the same seeded permutation literals and the md5-derived
+    shingle hash, so signatures, band buckets AND the exact verify are
+    all recomputed — the banding is hash-checked end to end."""
+    params = _minhash_params(num_hashes, seed)
+    p = _MERSENNE
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"m{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    h AS (
+        -- NOT distinct: the permutation min is duplicate-insensitive
+        SELECT doc_id, {_PHASH60.format(s='s')} % {p} AS h FROM shm
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, s FROM shm),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT cm.id_a, cm.id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common cm
+    JOIN cand ON cm.id_a = cand.id_a AND cm.id_b = cand.id_b
+    JOIN sizes sa ON cm.id_a = sa.doc_id
+    JOIN sizes sb ON cm.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+    """
+
+
+def _simhash_oracle(
+    *, bits: int = 60, bands: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of the PORTABLE SimHash pipeline: same md5-derived
+    60-bit shingle hash, same sign-vote fold, same bit-slice banding."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = "\n               + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {i * width}) & {mask} AS slice FROM fp"
+        for i in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    shd AS (SELECT DISTINCT doc_id, s FROM shm),
+    h AS (SELECT doc_id, {_PHASH60.format(s='s')} AS h FROM shd),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               {fp} AS simhash
+        FROM votes
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS fa, b.simhash AS fb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.slice = b.slice
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
 @register(
     "dd03_minhash_lsh",
-    oracle=None,  # signature hashes are engine-internal; tests validate
-    # recall against dd02's exact pairs
+    oracle=_minhash_lsh_oracle(),
     note="MinHash(32) + LSH(8 bands x 4) candidates, exact-Jaccard "
-    "verified at 0.8 — the O(candidates) scale path for near-dedup",
+    "verified at 0.8 — the O(candidates) scale path for near-dedup. "
+    "Gated with the portable md5-derived shingle hash so the oracle "
+    "recomputes signatures and band buckets bit-for-bit; xxhash64 "
+    "stays the operator default (tests validate its recall)",
     tags=("dedup", "minhash", "lsh"),
 )
 def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signature(
-        docs, "text", "doc_id", k_shingle=3, num_hashes=32
+        docs, "text", "doc_id", k_shingle=3, num_hashes=32, portable=True
     )
     # the candidate set is referenced twice downstream (broadcast doc
     # filter + pair semi-join); materialize it once so the whole
     # signature+LSH subtree isn't recomputed per reference — it is
     # tiny (bounded by true near-dup density), the signatures are not
     cands = lsh_candidate_pairs(
-        sigs, "doc_id", bands=8, rows_per_band=4
+        sigs, "doc_id", bands=8, rows_per_band=4, portable=True
     ).localCheckpoint(eager=True)
     return jaccard_pairs(
         docs, "text", "doc_id", k_shingle=3, threshold=0.8, candidates=cands
@@ -164,15 +300,17 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd04_simhash",
-    oracle=None,  # xxhash64-based fingerprints are engine-internal
-    note="SimHash(64-bit, shingle-based) near-dup pairs, Hamming<=3, "
-    "banded candidate generation (pigeonhole on 4 bit-slices)",
+    oracle=_simhash_oracle(),
+    note="SimHash(60-bit, shingle-based) near-dup pairs, Hamming<=3, "
+    "banded candidate generation (pigeonhole on 4 bit-slices). Gated "
+    "with the portable md5-derived shingle hash so the oracle "
+    "recomputes fingerprints and bit-slice bands exactly",
     tags=("dedup", "simhash"),
 )
 def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fps = simhash(docs, "text", "doc_id", bits=64)
-    return simhash_pairs(fps, "doc_id", bits=64, bands=4, max_hamming=3)
+    fps = simhash(docs, "text", "doc_id", bits=60, portable=True)
+    return simhash_pairs(fps, "doc_id", bits=60, bands=4, max_hamming=3)
 
 
 @register(
