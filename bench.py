@@ -175,6 +175,63 @@ def bench_ivm_maintenance(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_skewed_hot_key_apply(spark, sf_dir: str) -> float:
+    """Skew resilience as a NUMBER, not just a correctness test.
+
+    Seeds a bucketed state from `orders`, then times a 200k-row batch
+    where 95% of changes hit ONE key (the Zipf-head shape a busy CDC
+    entity produces). The per-key fold is a hash aggregate with
+    map-side combine, so the hot key collapses to one row per
+    partition before the shuffle — this entry regresses if that shape
+    is ever lost (e.g. a window-based fold would put 190k rows on one
+    reducer)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_spark.catalog import load_table
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    d = tempfile.mkdtemp(prefix="bench_skew_")
+    try:
+        state = BucketedStateTable(spark, d, ["o_orderkey"], n_buckets=64)
+        orders = load_table(spark, sf_dir, "orders")
+        seed = orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.lit("c").alias("op"),
+            F.col("o_orderkey").alias("lsn"),
+        )
+        state.apply(seed, ["o_custkey", "o_totalprice"])  # untimed seed
+
+        def zipf_batch(lsn_base: int):
+            return spark.range(200_000).select(
+                # 95% of updates on key 1, the rest spread over real keys
+                F.when(F.col("id") % 20 != 0, F.lit(1))
+                .otherwise((F.col("id") % 10_000) * 4 + 1)
+                .cast("long")
+                .alias("o_orderkey"),
+                (F.col("id") % 1000).alias("o_custkey"),
+                (F.col("id") % 997).cast("double").alias("o_totalprice"),
+                F.lit("u").alias("op"),
+                (F.col("id") + F.lit(lsn_base)).alias("lsn"),
+            )
+
+        state.apply(zipf_batch(10_000_000), ["o_custkey", "o_totalprice"])
+        best = None
+        for i in range(1, 4):
+            b = zipf_batch(10_000_000 + i * 1_000_000)
+            t0 = time.time()
+            state.apply(b, ["o_custkey", "o_totalprice"])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("cdc_spark_bench")
@@ -193,17 +250,28 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
 
+    # min-of-3 per headline query: single-shot numbers at sf0.1 carry
+    # multi-hundred-ms scheduler/GC noise (the round-4 tx05 "+35%"
+    # question), which min-of-N removes; round-over-round deltas are
+    # then attributable to plan changes, not the draw.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     timings["cdc_incr_apply_small_batch"] = bench_incremental_apply(
         spark, sf_dir
     )
     timings["ivm_agg_maintenance_small_batch"] = bench_ivm_maintenance(
+        spark, sf_dir
+    )
+    timings["cdc_skewed_hot_key_apply"] = bench_skewed_hot_key_apply(
         spark, sf_dir
     )
 
