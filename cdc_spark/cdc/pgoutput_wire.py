@@ -39,6 +39,7 @@ old image the wire carried); a 'K' image yields before ≡ key.
 from __future__ import annotations
 
 import struct
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -231,23 +232,35 @@ def _decode_frame(frame: bytes) -> dict:
 
 
 def decode_frames(
-    raw: DataFrame, value_col: str = "value", order_col: str | None = None
+    raw: DataFrame,
+    value_col: str = "value",
+    order_col: str | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Binary frames → flat decoded rows (one per wire message).
 
     ``order_col``: pre-existing total order (Kafka offset / file line
     number); falls back to ``monotonically_increasing_id`` — ordered
     within and across partitions of one batch, same discipline as
-    ``parse_wal2json``.
+    ``parse_wal2json``. ``partition_col`` (a source-partition column,
+    e.g. the Kafka partition) is carried through the decode so
+    downstream windows can partition by it.
     """
     order = (
         F.col(order_col)
         if order_col
         else F.monotonically_increasing_id()
     )
-    src = raw.select(
-        order.cast("long").alias("__order"), F.col(value_col).alias("__frame")
-    )
+    sel = [
+        order.cast("long").alias("__order"),
+        F.col(value_col).alias("__frame"),
+    ]
+    schema = _DECODED_SCHEMA
+    if partition_col:
+        sel.append(F.col(partition_col).alias("__part"))
+        ptype = raw.schema[partition_col].dataType.simpleString()
+        schema = f"{schema}, {partition_col} {ptype}"
+    src = raw.select(*sel)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,11 +270,12 @@ def decode_frames(
                 d["__order"] = int(order_v)
                 rows.append(d)
             cols = [f.split(":")[0] for f in _split_fields()]
-            yield pd.DataFrame(
-                {c: [r.get(c) for r in rows] for c in cols}
-            )
+            data = {c: [r.get(c) for r in rows] for c in cols}
+            if partition_col:
+                data[partition_col] = list(pdf["__part"])
+            yield pd.DataFrame(data)
 
-    return src.mapInPandas(decode, schema=_DECODED_SCHEMA)
+    return src.mapInPandas(decode, schema=schema)
 
 
 def _split_fields() -> list[str]:
@@ -314,17 +328,33 @@ def parse_pgoutput_binary(
 ) -> DataFrame:
     """Binary pgoutput frames → canonical change rows.
 
-    ``partition_col``: source partition carrying an independent frame
-    order (e.g. Kafka partition) — transaction fill-forward windows
-    partition by it; default assumes one totally-ordered stream
-    (pgoutput's own guarantee per replication slot).
-
-    Emits the canonical envelope (op/src_schema/src_table/lsn/tx_id/
-    commit_ts/key/before/after/col_types/origin); B/C/R/Y/O frames are
-    consumed as context, not emitted. Malformed frames surface with
-    op=NULL for the dead-letter split.
+    ``partition_col`` is REQUIRED for input whose partitions carry
+    INDEPENDENT frame orders (e.g. a Kafka topic with >1 partition):
+    it names that source-partition column and the transaction
+    fill-forward windows partition by it. Without it the windows run
+    ``over (order by __order)`` globally — a single reducer. That is
+    semantically forced for one replication slot's totally-ordered
+    stream (exactly the reference's single-threaded loop,
+    main.go:52-76), but a scale hazard if hit accidentally, so a
+    physically multi-partition bounded input without ``partition_col``
+    emits a RuntimeWarning. Physical chunking of one logical stream is
+    still CORRECT (the window shuffles it to one total order) — the
+    warning is about throughput at scale, hence not an error.
     """
-    decoded = decode_frames(raw, value_col, order_col)
+    decoded = decode_frames(raw, value_col, order_col, partition_col)
+    if partition_col is None and not raw.isStreaming:
+        n_parts = raw.rdd.getNumPartitions()
+        if n_parts > 1:
+            warnings.warn(
+                f"parse_pgoutput_binary: input has {n_parts} physical "
+                "partitions but no partition_col — the transaction "
+                "fill-forward window will run globally on ONE reducer. "
+                "Correct for a single replication slot's total order; "
+                "for multi-partition Kafka input pass partition_col so "
+                "per-partition orders stay parallel.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     part = [partition_col] if partition_col else []
     w_tx = (
@@ -434,6 +464,7 @@ def parse_pgoutput_binary(
         col_types.alias("col_types"),
         F.col("__origin").alias("origin"),
         F.col("old_kind").alias("replica_identity"),
+        *([F.col(partition_col)] if partition_col else []),
     )
 
 

@@ -64,6 +64,65 @@ def file_change_stream(
     return reader.load(source_dir)
 
 
+# The Kafka sink's frame contract (Structured Streaming + Kafka
+# Integration Guide): `value` required, everything else optional.
+# Types are the EXACT set the producer accepts — anything else fails
+# only at runtime against a broker, which this environment lacks, so
+# validate_kafka_frames() front-loads the check to plan time.
+_KAFKA_FRAME_TYPES: dict[str, tuple[str, ...]] = {
+    "key": ("string", "binary"),
+    "value": ("string", "binary"),
+    "topic": ("string",),
+    "partition": ("int",),
+    "headers": ("array<struct<key:string,value:binary>>",),
+}
+
+
+def validate_kafka_frames(df: DataFrame) -> None:
+    """Assert ``df`` is a well-formed Kafka producer frame set.
+
+    Raises ``ValueError`` when `value` is missing or any recognized
+    column has a type the Kafka sink would reject — the misbuilt-frame
+    failure that otherwise only surfaces against a live broker."""
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if "value" not in fields:
+        raise ValueError(
+            "Kafka frames require a `value` column; got "
+            f"{sorted(fields)}"
+        )
+    for name, allowed in _KAFKA_FRAME_TYPES.items():
+        if name in fields and fields[name] not in allowed:
+            raise ValueError(
+                f"Kafka frame column `{name}` must be "
+                f"{' or '.join(allowed)}, got {fields[name]}"
+            )
+
+
+def kafka_frames(
+    df: DataFrame,
+    *,
+    topic_col: str = "topic",
+    value_col: str = "value",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Project a DataFrame into validated Kafka producer frames:
+    binary key/value + string topic. The key column (Debezium keys by
+    primary key) preserves per-entity partition ordering — without it
+    a multi-partition topic loses the per-key total order every CDC
+    consumer depends on."""
+    cols = [
+        F.col(topic_col).cast("string").alias("topic"),
+        F.col(value_col).cast("string").cast("binary").alias("value"),
+    ]
+    if key_col is not None:
+        cols.insert(
+            0, F.col(key_col).cast("string").cast("binary").alias("key")
+        )
+    out = df.select(*cols)
+    validate_kafka_frames(out)
+    return out
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -71,15 +130,16 @@ def kafka_sink(
     *,
     topic_col: str = "topic",
     value_col: str = "value",
+    key_col: str | None = None,
 ):
     """Kafka writer honoring a per-row topic column — the outbox
     router's fan-out transport (deck slide 40). Returns a CONFIGURED
     writer: call ``.start()`` on the streaming variant or ``.save()``
     on the batch variant to produce (needs the kafka package + a
-    broker; returning unstarted keeps this constructible in tests)."""
-    out = df.select(
-        F.col(topic_col).alias("topic"),
-        F.col(value_col).cast("string").alias("value"),
+    broker; returning unstarted keeps this constructible in tests).
+    Frames are validated against the producer contract at build time."""
+    out = kafka_frames(
+        df, topic_col=topic_col, value_col=value_col, key_col=key_col
     )
     if out.isStreaming:
         return (

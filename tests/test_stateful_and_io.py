@@ -219,3 +219,76 @@ def test_sessionizer_folds_chunks_in_global_time_order():
     assert closed["end_us"].tolist() == [200]
     assert closed["n_events"].tolist() == [2]
     assert state.value == (5000, 5000, 1)  # open tail session
+
+
+def test_kafka_frames_match_producer_contract(spark):
+    """The produced frame layout must be exactly what the Kafka sink
+    accepts (binary key/value, string topic) — the misbuilt-frame
+    failure that otherwise only surfaces against a live broker."""
+    import pytest
+
+    from cdc_spark.sources.connectors import (
+        kafka_frames,
+        validate_kafka_frames,
+    )
+
+    routed = spark.createDataFrame(
+        [("t.user", '{"op":"c"}', "41")],
+        "topic string, value string, key string",
+    )
+    frames = kafka_frames(routed, key_col="key")
+    assert {f.name: f.dataType.simpleString() for f in frames.schema} == {
+        "key": "binary",
+        "value": "binary",
+        "topic": "string",
+    }
+    # round-trip: binary payloads decode back to the source strings
+    row = frames.select(
+        frames.key.cast("string").alias("k"),
+        frames.value.cast("string").alias("v"),
+        "topic",
+    ).first()
+    assert (row.k, row.v, row.topic) == ("41", '{"op":"c"}', "t.user")
+
+    # malformed frames are rejected at build time
+    with pytest.raises(ValueError, match="require a `value`"):
+        validate_kafka_frames(routed.select("topic"))
+    with pytest.raises(ValueError, match="`topic` must be"):
+        validate_kafka_frames(
+            spark.createDataFrame([(1, "x")], "topic int, value string")
+        )
+    with pytest.raises(ValueError, match="`partition` must be"):
+        validate_kafka_frames(
+            spark.createDataFrame(
+                [("x", 1)], "value string, partition long"
+            )
+        )
+
+
+def test_wire_decode_warns_on_multipartition_without_partition_col(spark):
+    """A physically multi-partition bounded input with no partition_col
+    funnels the fill-forward window through one reducer — warn, and
+    stay silent when partition_col is given."""
+    import warnings as W
+
+    import cdc_spark.cdc.pgoutput_wire as wire
+
+    rel = 77
+    frames = [
+        wire.encode_relation(rel, "public", "t", 1, [(True, "id", 23, 0)]),
+        wire.encode_begin(100, 1_000_000, 9),
+        wire.encode_insert(rel, [("t", "1")]),
+        wire.encode_commit(101, 102, 1_000_001),
+    ]
+    df = spark.createDataFrame(
+        [(i, 0, bytearray(f)) for i, f in enumerate(frames)],
+        "ord long, part int, value binary",
+    ).repartition(4)
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        wire.parse_pgoutput_binary(df, order_col="ord")
+    assert any("one reducer" in str(w.message).lower() for w in caught)
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        wire.parse_pgoutput_binary(df, order_col="ord", partition_col="part")
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
