@@ -347,7 +347,10 @@ def q52_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     note="collect_list/collect_set made deterministic by sorting before "
-    "serialization (collection aggregates)",
+    "serialization (collection aggregates). NB: the per-key array is "
+    "UNBOUNDED — a Zipf-head hot key materializes its whole history in "
+    "one aggregation buffer. Inherent to collect_list semantics; for "
+    "pipelines use the bounded q62 variant",
     tags=("agg", "collect"),
 )
 def q53_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +362,57 @@ def q53_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
             "distinct_types"
         ),
+    )
+
+
+@register(
+    "q62_bounded_collect_topn",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY rn), ',')
+               AS recent_types
+    FROM ranked WHERE rn <= 5 GROUP BY user_id
+    """,
+    note="Bounded-output per-key collect: 5 most recent event types "
+    "per user via a salted two-stage fold — each of 16 salt buckets "
+    "folds its share (worst-case buffer rows/16, sliced to 5 the "
+    "moment the bucket completes), then 16 five-element arrays "
+    "combine per key. The hot-key-safer twin of q53: buffer divided "
+    "by the salt factor and no per-key global sort; raise the salt "
+    "for hotter keys",
+    tags=("agg", "collect", "topk", "skew"),
+)
+def q62_bounded_collect_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        (-F.col("event_id")).alias("o"), F.col("event_type").alias("t")
+    )
+    part = (
+        events.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("user_id", "__salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, 5).alias("__top")
+        )
+    )
+    return (
+        part.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__top"))), 1, 5
+            ).alias("__top5")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                ",", F.transform("__top5", lambda s: s["t"])
+            ).alias("recent_types"),
+        )
     )
 
 
