@@ -99,3 +99,108 @@ def io01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def io02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "io03_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    note="ORC sink -> source round-trip with explicit schema — the "
+    "columnar interchange twin of io01/io02 (same aggregate oracle)",
+    tags=("io", "source", "sink"),
+)
+def io03_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "io04_partitioned_pruned_read",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY event_type
+    """,
+    note="Hive-style partitioned write + partition-pruned read: events "
+    "written partitionBy(event_type), read back filtered to ONE "
+    "partition value — the scan touches only that directory "
+    "(PartitionFilters, asserted in tests/test_scale_layout.py), the "
+    "100 TB pattern for time/category-partitioned lakes",
+    tags=("io", "partitioning", "pruning"),
+)
+def io04_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="io04_"), "events_part"
+    )
+    events.select(
+        "event_id", "user_id", "value", "event_type"
+    ).write.partitionBy("event_type").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).where(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@register(
+    "io05_bucketed_colocated_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    note="Bucketed-table co-located join: orders and customer each "
+    "saved bucketBy(8, custkey) sortBy(custkey), then joined — the "
+    "bucketing metadata lets the join run with ZERO exchanges on "
+    "either side (asserted in tests/test_scale_layout.py). At 100 TB "
+    "this is THE pattern for repeated fact-dim joins on a stable key: "
+    "pay the bucketed write once, skip the shuffle on every query",
+    tags=("io", "bucketing", "join"),
+)
+def io05_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # a fresh session's catalog doesn't know tables from earlier runs,
+    # so DROP can no-op while the managed location persists — clear it
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("io05_orders_b", "io05_customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("io05_orders_b")
+    )
+    (
+        customer.select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("io05_customer_b")
+    )
+    o = spark.table("io05_orders_b")
+    c = spark.table("io05_customer_b")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+    )

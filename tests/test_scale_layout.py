@@ -100,3 +100,23 @@ def test_state_time_travel(spark):
         assert old.count() == 1 and old.first().v == "v1"
         with pytest.raises(ValueError):
             t.read(version=99)
+
+
+def test_io05_gated_query_joins_without_exchange(spark):
+    """The GATED io05 query (not just the pattern) must run its join
+    off co-located buckets: no hashpartitioning exchange on either
+    join key below the SortMergeJoin."""
+    from cdc_spark.queries.io_queries import io05_bucketed_colocated_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = io05_bucketed_colocated_join(spark, SF)
+        plan = _physical_plan(out)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        assert out.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
