@@ -452,3 +452,68 @@ def dd07_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dups"),
         )
     )
+
+
+@register(
+    "dd08_boilerplate_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(l[i:i+7], ' ')) AS chunk_md5
+        FROM toks,
+             unnest(generate_series(1, greatest(len(l), 1), 8)) AS t(i)
+    ),
+    cd AS (
+        SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd
+        FROM ch GROUP BY chunk_md5
+    ),
+    per AS (
+        SELECT ch.doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN cd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM ch JOIN cd USING (chunk_md5)
+        GROUP BY ch.doc_id
+    )
+    SELECT doc_id, n_chunks, n_shared,
+           ROUND(n_shared * 1.0 / n_chunks, 4) AS boilerplate_ratio
+    FROM per
+    """,
+    note="Cross-document boilerplate: non-overlapping 8-token chunks "
+    "hashed (md5 — portable), counted across the corpus via an "
+    "inverted chunk index (chunk equi-join, never doc all-pairs); per "
+    "doc, the fraction of its chunks appearing in >1 document — the "
+    "RefinedWeb/C4-style shared-boilerplate removal signal",
+    tags=("dedup", "text", "quality"),
+)
+def dd08_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import chunk_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_rows(
+        docs, "text", "doc_id", chunk_size=8, stride=8
+    ).select("doc_id", "chunk_md5")
+    cd = ch.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        ch.join(cd, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("nd") > 1, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_chunks"), 4
+            ).alias("boilerplate_ratio"),
+        )
+    )

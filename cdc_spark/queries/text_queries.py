@@ -586,3 +586,46 @@ def tx14_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deco = docs.select("doc_id", body.alias("body"))
     return url_stats(deco, "body", "doc_id")
+
+
+@register(
+    "tx15_seeded_corpus_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           k % 64 AS shard,
+           row_number() OVER (PARTITION BY k % 64
+                              ORDER BY k, doc_id) AS pos
+    FROM keyed
+    """,
+    note="Deterministic seeded corpus shuffle for training-order "
+    "reproducibility: md5('seed:'||doc_id) keys each doc to one of 64 "
+    "shards with a position inside it. Every window is PARTITIONED by "
+    "shard (parallel, no global sort); re-running with the same seed "
+    "on any engine yields the identical (shard, pos) assignment — the "
+    "property a resumable data loader needs",
+    tags=("text", "sampling", "shuffle"),
+)
+def tx15_seeded_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        portable_hash60(
+            F.concat(F.lit("42:"), F.col("doc_id").cast("string"))
+        ).alias("__k"),
+    )
+    w = Window.partitionBy(F.col("__k") % 64).orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("__k") % 64).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
