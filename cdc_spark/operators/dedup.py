@@ -193,13 +193,24 @@ def jaccard_pairs(
     k_shingle: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Distinct shingles exploded, self-joined on the shingle value,
     intersection counted, union by inclusion-exclusion. When
     ``candidates`` (id_a, id_b) is given — e.g. from LSH — only those
-    pairs are verified (semi-join pushdown into both explode sides).
+    pairs are verified (semi-join pushdown into both explode sides),
+    and the candidate shingle rows are locally checkpointed: the
+    scan→semi-join→shingle subtree feeds three consumers (sizes + both
+    self-join sides), so without materialization it would run 3×.
+    The checkpoint is bounded by near-dup density, never corpus size.
+
+    ``hash_shingles=True`` joins on the md5-derived 60-bit shingle
+    hash instead of the raw shingle string: the verify shuffle key
+    drops from a variable-length n-gram to 8 bytes. Collisions
+    (~2^-60/pair) would fold two shingles together identically in any
+    engine recomputing the same hash, so oracle checks stay exact.
     """
     if candidates is not None:
         # semi-join BEFORE shingling: only candidate docs are ever
@@ -212,9 +223,18 @@ def jaccard_pairs(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
         ).distinct()
         df = df.join(wanted, id_col, "left_semi")
-    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
-        F.col(id_col).alias("__id"), F.col("shingle").alias("__s")
+    key = (
+        portable_hash60(F.col("shingle"))
+        if hash_shingles
+        else F.col("shingle")
     )
+    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
+        F.col(id_col).alias("__id"), key.alias("__s")
+    )
+    if candidates is not None:
+        # lazy local checkpoint: materialized once on first action,
+        # reused by all three consumers (candidate-bounded, small)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
 
     a = sh.select(F.col("__id").alias("id_a"), F.col("__s"))

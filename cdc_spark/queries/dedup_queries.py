@@ -205,11 +205,15 @@ def _minhash_lsh_oracle(
           ON a.band = b.band AND a.bucket = b.bucket
          AND a.doc_id < b.doc_id
     ),
+    -- verify joins on the hashed shingle, mirroring hash_shingles=True:
+    -- distinct on the raw shingle FIRST, then hash (exactly the Spark
+    -- evaluation order, so even a collision would fold identically)
     shd AS (SELECT DISTINCT doc_id, s FROM shm),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    shh AS (SELECT doc_id, {_PHASH60.format(s='s')} AS hs FROM shd),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT cm.id_a, cm.id_b,
@@ -293,8 +297,16 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(
         sigs, "doc_id", bands=8, rows_per_band=4, portable=True
     ).localCheckpoint(eager=True)
+    # verify: candidate shingles checkpointed once (not recomputed per
+    # consumer) and joined on the 8-byte portable hash, not the string
     return jaccard_pairs(
-        docs, "text", "doc_id", k_shingle=3, threshold=0.8, candidates=cands
+        docs,
+        "text",
+        "doc_id",
+        k_shingle=3,
+        threshold=0.8,
+        candidates=cands,
+        hash_shingles=True,
     )
 
 
