@@ -91,6 +91,71 @@ def pack_sequences(
     return tagged.groupBy("pack_group").applyInPandas(pack, out_schema)
 
 
+def concat_chunk_plan(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    budget: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: documents concatenated
+    in ascending ``id_col`` order within a pack group, the token stream
+    sliced into fixed ``budget`` windows, documents allowed to SPAN
+    window boundaries (the EOD-token training layout — zero padding
+    waste by construction, unlike bin packing).
+
+    Because the chunk of every token is a pure function of the running
+    offset, the whole plan is one window cumulative sum — no Python,
+    no sequential fold, and (unlike next-fit) exactly reproducible by
+    any SQL engine. Returns per document: its group, start offset in
+    the group's token stream, first/last context window touched, and
+    how many windows it spans.
+
+    Scale shape: one shuffle (hash-partition by pack group) + one
+    in-partition sort for the window — per-group memory is
+    corpus/n_groups, same sizing rule as pack_sequences.
+
+    Group assignment is ``id % n_groups`` (not xxhash64) so external
+    engines can recompute the layout bit-for-bit; ids are synthetic
+    and uniform, so the modulo is as balanced as the hash.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    sized = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias(
+        "start_offset"
+    )
+    out = sized.select(id_col, tokens_col, "pack_group", start)
+    first_bin = F.floor(F.col("start_offset") / budget).alias("first_bin")
+    # empty docs (n_tokens=0) occupy no tokens: pin them to first_bin
+    last_tok = F.col("start_offset") + F.greatest(
+        F.col(tokens_col), F.lit(1)
+    ) - 1
+    last_bin = F.floor(last_tok / budget).alias("last_bin")
+    return out.select(
+        id_col,
+        tokens_col,
+        "pack_group",
+        "start_offset",
+        first_bin,
+        last_bin,
+        (F.floor(last_tok / budget) - F.floor(F.col("start_offset") / budget)
+         + 1).alias("n_windows"),
+    )
+
+
 def packing_efficiency(packed: DataFrame, *, budget: int) -> DataFrame:
     """Per-group waste summary: bins, tokens, fill ratio."""
     bins = packed.groupBy("pack_group", "bin_idx").agg(

@@ -6,7 +6,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table
-from cdc_spark.operators.packing import pack_sequences, packing_efficiency
+from cdc_spark.operators.packing import (
+    concat_chunk_plan,
+    pack_sequences,
+    packing_efficiency,
+)
 from cdc_spark.queries.base import register
 
 
@@ -40,3 +44,43 @@ def dp01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dp02_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = dp01_sequence_packing(spark, sf_dir)
     return packing_efficiency(packed, budget=512)
+
+
+@register(
+    "dp03_concat_chunk_plan",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS pack_group
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens, pack_group,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY pack_group ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS BIGINT) AS start_offset
+        FROM sized
+    )
+    SELECT doc_id, n_tokens, pack_group, start_offset,
+           CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS first_bin,
+           CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 512.0)
+                AS BIGINT) AS last_bin,
+           CAST(FLOOR((start_offset + greatest(n_tokens, 1) - 1) / 512.0)
+                - FLOOR(start_offset / 512.0) + 1 AS BIGINT) AS n_windows
+    FROM cum
+    """,
+    note="GPT-style concat-and-chunk packing plan: docs concatenated in "
+    "id order per pack group, token stream sliced into 512-token "
+    "context windows, docs spanning boundaries (zero padding waste). "
+    "Pure window cumsum — the packing family's hash-checkable layout, "
+    "complementing the non-SQL-expressible next-fit dp01",
+    tags=("packing", "training"),
+)
+def dp03_concat_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return concat_chunk_plan(sized, "doc_id", "n_tokens", budget=512, n_groups=8)
