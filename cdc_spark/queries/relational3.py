@@ -559,3 +559,191 @@ def q61_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "s_name", "unit_cost")
     )
+
+
+@register(
+    "q63_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 75 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM late l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+    note="TPC-H Q21 shape (late = shipped >75 days after order date; "
+    "no receiptdate/commitdate in this schema): suppliers who were the "
+    "SOLE late supplier on a multi-supplier finalized order. Double "
+    "correlation — EXISTS another supplier on the order, NOT EXISTS "
+    "another LATE supplier — decorrelated into one semi and one anti "
+    "join on l_orderkey; nation filter broadcast-pruned before the "
+    "fact joins",
+    tags=("join", "subquery", "tpch"),
+)
+def q63_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    late = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.distinct()
+
+    # EXISTS another supplier on the same order: semi join against
+    # lineitem rows with a different suppkey
+    other = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    has_other = l1.join(
+        other,
+        (l1.l_orderkey == other.o_ok) & (l1.l_suppkey != other.o_sk),
+        "left_semi",
+    )
+    # NOT EXISTS another LATE supplier on the same order: anti join
+    # against the late set itself
+    other_late = late.select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    ).distinct()
+    sole = has_other.join(
+        other_late,
+        (has_other.l_orderkey == other_late.a_ok)
+        & (has_other.l_suppkey != other_late.a_sk),
+        "left_anti",
+    )
+
+    named = sole.join(supp, sole.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(
+            nation.where(
+                F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+            )
+        ),
+        supp.s_nationkey == nation.n_nationkey,
+    )
+    return (
+        named.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "q64_small_qty_revenue",
+    oracle=f"""
+    WITH avgq AS (
+        SELECT l_partkey, AVG(l_quantity) AS a
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND({dsum_sql('l_extendedprice')} / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part ON l_partkey = p_partkey
+    JOIN avgq ON avgq.l_partkey = l.l_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity < 0.5 * a
+    """,
+    note="TPC-H Q17 shape: revenue lost to small-quantity orders for "
+    "one brand. The correlated AVG-per-part subquery is decorrelated "
+    "into a per-part aggregate joined back on l_partkey (one "
+    "group-cardinality shuffle); the brand filter prunes the part side "
+    "before the join so AQE can broadcast it",
+    tags=("join", "subquery", "tpch", "agg"),
+)
+def q64_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    avgq = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__a"))
+    brand = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    return (
+        li.join(brand, li.l_partkey == brand.p_partkey)
+        .join(avgq, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("__a"))
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q65_dormant_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name, COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 4)
+               AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT ab FROM cutoff)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    note="TPC-H Q22 shape (nation stands in for the phone prefix; "
+    "'dormant' = no order since 2000 stands in for 'never ordered', "
+    "which is empty in this data): above-average-balance customers "
+    "with no recent orders. Global-avg scalar subquery broadcast as a "
+    "1-row aggregate; the NOT EXISTS is an anti join against the "
+    "date-pruned orders scan",
+    tags=("join", "subquery", "tpch", "agg"),
+)
+def q65_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
