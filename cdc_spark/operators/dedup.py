@@ -360,3 +360,66 @@ def simhash_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def common_ngram_doc_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k_shingle: int = 5,
+    min_docs: int = 3,
+    flag_fraction: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus-level duplicate-n-gram exposure per document.
+
+    The "repeated substring" signal from training-data dedup research
+    (an n-gram occurring in many documents marks boilerplate /
+    cross-document duplication): count, per document, what fraction of
+    its distinct k-grams occur in ≥ ``min_docs`` distinct documents,
+    and flag documents above ``flag_fraction``.
+
+    Shape: distinct (doc, shingle) rows → one hash-agg over shingles
+    to find the common set → semi-join back. All joins/aggs key on the
+    shingle hash (8 bytes), never the n-gram string — at 100 TB the
+    shingle shuffle is the dominant cost and the fixed-width key
+    roughly halves it vs ~5-word strings. ``portable=True`` uses the
+    md5-derived 60-bit hash an external engine can recompute.
+
+    Documents shorter than ``k_shingle`` tokens have no shingles and
+    are absent from the output (no defined fraction), matching any
+    engine computing the same definition.
+    """
+    key = (
+        portable_hash60(F.col("shingle"))
+        if portable
+        else F.xxhash64("shingle")
+    )
+    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
+        F.col(id_col), key.alias("__h")
+    )
+    # distinct-per-doc rows: COUNT(*) per shingle == document frequency
+    common = (
+        sh.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    tot = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    com = (
+        sh.join(common, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__c"))
+    )
+    frac = F.coalesce(F.col("__c"), F.lit(0)) / F.col("n_shingles")
+    return (
+        tot.join(com, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.coalesce(F.col("__c"), F.lit(0)).alias("n_common"),
+            F.round(frac, 4).alias("dup_fraction"),
+            (frac >= flag_fraction).alias("flagged"),
+        )
+    )

@@ -18,6 +18,7 @@ from cdc_spark.catalog import load_table
 from cdc_spark.operators.dedup import (
     _MERSENNE,
     _minhash_params,
+    common_ngram_doc_stats,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -528,4 +529,45 @@ def dd08_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_shared") / F.col("n_chunks"), 4
             ).alias("boilerplate_ratio"),
         )
+    )
+
+
+@register(
+    "dd09_common_ngram_exposure",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    shd AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 4, 0)),
+                   i -> array_to_string(l[i:i+4], ' '))) AS s
+        FROM toks
+    ),
+    -- hash AFTER the distinct, mirroring the Spark evaluation order
+    shh AS (SELECT doc_id, {_PHASH60.format(s='s')} AS h FROM shd),
+    common AS (SELECT h FROM shh GROUP BY h HAVING COUNT(*) >= 3),
+    tot AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+    com AS (
+        SELECT doc_id, COUNT(*) AS c FROM shh
+        WHERE h IN (SELECT h FROM common) GROUP BY doc_id
+    )
+    SELECT tot.doc_id, n AS n_shingles,
+           COALESCE(c, 0) AS n_common,
+           ROUND(COALESCE(c, 0) * 1.0 / n, 4) AS dup_fraction,
+           COALESCE(c, 0) * 1.0 / n >= 0.5 AS flagged
+    FROM tot LEFT JOIN com ON tot.doc_id = com.doc_id
+    """,
+    note="corpus-level duplicate-5-gram exposure per document (the "
+    "repeated-substring dedup signal): fraction of a doc's distinct "
+    "5-grams occurring in >=3 docs, flagged above 0.5. One shingle "
+    "hash-agg + a semi-join back, all keyed on the portable 60-bit "
+    "hash so the oracle recomputes the exact same sets",
+    tags=("dedup", "ngram", "quality"),
+)
+def dd09_common_ngram_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return common_ngram_doc_stats(
+        docs, "text", "doc_id", k_shingle=5, min_docs=3, portable=True
     )
