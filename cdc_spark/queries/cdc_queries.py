@@ -932,3 +932,103 @@ def cdc16_maxwell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_custkey").alias("n_keys"),
         dsum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@register(
+    "cdc17_incremental_snapshot",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    bounds AS (
+        SELECT MAX(lsn) AS max_lsn, MAX(user_id) AS max_key FROM ch
+    ),
+    keyed AS (
+        SELECT ch.*, user_id // 5 AS chunk,
+               (max_key // 5) + 1 AS n_chunks,
+               max_lsn // 2 AS snap_start,
+               max_lsn - (max_lsn // 2) AS snap_range
+        FROM ch, bounds
+    ),
+    windowed AS (
+        SELECT *,
+               snap_start + (chunk * snap_range) // n_chunks AS chunk_lo,
+               snap_start + ((chunk + 1) * snap_range) // n_chunks AS chunk_hi
+        FROM keyed
+    ),
+    per_key AS (
+        SELECT user_id, chunk, chunk_lo, chunk_hi,
+               arg_max(op, lsn)         AS snap_op,
+               arg_max(event_type, lsn) AS snap_type,
+               arg_max(value, lsn)      AS snap_value,
+               MAX(lsn)                 AS snap_lsn,
+               MAX(CASE WHEN lsn > chunk_lo THEN 1 ELSE 0 END) AS in_window
+        FROM windowed
+        WHERE lsn <= chunk_hi
+        GROUP BY user_id, chunk, chunk_lo, chunk_hi
+    )
+    SELECT user_id, chunk, chunk_lo, chunk_hi,
+           snap_type, ROUND(snap_value, 4) AS snap_value, snap_lsn
+    FROM per_key
+    WHERE snap_op <> 'd' AND in_window = 0
+    """,
+    note="DBLog-style incremental snapshot (Netflix DBLog / Debezium "
+    "watermark algorithm): the key space is split into 50-key chunks, "
+    "each chunk read inside its own [lo, hi] LSN watermark window "
+    "(windows laid out over the second half of the log); a chunk row "
+    "is emitted as backfill ONLY if no log event for that key landed "
+    "inside the window — the log apply supersedes it (the dedup rule "
+    "that makes snapshot+stream interleave exactly-once). Windows are "
+    "pure integer arithmetic over two scalar aggregates, broadcast as "
+    "a 1-row join; the per-key fold is one shuffle on user_id",
+    tags=("cdc", "snapshot", "backfill"),
+)
+def cdc17_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ch = _as_changes(events)
+
+    bounds = ch.agg(
+        F.max("lsn").alias("__max_lsn"), F.max("user_id").alias("__max_key")
+    )
+    # chunking + watermark-window layout, all integer arithmetic so any
+    # engine recomputes identical bounds (no float division anywhere)
+    keyed = ch.join(F.broadcast(bounds)).select(
+        "*",
+        F.expr("user_id div 5").alias("chunk"),
+        F.expr("(__max_key div 5) + 1").alias("n_chunks"),
+        F.expr("__max_lsn div 2").alias("snap_start"),
+        F.expr("__max_lsn - (__max_lsn div 2)").alias("snap_range"),
+    )
+    windowed = keyed.select(
+        "*",
+        F.expr("snap_start + (chunk * snap_range) div n_chunks").alias(
+            "chunk_lo"
+        ),
+        F.expr(
+            "snap_start + ((chunk + 1) * snap_range) div n_chunks"
+        ).alias("chunk_hi"),
+    ).where(F.col("lsn") <= F.col("chunk_hi"))
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("lsn"))
+    per_key = (
+        windowed.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "in_window",
+            F.max(
+                F.when(F.col("lsn") > F.col("chunk_lo"), 1).otherwise(0)
+            ).over(Window.partitionBy("user_id")),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    return per_key.where(
+        (F.col("op") != "d") & (F.col("in_window") == 0)
+    ).select(
+        "user_id",
+        "chunk",
+        "chunk_lo",
+        "chunk_hi",
+        F.col("event_type").alias("snap_type"),
+        F.round("value", 4).alias("snap_value"),
+        F.col("lsn").alias("snap_lsn"),
+    )
