@@ -25,18 +25,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Rotated for round 5: a prefix-sampling gate saw cdc/dd/tx/st/pu in
 # round 4, so the families it has NOT recently (or ever) hash-checked
-# come first — io/dp/ss/mm, then q56+ (never gated), then the rest of
-# the relational inventory, with the round-4-green families last.
+# come first — io/dp/ss/mm, then q56+ (never gated), then other new
+# round-5 entries, then the rest of the relational inventory, with the
+# round-4-green families last.
 _PRIORITY = ("io", "dp", "ss", "mm", "q", "cdc", "dd", "tx", "st", "pu")
+
+# Round-5 additions outside the io/dp/ss/mm/q families: never had a
+# driver row, so they jump ahead of the q01..q55 block.
+_NEVER_GATED = frozenset(
+    {"cdc17_incremental_snapshot", "dd09_common_ngram_exposure"}
+)
 
 
 def _rank(name: str) -> tuple[int, int, str]:
+    if name in _NEVER_GATED:
+        # between the q56+ tier (4, 0) and the q01..q55 tier (4, 2)
+        return (4, 1, name)
     for i, prefix in enumerate(_PRIORITY):
         if name.startswith(prefix):
-            # Within the q family, q56..q61 have never had a driver
-            # row — put them ahead of q01..q55.
+            # Within the q family, q56+ have never had a driver row —
+            # put them (and the _NEVER_GATED set) ahead of q01..q55.
             if prefix == "q" and name[1:3].isdigit():
-                return (i, 0 if int(name[1:3]) >= 56 else 1, name)
+                return (i, 0 if int(name[1:3]) >= 56 else 2, name)
             return (i, 0, name)
     return (len(_PRIORITY), 0, name)
 
