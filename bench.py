@@ -40,6 +40,10 @@ HEADLINE = [
     "cdc12_scd2_history",        # SCD2 interval reconstruction
     "tx08_repetition_stats",     # n-gram repetition quality signals
     "dp01_sequence_packing",     # token-budget packing (Arrow UDF)
+    "dp03_concat_chunk_plan",    # concat-and-chunk packing (window cumsum)
+    "dd09_common_ngram_exposure",# corpus-level duplicate-n-gram signal
+    "cdc17_incremental_snapshot",# DBLog watermark-chunk backfill
+    "q63_sole_late_supplier",    # double-correlated semi+anti join
 ]
 
 

@@ -120,3 +120,70 @@ def test_jaccard_with_candidates_matches_unrestricted(spark, docs):
     assert restricted <= full
     # with recall-1 banding on this corpus they are equal
     assert restricted == full
+
+
+def test_common_ngram_exposure_synthetic(spark):
+    from cdc_spark.operators.dedup import common_ngram_doc_stats
+
+    boiler = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta"),
+            (2, boiler + " gamma delta"),
+            (3, boiler + " epsilon zeta"),
+            (4, "totally unrelated words here only once ever"),
+            (5, "tiny"),  # < k tokens: no shingles, absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in common_ngram_doc_stats(
+            df, "text", "doc_id", k_shingle=5, min_docs=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # the 5-gram "the quick brown fox jumps" occurs in docs 1-3
+    for d in (1, 2, 3):
+        assert out[d].n_common == 1
+        assert out[d].n_shingles == 3
+        assert abs(out[d].dup_fraction - 0.3333) < 1e-4
+        assert not out[d].flagged
+    assert out[4].n_common == 0 and not out[4].flagged
+
+
+def test_common_ngram_exposure_flagging(spark):
+    from cdc_spark.operators.dedup import common_ngram_doc_stats
+
+    # doc 4 is pure boilerplate: every one of its shingles is common
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one"),
+            (2, shared + " two"),
+            (3, shared + " three"),
+            (4, shared),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in common_ngram_doc_stats(
+            df, "text", "doc_id", k_shingle=5, min_docs=3, flag_fraction=0.9
+        ).collect()
+    }
+    assert out[4].dup_fraction == 1.0 and out[4].flagged
+    assert not out[1].flagged
+
+
+def test_common_ngram_portable_matches_default(spark):
+    from cdc_spark.operators.dedup import common_ngram_doc_stats
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    a = common_ngram_doc_stats(
+        docs, "text", "doc_id", k_shingle=5, min_docs=3, portable=False
+    )
+    b = common_ngram_doc_stats(
+        docs, "text", "doc_id", k_shingle=5, min_docs=3, portable=True
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -67,3 +67,47 @@ def test_packing_efficiency_accounting(spark):
     assert sum(r.total_tokens for r in rows) / (
         sum(r.n_bins for r in rows) * 512
     ) > 0.6
+
+
+def test_concat_chunk_contiguous_offsets(spark):
+    from cdc_spark.operators.packing import concat_chunk_plan
+
+    out = concat_chunk_plan(
+        _sized(spark), "doc_id", "n_tokens", budget=128, n_groups=4
+    ).collect()
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r.pack_group, []).append(r)
+    assert set(by_group) == {0, 1, 2, 3}
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in rows:
+            assert r.pack_group == r.doc_id % 4
+            assert r.start_offset == expect, (g, r)
+            expect += r.n_tokens
+            assert r.first_bin == r.start_offset // 128
+            last_tok = r.start_offset + max(r.n_tokens, 1) - 1
+            assert r.last_bin == last_tok // 128
+            assert r.n_windows == r.last_bin - r.first_bin + 1 >= 1
+
+
+def test_concat_chunk_zero_token_doc_pinned(spark):
+    from pyspark.sql import functions as F
+    from cdc_spark.operators.packing import concat_chunk_plan
+
+    df = spark.createDataFrame(
+        [(0, 100), (4, 0), (8, 50)], "doc_id long, n_tokens long"
+    )
+    rows = {
+        r.doc_id: r
+        for r in concat_chunk_plan(
+            df, "doc_id", "n_tokens", budget=64, n_groups=4
+        ).collect()
+    }
+    # all three share group 0; the empty doc occupies no tokens and
+    # stays pinned to the window at its offset
+    assert rows[4].start_offset == 100
+    assert rows[4].first_bin == rows[4].last_bin == 100 // 64
+    assert rows[4].n_windows == 1
+    assert rows[8].start_offset == 100
