@@ -33,7 +33,11 @@ _PRIORITY = ("io", "dp", "ss", "mm", "q", "cdc", "dd", "tx", "st", "pu")
 # Round-5 additions outside the io/dp/ss/mm/q families: never had a
 # driver row, so they jump ahead of the q01..q55 block.
 _NEVER_GATED = frozenset(
-    {"cdc17_incremental_snapshot", "dd09_common_ngram_exposure"}
+    {
+        "cdc17_incremental_snapshot",
+        "dd09_common_ngram_exposure",
+        "dd10_aligned_duplicate_spans",
+    }
 )
 
 

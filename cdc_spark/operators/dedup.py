@@ -423,3 +423,86 @@ def common_ngram_doc_stats(
             (frac >= flag_fraction).alias("flagged"),
         )
     )
+
+
+def aligned_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k_shingle: int = 3,
+    min_span_tokens: int = 20,
+    candidates: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Longest exactly-duplicated token span per document pair.
+
+    The exact-substring dedup signal at k-gram granularity: two docs
+    sharing a contiguous run of R matching k-grams at one alignment
+    share a verbatim span of R + k - 1 tokens. Shape:
+
+    1. positioned shingle hashes (codegen'd explode, fixed-width keys),
+    2. equi-join on the hash → matches annotated with the alignment
+       diagonal ``pos_a - pos_b``,
+    3. runs of consecutive positions per (pair, diagonal) via the
+       islands trick (``pos - row_number()`` is constant within a run),
+    4. max run per pair, reported as a token span.
+
+    With ``candidates`` (e.g. from LSH) both sides are pruned to
+    candidate docs before shingling and the match join is semi-join
+    restricted to candidate pairs — the production path: cost is
+    O(matching-shingle pairs among near-dups), never corpus².
+    """
+    key = (
+        portable_hash60(F.col("shingle"))
+        if portable
+        else F.xxhash64("shingle")
+    )
+    if candidates is not None:
+        wanted = candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        df = df.join(wanted, id_col, "left_semi")
+    shp = shingle_rows(
+        df, text_col, id_col, k_shingle, keep_pos=True
+    ).select(F.col(id_col).alias("__id"), F.col("pos"), key.alias("__h"))
+    if candidates is not None:
+        shp = shp.localCheckpoint(eager=False)
+
+    a = shp.select(
+        F.col("__id").alias("id_a"), F.col("pos").alias("__pa"), "__h"
+    )
+    b = shp.select(
+        F.col("__id").alias("id_b"), F.col("pos").alias("__pb"), "__h"
+    )
+    m = (
+        a.join(b, "__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__pa") - F.col("__pb")).alias("__diag"),
+            "__pa",
+        )
+        .distinct()
+    )
+    if candidates is not None:
+        m = m.join(candidates, ["id_a", "id_b"], "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    runs = m.select(
+        "id_a",
+        "id_b",
+        "__diag",
+        (F.col("__pa") - F.row_number().over(w)).alias("__grp"),
+    )
+    span = F.max(F.col("__run")) + F.lit(k_shingle - 1)
+    return (
+        runs.groupBy("id_a", "id_b", "__diag", "__grp")
+        .agg(F.count("*").alias("__run"))
+        .groupBy("id_a", "id_b")
+        .agg(span.alias("longest_span_tokens"))
+        .where(F.col("longest_span_tokens") >= min_span_tokens)
+    )

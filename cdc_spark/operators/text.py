@@ -58,9 +58,19 @@ def shingles(tok: Column, k: int = 3) -> Column:
 
 
 def shingle_rows(
-    df, text_col: str, id_col: str, k: int = 3, *, distinct: bool = True
+    df,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    *,
+    distinct: bool = True,
+    keep_pos: bool = False,
 ):
     """Distinct (id, shingle) rows via position-explode + element_at.
+
+    ``keep_pos=True`` adds the 1-based token position of each shingle
+    as ``pos`` (needed by position-aware consumers like aligned
+    duplicate-span detection).
 
     ``distinct=False`` skips the dedup shuffle entirely — correct for
     any downstream aggregate that is duplicate-insensitive (MinHash's
@@ -87,19 +97,19 @@ def shingle_rows(
             F.sequence(F.lit(1), F.size("__t") - F.lit(k - 1)),
         ).otherwise(F.array().cast("array<int>"))
     )
+    shingle = F.concat_ws(
+        " ",
+        *[F.element_at("__t", F.col("__i") + F.lit(j)) for j in range(k)],
+    ).alias("shingle")
+    proj = (
+        [F.col(id_col), F.col("__i").alias("pos"), shingle]
+        if keep_pos
+        else [F.col(id_col), shingle]
+    )
     rows = (
         df.select(F.col(id_col), toks.alias("__t"))
         .select(F.col(id_col), F.col("__t"), positions.alias("__i"))
-        .select(
-            F.col(id_col),
-            F.concat_ws(
-                " ",
-                *[
-                    F.element_at("__t", F.col("__i") + F.lit(j))
-                    for j in range(k)
-                ],
-            ).alias("shingle"),
-        )
+        .select(*proj)
     )
     return rows.distinct() if distinct else rows
 

@@ -18,6 +18,7 @@ from cdc_spark.catalog import load_table
 from cdc_spark.operators.dedup import (
     _MERSENNE,
     _minhash_params,
+    aligned_duplicate_spans,
     common_ngram_doc_stats,
     exact_dedup,
     jaccard_pairs,
@@ -570,4 +571,117 @@ def dd09_common_ngram_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return common_ngram_doc_stats(
         docs, "text", "doc_id", k_shingle=5, min_docs=3, portable=True
+    )
+
+
+def _aligned_spans_oracle(
+    *,
+    num_hashes: int = 32,
+    seed: int = 7,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    min_span: int = 15,
+) -> str:
+    """DuckDB twin of LSH candidates -> aligned duplicate spans.
+
+    Reuses the portable MinHash/banding literals (same seed as dd03),
+    then recomputes the positioned-shingle diagonal runs exactly."""
+    params = _minhash_params(num_hashes, seed)
+    p = _MERSENNE
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"m{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    h AS (
+        SELECT doc_id, {_PHASH60.format(s='s')} % {p} AS h FROM shm
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    posed AS (
+        SELECT doc_id, l,
+               unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i
+        FROM toks
+    ),
+    shp AS (
+        SELECT DISTINCT doc_id, i AS pos,
+               {_PHASH60.format(s="array_to_string(l[i:i+2], ' ')")} AS h
+        FROM posed
+    ),
+    m AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos - b.pos AS diag, a.pos AS pa
+        FROM shp a JOIN shp b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    mc AS (
+        SELECT m.* FROM m
+        JOIN cand ON m.id_a = cand.id_a AND m.id_b = cand.id_b
+    ),
+    runs AS (
+        SELECT id_a, id_b, diag, pa,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pa
+               ) AS grp
+        FROM mc
+    ),
+    spans AS (
+        SELECT id_a, id_b, COUNT(*) AS run_len
+        FROM runs GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b, MAX(run_len) + 2 AS longest_span_tokens
+    FROM spans GROUP BY id_a, id_b
+    HAVING MAX(run_len) + 2 >= {min_span}
+    """
+
+
+@register(
+    "dd10_aligned_duplicate_spans",
+    oracle=_aligned_spans_oracle(),
+    note="exact duplicated-span detection (the ExactSubstr dedup "
+    "signal at 3-gram granularity): longest verbatim token span per "
+    "LSH candidate pair, via matching-shingle diagonals + the islands "
+    "run trick. Candidates come from the same portable MinHash "
+    "banding as dd03, so the oracle recomputes the full pipeline",
+    tags=("dedup", "spans", "lsh"),
+)
+def dd10_aligned_duplicate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(
+        docs, "text", "doc_id", k_shingle=3, num_hashes=32, portable=True
+    )
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", bands=8, rows_per_band=4, portable=True
+    ).localCheckpoint(eager=True)
+    return aligned_duplicate_spans(
+        docs,
+        "text",
+        "doc_id",
+        k_shingle=3,
+        min_span_tokens=15,
+        candidates=cands,
+        portable=True,
     )

@@ -187,3 +187,44 @@ def test_common_ngram_portable_matches_default(spark):
         docs, "text", "doc_id", k_shingle=5, min_docs=3, portable=True
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_aligned_duplicate_spans_synthetic(spark):
+    from cdc_spark.operators.dedup import aligned_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "x y a b c d e f g z w q"),  # shares 'a b c d e f g' (7)
+            (3, "p q r s t u v w n m o k"),
+        ],
+        "doc_id long, text string",
+    )
+    out = aligned_duplicate_spans(
+        df, "text", "doc_id", k_shingle=3, min_span_tokens=5
+    ).collect()
+    assert [(r.id_a, r.id_b, r.longest_span_tokens) for r in out] == [
+        (1, 2, 7)
+    ]
+    # threshold above the span: pair drops out
+    assert (
+        aligned_duplicate_spans(
+            df, "text", "doc_id", k_shingle=3, min_span_tokens=8
+        ).count()
+        == 0
+    )
+
+
+def test_aligned_spans_repeated_shingle_alignment(spark):
+    from cdc_spark.operators.dedup import aligned_duplicate_spans
+
+    # the repeated 'a b a b' motif creates multiple diagonals; the
+    # longest single alignment is the full 6-token overlap
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c d"), (2, "a b a b a b x y")],
+        "doc_id long, text string",
+    )
+    out = aligned_duplicate_spans(
+        df, "text", "doc_id", k_shingle=3, min_span_tokens=4
+    ).collect()
+    assert len(out) == 1 and out[0].longest_span_tokens == 6
