@@ -204,3 +204,48 @@ def io05_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "io06_sorted_zonemap_read",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           {dsum_sql('l_extendedprice')} AS total_price,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-03-01'
+    """,
+    note="Sort-clustered write + zone-map read: lineitem range-"
+    "partitioned AND sorted on l_shipdate, read back with a narrow "
+    "date range. The sort gives every file/row-group a tight min/max "
+    "on the filter column, so the parquet reader's statistics skip "
+    "nearly all of them (PushedFilters asserted in "
+    "tests/test_scale_layout.py) — the 100 TB pattern for time-series "
+    "facts where partitioning by day is too coarse or too fine",
+    tags=("io", "layout", "pruning"),
+)
+def io06_sorted_zonemap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(tempfile.mkdtemp(prefix="io06_"), "lineitem_sorted")
+    (
+        li.select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    lo = F.lit("1998-01-01").cast("timestamp")
+    hi = F.lit("1998-03-01").cast("timestamp")
+    back = spark.read.parquet(path).where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )

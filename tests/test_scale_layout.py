@@ -120,3 +120,35 @@ def test_io05_gated_query_joins_without_exchange(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_sorted_write_pushes_range_filter_to_scan(spark):
+    """Sort-clustered parquet (io06 layout): the shipdate range filter
+    reaches the parquet reader as PushedFilters, where sorted
+    row-group min/max statistics skip non-matching groups."""
+    li = load_table(spark, SF, "lineitem")
+    d = tempfile.mkdtemp()
+    (
+        li.select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    lo = F.lit("1998-01-01").cast("timestamp")
+    hi = F.lit("1998-03-01").cast("timestamp")
+    q = spark.read.parquet(d).where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    plan = _physical_plan(q)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    # column pruning: the projected read schema carries only the
+    # selected columns, not the full table
+    q2 = q.select("l_extendedprice")
+    assert "l_orderkey" not in _physical_plan(q2).split("ReadSchema")[-1]
+    n_expected = li.where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).count()
+    assert q.count() == n_expected
