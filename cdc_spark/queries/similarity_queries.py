@@ -235,3 +235,97 @@ def ss07_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "ss08_quantized_rerank",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qs AS (
+        SELECT embedding,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+        FROM q
+    ),
+    qc AS (
+        SELECT s,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS c
+        FROM qs
+    ),
+    cs AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+        FROM embeddings
+    ),
+    cc AS (
+        SELECT vec_id, embedding, s,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS c
+        FROM cs
+    ),
+    coarse AS (
+        SELECT cc.vec_id, cc.embedding,
+               ROUND(list_dot_product(cc.c, qc.c) * cc.s * qc.s, 6)
+                   AS qscore
+        FROM cc CROSS JOIN qc
+        ORDER BY qscore DESC, cc.vec_id
+        LIMIT 50
+    )
+    SELECT coarse.vec_id, qscore,
+           ROUND(list_cosine_similarity(coarse.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]), 4)
+               AS cosine_sim
+    FROM coarse CROSS JOIN q
+    ORDER BY cosine_sim DESC, coarse.vec_id
+    LIMIT 10
+    """,
+    note="int8-quantized retrieval: coarse top-50 by quantized dot "
+    "product (integer code products x two scales — at scale the codes "
+    "column is 1/4 the bytes of the float vectors and the scan stays "
+    "JVM-side), exact float re-rank to top-10. The half-up codebook "
+    "(ss04) is engine-portable, so unlike LSH/IVF this quantized ANN "
+    "path is fully hash-checked",
+    tags=("similarity", "ann", "quantization"),
+)
+def ss08_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import (
+        cosine,
+        dot,
+        int8_quantize,
+        int8_scale,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    # query-side quantization, driver-side: same IEEE-754 double ops
+    # as the corpus-side expressions
+    import math
+
+    scale_q = max(max(abs(float(x)) for x in q), 1e-30) / 127.0
+    codes_q = [float(math.floor(float(x) / scale_q + 0.5)) for x in q]
+    qc = F.array(*[F.lit(c) for c in codes_q])
+
+    scale_c = int8_scale(F.col("embedding"))
+    codes_c = int8_quantize(F.col("embedding"), scale_c)
+    qscore = F.round(
+        dot(codes_c, qc) * scale_c * F.lit(scale_q), 6
+    ).alias("qscore")
+    coarse = (
+        emb.select("vec_id", "embedding", qscore)
+        .orderBy(F.desc("qscore"), F.asc("vec_id"))
+        .limit(50)
+    )
+    qfull = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        coarse.select(
+            "vec_id",
+            "qscore",
+            F.round(cosine(F.col("embedding"), qfull), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
