@@ -37,6 +37,7 @@ _NEVER_GATED = frozenset(
         "cdc17_incremental_snapshot",
         "dd09_common_ngram_exposure",
         "dd10_aligned_duplicate_spans",
+        "st12_incremental_snapshot_stream",
     }
 )
 

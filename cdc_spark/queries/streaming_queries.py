@@ -700,3 +700,185 @@ def st11_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_us") + F.lit(1_800_000_000) < F.col("final_wm")
     )
     return kept.select("user_id", "start_us", "end_us", "n_events")
+
+
+@register(
+    "st12_incremental_snapshot_stream",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd'
+                               ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id,
+               arg_max(op, lsn) AS op,
+               arg_max(event_type, lsn) AS event_type,
+               arg_max(value, lsn) AS value
+        FROM ch GROUP BY user_id
+    )
+    SELECT user_id, event_type, ROUND(value, 4) AS value
+    FROM latest WHERE op <> 'd'
+    """,
+    note="REAL streaming DBLog bootstrap: the replication slot starts "
+    "MID-LOG (S = max_lsn/2) — the stream carries only the tail, and "
+    "every key whose history ended before S is reachable ONLY through "
+    "the watermark-windowed chunk backfills injected between "
+    "micro-batches (cdc17 schedule + suppression rule). Final "
+    "bucketed state must converge to the full-history latest-wins "
+    "merge, which is exactly what breaks if injection, suppression, "
+    "or the interleave ordering is wrong",
+    tags=("streaming", "cdc", "snapshot", "state"),
+)
+def st12_incremental_snapshot_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    ch = events.select(
+        op.alias("op"),
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    max_lsn, max_key = ch.agg(
+        F.max("lsn"), F.max("user_id")
+    ).first()
+    # slot position S at 97.5% of the log: the tail is short enough
+    # that a real fraction of keys have NO tail event at all — those
+    # keys exist in the final state ONLY if chunk backfill works
+    snap_start = (max_lsn * 39) // 40
+    snap_range = max_lsn - snap_start
+    n_chunks = (max_key // 5) + 1      # cdc17's 5-key chunks
+
+    def win(c: int) -> tuple[int, int]:
+        return (
+            snap_start + (c * snap_range) // n_chunks,
+            snap_start + ((c + 1) * snap_range) // n_chunks,
+        )
+
+    # full backfill set, precomputed with the cdc17 suppression rule
+    # (chunk rows whose key saw a tail event inside the window are the
+    # log's responsibility) — bounded by key count, checkpointed once
+    from pyspark.sql import Window
+
+    keyed = ch.withColumn("chunk", F.expr("user_id div 5"))
+    spec = spark.createDataFrame(
+        [(c, *win(c)) for c in range(n_chunks)],
+        "chunk long, chunk_lo long, chunk_hi long",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("lsn"))
+    backfill = (
+        keyed.join(F.broadcast(spec), "chunk")
+        # a key with ANY tail event past its window-open is the log's
+        # responsibility — the state fold is apply-order-resolved
+        # across batches, so a backfill image must never race a later
+        # log event for the same key (this is strictly wider than the
+        # (lo, hi] rule cdc17 reports: it also covers events AFTER the
+        # window, which the ordered log replays post-injection)
+        .withColumn(
+            "__tail",
+            F.max(
+                F.when(F.col("lsn") > F.col("chunk_lo"), 1).otherwise(0)
+            ).over(Window.partitionBy("user_id")),
+        )
+        .where(F.col("lsn") <= F.col("chunk_hi"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(
+            (F.col("__rn") == 1)
+            & (F.col("__tail") == 0)
+            & (F.col("op") != "d")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.lit("c").alias("op"),
+            "lsn",
+            "chunk",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # the tail: everything after the slot position, split into several
+    # files so availableNow delivers multiple micro-batches
+    # the log is ORDERED: three tail segments written sequentially
+    # (distinct mtimes), so the oldest-first file source replays them
+    # in LSN order — the assumption the DBLog interleave is defined on
+    tail_dir = tempfile.mkdtemp(prefix="st12_tail_")
+    seg = snap_range // 3
+    cuts = [
+        (snap_start, snap_start + seg),
+        (snap_start + seg, snap_start + 2 * seg),
+        (snap_start + 2 * seg, max_lsn),
+    ]
+    import time as _time
+
+    for i, (a, b) in enumerate(cuts):
+        (
+            ch.where((F.col("lsn") > a) & (F.col("lsn") <= b))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tail_dir, f"seg{i}"))
+        )
+        _time.sleep(1.1)
+
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="st12_state_"),
+        ["user_id"],
+        n_buckets=16,
+    )
+    injected: set[int] = set()
+
+    def on_batch(bdf: DataFrame, bid: int) -> None:
+        state.apply(bdf, ["event_type", "value"], batch_id=bid)
+        hwm = bdf.agg(F.max("lsn")).first()[0]
+        if hwm is None:
+            return
+        due = {
+            c
+            for c in range(n_chunks)
+            if c not in injected and win(c)[1] <= hwm
+        }
+        if due:
+            injected.update(due)
+            state.apply(
+                backfill.where(F.col("chunk").isin(due)).drop("chunk"),
+                ["event_type", "value"],
+            )
+
+    q = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(tail_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st12_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # slot caught up: any chunk windows past the final applied LSN
+    # flush now (the tail's last LSN IS max_lsn, so normally none)
+    rest = set(range(n_chunks)) - injected
+    if rest:
+        state.apply(
+            backfill.where(F.col("chunk").isin(rest)).drop("chunk"),
+            ["event_type", "value"],
+        )
+    return state.read().select(
+        "user_id", "event_type", F.round("value", 4).alias("value")
+    )
