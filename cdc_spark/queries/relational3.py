@@ -747,3 +747,89 @@ def q65_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q66_top_revenue_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    note="TPC-H Q15 shape: quarterly revenue view, suppliers at the "
+    "global maximum via a 1-row broadcast scalar aggregate (ties "
+    "preserved, per the spec) — no window over the whole view needed",
+    tags=("join", "subquery", "tpch", "agg"),
+)
+def q66_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    lo = F.lit("1998-01-01").cast("timestamp")
+    hi = F.lit("1998-04-01").cast("timestamp")
+    revenue = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.expr(_REV)).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("__best"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("__best"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q67_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    note="TPC-H Q13 shape: per-customer order counts (left outer join "
+    "with the filter INSIDE the join condition, so zero-order "
+    "customers survive) folded into a count-of-counts histogram — two "
+    "hash aggregates, the second over at most max-orders-per-customer "
+    "distinct groups",
+    tags=("join", "agg", "tpch"),
+)
+def q67_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
