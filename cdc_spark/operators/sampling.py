@@ -56,3 +56,53 @@ def stratified_hash_sample(
         ).otherwise(threshold)
     digits = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return df.where(digits <= threshold)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted source mixing: keep source *s* at rate
+    ``(n_min / n_s) ** (1 - alpha)`` so kept counts are ∝ ``n_s**alpha``
+    — the standard recipe for flattening a dominant-source training mix
+    (alpha=1 keeps everything, alpha=0 equalizes sources exactly).
+
+    Rates are DERIVED FROM THE DATA (one tiny per-source count,
+    broadcast back), then applied with the same deterministic
+    md5-prefix predicate as :func:`stratified_hash_sample` — the
+    sample is a pure function of (id, source counts), reproducible
+    across engines, runs, and partitionings. The hash prefix is
+    compared numerically (0..255) so external engines mirror the
+    quantization with integer arithmetic.
+
+    With the default ``alpha=0.5`` every float step (divide, sqrt,
+    multiply, floor) is a correctly-rounded IEEE-754 operation, so an
+    external engine recomputes bit-identical thresholds; other alphas
+    go through ``pow``, whose last-ulp behavior is library-specific —
+    fine for production, not for bit-exact cross-engine audits.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__nmin"))
+    rate = (
+        F.pow(F.col("__nmin") / F.col("__n"), F.lit(1.0 - alpha))
+        if alpha != 0.5
+        else F.sqrt(F.col("__nmin") / F.col("__n"))
+    )
+    rates = (
+        counts.join(F.broadcast(n_min))
+        .select(
+            source_col,
+            F.greatest(
+                F.floor(rate * 256).cast("int") - F.lit(1), F.lit(0)
+            ).alias("__thresh"),
+        )
+    )
+    digits = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return df.join(F.broadcast(rates), source_col).where(
+        digits <= F.col("__thresh")
+    )

@@ -629,3 +629,43 @@ def tx15_seeded_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__k") % 64).alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "tx16_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source,
+               greatest(CAST(floor(
+                   sqrt((SELECT MIN(n) FROM counts) * 1.0 / n) * 256
+               ) AS INT) - 1, 0) AS t
+        FROM counts
+    )
+    SELECT d.source,
+           COUNT(*) AS n_kept,
+           MAX(t) AS threshold
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+          <= t
+    GROUP BY d.source
+    """,
+    note="temperature-weighted source mixing (alpha=0.5): per-source "
+    "keep rates sqrt(n_min/n_s) DERIVED FROM THE DATA (kept counts "
+    "become proportional to sqrt(n_s), flattening dominant sources), "
+    "applied via the deterministic md5-prefix predicate — every float "
+    "step is correctly-rounded IEEE, so the oracle recomputes "
+    "bit-identical thresholds",
+    tags=("text", "sampling", "mixture"),
+)
+def tx16_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(docs, "doc_id", "source", alpha=0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.max("__thresh").alias("threshold"),
+    )
