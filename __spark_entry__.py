@@ -38,6 +38,7 @@ _NEVER_GATED = frozenset(
         "dd09_common_ngram_exposure",
         "dd10_aligned_duplicate_spans",
         "st12_incremental_snapshot_stream",
+        "tx16_temperature_mixture",
     }
 )
 
