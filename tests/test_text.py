@@ -145,3 +145,32 @@ def test_stratified_sample_deterministic_and_rate(spark):
     flat = df.where(hash_sample_predicate("doc_id", 0.25))
     n_flat = flat.where(F.col("lang") == "en").count()
     assert n_flat == counts["en"]
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc_spark.operators.sampling import temperature_mixture_sample
+
+    # 4096 docs in source A, 256 in B: alpha=0.5 should keep B whole
+    # and A at sqrt(256/4096) = 1/4
+    df = spark.range(4096 + 256).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4096, "A").otherwise("B").alias("source"),
+    )
+    kept = temperature_mixture_sample(df, "doc_id", "source", alpha=0.5)
+    by = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert by["B"] == 256  # rate 1.0 keeps everything
+    # rate 0.25 quantized to 63/256: expected ~1024, binomial sd ~28
+    assert abs(by["A"] - 4096 * 64 / 256) < 150
+    # determinism: identical under repartitioning
+    again = {r.source: r.n for r in temperature_mixture_sample(
+        df.repartition(13), "doc_id", "source", alpha=0.5
+    ).groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == by
+    # kept counts approach proportionality to sqrt(n_s)
+    ratio = by["A"] / by["B"]
+    assert abs(ratio - math.sqrt(4096 / 256)) < 0.6
