@@ -39,6 +39,7 @@ _NEVER_GATED = frozenset(
         "dd10_aligned_duplicate_spans",
         "st12_incremental_snapshot_stream",
         "tx16_temperature_mixture",
+        "cdc18_dead_letter_routing",
     }
 )
 

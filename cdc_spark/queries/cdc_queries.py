@@ -1032,3 +1032,57 @@ def cdc17_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("snap_value"),
         F.col("lsn").alias("snap_lsn"),
     )
+
+
+@register(
+    "cdc18_dead_letter_routing",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('c', 2), ('d', 1), ('dead', 3), ('t', 1), ('u', 1)
+    ) AS t(route, n)
+    """,
+    note="permissive error policy (the upgrade over the reference's "
+    "crash-stop log.Fatal, main.go:110,120-129): malformed JSON and "
+    "unknown-kind documents route to a dead-letter frame with null op "
+    "instead of killing the stream; well-formed changes in the same "
+    "batch keep flowing. Counts per route gated against literals",
+    tags=("cdc", "error-policy"),
+)
+def cdc18_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.cdc.envelope import parse_wal2json, split_dead_letter
+
+    def doc(kind, values=None, keys=None):
+        c = {"kind": kind, "schema": "public", "table": "users"}
+        if values is not None:
+            c["columnnames"] = ["id", "v"]
+            c["columntypes"] = ["integer", "text"]
+            c["columnvalues"] = values
+        if keys is not None:
+            c["oldkeys"] = {
+                "keynames": ["id"],
+                "keytypes": ["integer"],
+                "keyvalues": keys,
+            }
+        return json.dumps({"change": [c]})
+
+    docs = [
+        doc("insert", [1, "a"]),
+        doc("insert", [2, "b"]),
+        doc("update", [1, "c"], keys=[1]),
+        doc("delete", keys=[2]),
+        doc("truncate"),
+        "{this is not json at all",          # malformed -> dead
+        '{"change": [{"kind": "message"}]}',  # unknown kind -> dead
+        "[]",                                 # wrong shape -> dead
+    ]
+    raw = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "seq long, value string"
+    )
+    good, dead = split_dead_letter(parse_wal2json(raw, lsn_col="seq"))
+    return good.groupBy(F.col("op").alias("route")).agg(
+        F.count("*").cast("int").alias("n")
+    ).unionByName(
+        dead.agg(
+            F.lit("dead").alias("route"), F.count("*").cast("int").alias("n")
+        )
+    )
