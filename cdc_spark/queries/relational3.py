@@ -833,3 +833,217 @@ def q67_order_count_distribution(
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "q68_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           {dsum_sql(
+               'l_extendedprice * (1 - l_discount)'
+               ' - 0.1 * p_retailprice * l_quantity'
+           )} AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    note="TPC-H Q9 shape (no partsupp table in this schema, so "
+    "0.1 * p_retailprice * l_quantity stands in for "
+    "ps_supplycost * l_quantity): profit on name-matched parts per "
+    "supplier nation per year. The part filter prunes before the fact "
+    "join (AQE broadcasts the survivors); nation is a bounded "
+    "broadcast; the profit sum is an exact split-long aggregate",
+    tags=("join", "agg", "tpch"),
+)
+def q68_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    red = part.where(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q69_important_stock",
+    oracle=f"""
+    WITH supplied AS (
+        SELECT l_partkey,
+               {dsum_sql('l_extendedprice')} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, value
+    FROM supplied
+    WHERE value > (SELECT {dsum_sql('l_extendedprice')} * 0.001
+                   FROM lineitem
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation   ON s_nationkey = n_nationkey
+                   WHERE n_name = 'NATION_3')
+    ORDER BY value DESC, ps_partkey
+    """,
+    note="TPC-H Q11 shape (lineitem extended price per part stands in "
+    "for partsupp supplycost * availqty): parts whose supplied value "
+    "from one nation exceeds a fraction of that nation's total. The "
+    "HAVING-over-scalar-subquery decorrelates into a 1-row broadcast "
+    "aggregate computed FROM the per-part aggregate itself (one fact "
+    "scan, reused; not two)",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q69_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    nat_supp = supp.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    supplied = (
+        li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum("l_extendedprice").alias("value"))
+    )
+    # Threshold from the per-part aggregate itself: the decimal-exact
+    # per-part values re-sum exactly (each is an integer multiple of
+    # 1e-6), matching the oracle's single global SUM.
+    total = supplied.agg(
+        (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") * 0.001)
+        .alias("__cut")
+    )
+    return (
+        supplied.join(F.broadcast(total))
+        .where(F.col("value") > F.col("__cut"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "q70_shipmode_priority",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_speed
+    ORDER BY ship_speed
+    """,
+    note="TPC-H Q12 shape (no l_shipmode/receiptdate columns: the "
+    "ship-delay bucket stands in for the shipmode class): lines per "
+    "delay bucket split into high/low-priority conditional counts. "
+    "The year filter reaches the lineitem scan; the CASE pivots are "
+    "codegen'd conditional aggregates — one shuffle on a 2-row key",
+    tags=("join", "agg", "tpch"),
+)
+def q70_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    speed = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        "SLOW",
+    ).otherwise("FAST")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+@register(
+    "q71_promotion_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_8')
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 20
+      )
+    ORDER BY s_suppkey
+    """,
+    note="TPC-H Q20 shape (grouped lineitem quantity stands in for "
+    "partsupp availqty): suppliers who moved > 20 units of any "
+    "name-matched part in the year. The IN-over-grouped-HAVING "
+    "subquery decorrelates into a semi join on the aggregated key; "
+    "part and nation filters prune their scans before any fact work",
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def q71_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    red = part.where(F.col("p_name").startswith("red")).select("p_partkey")
+    movers = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 20)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(
+                nation.where(
+                    F.col("n_name").isin(
+                        "NATION_1", "NATION_3", "NATION_8"
+                    )
+                )
+            ),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
