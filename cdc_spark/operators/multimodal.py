@@ -199,3 +199,57 @@ def sample_frames(
             )
 
     return binary_df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(binary_df: DataFrame, *, n_samples: int = 64) -> DataFrame:
+    """Average-hash perceptual fingerprint over binary payloads.
+
+    The aHash family (pHash/aHash image dedup): sample ``n_samples``
+    evenly-strided bytes, set bit k when sample k exceeds the sample
+    mean, yielding a 64-bit fingerprint whose Hamming distance tracks
+    payload similarity. A real image pipeline decodes + downscales via
+    the ``_decode_media_real`` seam and hashes pixel luma; the
+    deterministic byte-level stand-in keeps the exact same Arrow
+    ``mapInPandas`` plumbing, output schema, and downstream banding.
+
+    Every step is integer arithmetic (``n_samples * s_k > total``
+    replaces a float mean compare), so an external engine reproduces
+    the fingerprints bit-for-bit — the mm03 oracle does.
+    """
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                if n == 0:
+                    out.append(0)
+                    continue
+                samples = [
+                    payload[(k * (n - 1)) // (n_samples - 1)]
+                    for k in range(n_samples)
+                ]
+                total = sum(samples)
+                h = 0
+                for k, s in enumerate(samples):
+                    if n_samples * s > total:
+                        h |= 1 << k
+                if h >= 1 << 63:  # two's-complement into a signed long
+                    h -= 1 << 64
+                out.append(h)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "simhash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(hash_batch, PHASH_SCHEMA)

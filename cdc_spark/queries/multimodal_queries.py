@@ -118,3 +118,85 @@ def mm02_resize_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("long").alias("n_frames"),
         F.sum("frame_bytes").cast("long").alias("total_frame_bytes"),
     )
+
+
+def _phash_oracle(*, bands: int = 4, max_hamming: int = 12) -> str:
+    """DuckDB twin of the perceptual-hash near-dup pipeline: same
+    strided byte sampling, integer mean-compare bits, bit-slice
+    banding, and popcount verify (ASCII text = one byte per char, so
+    ascii(text[i]) IS the payload byte)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    min_long = "(-9223372036854775807 - 1)"  # 1<<63 as a signed long
+    bit_terms = " + ".join(
+        f"(CASE WHEN 64 * s > tot AND k = {k} THEN "
+        + (f"{min_long}" if k == 63 else f"{1 << k}")
+        + " ELSE 0 END)"
+        for k in range(64)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT item_id, simhash, {i} AS band,"
+        f" (simhash >> {i * width}) & {mask} AS slice FROM fp"
+        for i in range(bands)
+    )
+    return f"""
+    WITH enc AS (
+        SELECT doc_id AS item_id, text, strlen(text) AS n
+        FROM documents WHERE strlen(text) > 0
+    ),
+    samp AS (
+        SELECT item_id, k.range AS k,
+               ascii(text[CAST((k.range * (n - 1)) // 63 AS INTEGER) + 1])
+                   AS s
+        FROM enc, range(0, 64) k
+    ),
+    tots AS (
+        SELECT item_id, SUM(s) AS tot FROM samp GROUP BY item_id
+    ),
+    fp AS (
+        SELECT s.item_id,
+               CAST(SUM({bit_terms}) AS BIGINT) AS simhash
+        FROM samp s JOIN tots t ON s.item_id = t.item_id
+        GROUP BY s.item_id
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.item_id AS id_a, b.item_id AS id_b,
+               a.simhash AS fa, b.simhash AS fb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.slice = b.slice
+         AND a.item_id < b.item_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
+@register(
+    "mm03_phash_neardup",
+    oracle=_phash_oracle(),
+    note="perceptual-hash near-duplicate detection over binary media "
+    "payloads: aHash-style 64-bit fingerprint from the Arrow "
+    "mapInPandas decode seam (strided byte samples, integer "
+    "mean-compare bits — a real deployment hashes downscaled pixel "
+    "luma through the same plumbing), then the SimHash bit-slice "
+    "banding machinery finds candidate pairs (bucket collisions, "
+    "never all-pairs) verified by exact popcount. All-integer "
+    "arithmetic end-to-end, so the oracle recomputes the fingerprints "
+    "bit-for-bit",
+    tags=("multimodal", "dedup", "phash"),
+)
+def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.dedup import simhash_pairs
+    from cdc_spark.operators.multimodal import perceptual_hash
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    binary = attach_binary(docs, "text", "doc_id", modality="image")
+    hashed = perceptual_hash(binary)
+    return simhash_pairs(
+        hashed, "item_id", bits=64, bands=4, max_hamming=12
+    )

@@ -669,3 +669,51 @@ def tx16_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.max("__thresh").alias("threshold"),
     )
+
+
+@register(
+    "tx17_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS tok_n FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) * 1.0 AS n FROM tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(ln(tok_n / n), 6) AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+    FROM tok JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    note="corpus-unigram language-model scoring (the classic "
+    "perplexity-proxy quality filter): train the unigram LM on the "
+    "corpus itself (one token hash-agg), score every document by its "
+    "mean token log-probability. The token->frequency join is an "
+    "inverted-index equi-join (never all-pairs); the corpus total is "
+    "a broadcast 1-row aggregate; per-token logprobs are rounded then "
+    "decimal-summed so the mean is order-independent across engines "
+    "and cluster sizes",
+    tags=("text", "quality", "lm"),
+)
+def tx17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.queries.base import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("__tok_n"))
+    total = tok.agg(F.count("*").cast("double").alias("__n"))
+    lp = F.round(F.log(F.col("__tok_n") / F.col("__n")), 6)
+    return (
+        tok.join(freq, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            davg(lp, scale=6, ndigits=4).alias("avg_logprob"),
+        )
+    )

@@ -87,3 +87,41 @@ def test_frame_sampling_short_and_empty(spark):
     # sub-frame payload -> one partial frame; empty payload -> no rows
     assert len(rows) == 1
     assert rows[0].item_id == 1 and len(rows[0].frame) == 4
+
+
+def test_perceptual_hash_deterministic_and_locality(spark):
+    from cdc_spark.operators.dedup import simhash_pairs
+    from cdc_spark.operators.multimodal import perceptual_hash
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    tweaked = base.replace("lazy", "hazy")  # small byte-level edit
+    other = "completely different content with other words " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, tweaked), (4, other)],
+        "doc_id long, text string",
+    )
+    hashed = perceptual_hash(attach_binary(df, "text", "doc_id", "image"))
+    by_id = {r.item_id: r.simhash for r in hashed.collect()}
+    # identical payloads hash identically
+    assert by_id[1] == by_id[2]
+    # a small edit stays within a few bits; unrelated content doesn't
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(by_id[1], by_id[3]) <= 12
+    assert ham(by_id[1], by_id[4]) > 12
+    # the banded pair join surfaces exactly the near pairs
+    pairs = simhash_pairs(
+        hashed, "item_id", bits=64, bands=4, max_hamming=12
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_perceptual_hash_empty_payload(spark):
+    from cdc_spark.operators.multimodal import perceptual_hash
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    rows = perceptual_hash(
+        attach_binary(df, "text", "doc_id", "image")
+    ).collect()
+    assert rows[0].simhash == 0

@@ -174,3 +174,33 @@ def test_temperature_mixture_flattens_sources(spark):
     # kept counts approach proportionality to sqrt(n_s)
     ratio = by["A"] / by["B"]
     assert abs(ratio - math.sqrt(4096 / 256)) < 0.6
+
+
+def test_unigram_logprob_matches_manual(spark):
+    import math
+
+    from cdc_spark.queries import REGISTRY
+
+    # tiny corpus staged as a parquet dir the query loader accepts
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b", "en", "s", 5),
+            (1, "b c", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["tx17_unigram_logprob"].fn(spark, tmp).collect()
+    }
+    # corpus: a=2, b=2, c=1 of 5 tokens
+    lp = lambda n: round(math.log(n / 5.0), 6)
+    exp0 = round((2 * lp(2) + lp(2)) / 3, 4)
+    exp1 = round((lp(2) + lp(1)) / 2, 4)
+    assert out[0].n_tokens == 3 and abs(out[0].avg_logprob - exp0) < 1e-9
+    assert out[1].n_tokens == 2 and abs(out[1].avg_logprob - exp1) < 1e-9
