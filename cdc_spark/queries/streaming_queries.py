@@ -882,3 +882,73 @@ def st12_incremental_snapshot_stream(
     return state.read().select(
         "user_id", "event_type", F.round("value", 4).alias("value")
     )
+
+
+@register(
+    "st13_stream_scd2_enrich",
+    oracle=f"""
+    WITH versions AS (
+        SELECT user_id, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS valid_to,
+               CASE WHEN value >= 34.0 THEN 'high' ELSE 'low' END AS tier
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT tier,
+           COUNT(*) AS n,
+           {dsum_sql('e.value')} AS total_value
+    FROM events e JOIN versions v
+      ON e.user_id = v.user_id
+     AND e.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    WHERE e.event_type IN ('click', 'view')
+    GROUP BY tier
+    """,
+    note="REAL streaming temporal enrichment against an SCD2 "
+    "dimension: purchase events fold into per-user tier versions "
+    "(valid_from/valid_to via LEAD — the merge.py SCD2 shape), then "
+    "the click/view stream joins each event to the version valid at "
+    "its event time. Because SCD2 intervals are disjoint, the as-of "
+    "backward join IS a stream-static interval join (equi on user_id "
+    "+ range on ts) — no window-over-stream needed, each micro-batch "
+    "joins independently, and the dimension can be rebuilt/broadcast "
+    "per batch at scale. Events before a user's first version drop "
+    "(inner as-of)",
+    tags=("streaming", "join", "scd2", "asof"),
+)
+def st13_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    versions = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("valid_from"),
+            F.when(F.col("value") >= 34.0, "high")
+            .otherwise("low")
+            .alias("tier"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("v_user").orderBy("valid_from")
+        ))
+    )
+    stream = _events_stream(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    joined = stream.join(
+        versions,
+        (stream.user_id == versions.v_user)
+        & (stream.ts >= versions.valid_from)
+        & (
+            versions.valid_to.isNull()
+            | (stream.ts < versions.valid_to)
+        ),
+    )
+    out = _run_to_memory(joined.select("tier", "value"), "append")
+    return out.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
