@@ -506,3 +506,56 @@ def aligned_duplicate_spans(
         .agg(span.alias("longest_span_tokens"))
         .where(F.col("longest_span_tokens") >= min_span_tokens)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k_shingle: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric containment pairs: |A ∩ B| / min(|A|, |B|) ≥ threshold.
+
+    Jaccard misses the "one document embedded inside a larger one"
+    shape (a quote, a syndicated article inside a portal page): the
+    union term dilutes the score. Containment normalizes the shingle
+    intersection by the SMALLER document, so full embedding scores 1.0
+    regardless of the host's size. Same O(shared-shingle pairs)
+    inverted-index equi-join as ``jaccard_pairs`` — never all-pairs.
+
+    Returns (id_a, id_b, containment, contained): ``contained`` is the
+    smaller-shingle-set doc (id_a on ties — deterministic).
+    """
+    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
+        F.col(id_col).alias("__id"), F.col("shingle").alias("__s")
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    a = sh.select(F.col("__id").alias("id_a"), "__s")
+    b = sh.select(F.col("__id").alias("id_b"), "__s")
+    common = (
+        a.join(b, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    sized = common.join(
+        sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+        "id_b",
+    )
+    cont = F.col("__common") / F.least(F.col("__na"), F.col("__nb"))
+    return (
+        sized.where(cont >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cont, 4).alias("containment"),
+            F.when(F.col("__na") <= F.col("__nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained"),
+        )
+    )

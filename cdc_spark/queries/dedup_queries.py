@@ -20,6 +20,7 @@ from cdc_spark.operators.dedup import (
     _minhash_params,
     aligned_duplicate_spans,
     common_ngram_doc_stats,
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -685,3 +686,42 @@ def dd10_aligned_duplicate_spans(
         candidates=cands,
         portable=True,
     )
+
+
+@register(
+    "dd11_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 2, 0)),
+                   i -> array_to_string(l[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(c * 1.0 / LEAST(sa.n, sb.n), 4) AS containment,
+           CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE c * 1.0 / LEAST(sa.n, sb.n) >= 0.9
+    """,
+    note="asymmetric shingle-containment pairs (|A∩B| / min(|A|,|B|) "
+    ">= 0.9): catches a document embedded inside a larger one — the "
+    "syndication/quoting shape Jaccard's union term dilutes away. "
+    "Same inverted-index equi-join scale path as dd02; `contained` "
+    "names the smaller doc (the one a dedup pass would drop)",
+    tags=("dedup", "containment"),
+)
+def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.9)

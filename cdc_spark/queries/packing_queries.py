@@ -84,3 +84,64 @@ def dp03_concat_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
     return concat_chunk_plan(sized, "doc_id", "n_tokens", budget=512, n_groups=8)
+
+
+@register(
+    "dp04_length_bucket_batching",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT n_tokens, n_tokens // 32 AS bucket FROM sized
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+               AS pad_waste,
+           CAST((SUM(n_tokens) + 4095) // 4096 AS BIGINT) AS n_batches
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    note="length-bucketed batching plan (the padding-free alternative "
+    "to concat-packing for losses that cannot cross document bounds): "
+    "docs bucket by n_tokens // 32, so same-bucket sequences pad to "
+    "within 31 tokens of each other. Reports per-bucket padding waste "
+    "(max*count - sum) and 4096-token batch counts. Pure map + one "
+    "hash agg — no global sort, unlike an ntile formulation, so the "
+    "plan is shuffle-minimal at any corpus size. All-integer "
+    "arithmetic; fully hash-checked",
+    tags=("packing", "training"),
+)
+def dp04_length_bucket_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    bucketed = sized.withColumn(
+        "bucket", F.floor(F.col("n_tokens") / 32).cast("long")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.max("n_tokens").cast("long") * F.count("*")
+                - F.sum("n_tokens").cast("long")
+            ).alias("pad_waste"),
+            F.floor(
+                (F.sum("n_tokens").cast("long") + F.lit(4095)) / 4096
+            ).cast("long").alias("n_batches"),
+        )
+        .orderBy("bucket")
+    )

@@ -228,3 +228,24 @@ def test_aligned_spans_repeated_shingle_alignment(spark):
         df, "text", "doc_id", k_shingle=3, min_span_tokens=4
     ).collect()
     assert len(out) == 1 and out[0].longest_span_tokens == 6
+
+
+def test_containment_pairs_embedded_doc(spark):
+    from cdc_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    host = "intro words here " + small + " trailing content words"
+    other = "nothing shared with the others at all whatsoever"
+    df = spark.createDataFrame(
+        [(1, small), (2, host), (3, other)], "doc_id long, text string"
+    )
+    rows = containment_pairs(
+        df, "text", "doc_id", k_shingle=3, threshold=0.9
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the small doc's shingles are all inside the host: score 1.0,
+    # and the smaller doc is named as the one to drop
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.contained == 1
