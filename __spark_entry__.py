@@ -40,6 +40,9 @@ _NEVER_GATED = frozenset(
         "st12_incremental_snapshot_stream",
         "tx16_temperature_mixture",
         "cdc18_dead_letter_routing",
+        "tx17_unigram_logprob",
+        "st13_stream_scd2_enrich",
+        "dd11_containment_pairs",
     }
 )
 
