@@ -249,3 +249,58 @@ def io06_sorted_zonemap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_ok"),
         F.max("l_orderkey").alias("max_ok"),
     )
+
+
+@register(
+    "io07_schema_evolution_read",
+    oracle="""
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS total
+    FROM unioned
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    note="schema-evolution read across parquet file generations: gen1 "
+    "files lack a column that gen2 files carry; mergeSchema=true "
+    "reconciles the footers at planning time and back-fills NULL for "
+    "old files — the lake pattern for additive column evolution "
+    "(exactly what the CDC registry's catalog upsert produces on the "
+    "write side). Null-handling is then first-class in the query",
+    tags=("io", "schema-evolution"),
+)
+def io07_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="io07_"), "orders_evo")
+    # generation 1: narrow schema
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(path)
+    # generation 2: a column was added upstream
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>"))
+            .alias("priority")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("priority")
+    )

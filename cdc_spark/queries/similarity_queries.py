@@ -329,3 +329,48 @@ def ss08_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "ss09_filtered_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.q_emb::DOUBLE[]), 4) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id AND e.label IN (0, 1, 2)
+    )
+    SELECT q_id, vec_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY sim DESC, vec_id
+        ) AS r FROM scored
+    ) WHERE r <= 5
+    """,
+    note="pre-filtered vector search (the vector-DB 'filtered ANN' "
+    "shape): the metadata predicate (label IN ...) prunes the corpus "
+    "BEFORE any scoring — pushed to the parquet scan, so at 100 TB "
+    "only matching row groups are read — then exact top-5 per probe "
+    "over the survivors. Post-filtering an unfiltered ANN result "
+    "under-fills k when the filter is selective; pre-filtering never "
+    "does",
+    tags=("similarity", "topk", "filtered"),
+)
+def ss09_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import batch_cosine_topk_literal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [
+        (r.vec_id, r.embedding)
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    filtered = emb.where(F.col("label").isin(0, 1, 2))
+    return batch_cosine_topk_literal(
+        filtered, "embedding", "vec_id", probes, k=5, n_salt=64
+    )
