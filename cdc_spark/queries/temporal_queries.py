@@ -374,3 +374,62 @@ def q60_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket="hour",
         order_cols=["event_id"],
     )
+
+
+@register(
+    "q72_time_decayed_engagement",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    terms AS (
+        SELECT user_id,
+               ROUND(value * exp(-0.6931471805599453
+                                 * (epoch_us(m) - epoch_us(ts))
+                                 / 86400000000.0), 6) AS term
+        FROM events, mx
+        WHERE event_type IN ('click', 'view', 'purchase')
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE), 4)
+               AS decayed_score
+    FROM terms
+    GROUP BY user_id
+    """,
+    note="time-decayed engagement score (the feature-store decay "
+    "aggregate): each event contributes value * 2^(-age_days), "
+    "half-life one day, anchored at the corpus max timestamp (1-row "
+    "broadcast — a serving deployment anchors at now()). Ages are "
+    "timestamp DIFFERENCES (timezone-invariant, so driver-env "
+    "timezones cannot skew them); per-term contributions are rounded "
+    "then decimal-summed, order-independent at any parallelism",
+    tags=("temporal", "decay", "feature"),
+)
+def q72_time_decayed_engagement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    anchor = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts").alias("__m"))
+    )
+    age_us = F.expr("timestampdiff(MICROSECOND, ts, __m)")
+    term = F.round(
+        F.col("value")
+        * F.exp(
+            F.lit(-0.6931471805599453) * age_us / F.lit(86400000000.0)
+        ),
+        6,
+    )
+    return (
+        events.join(F.broadcast(anchor))
+        .select("user_id", term.alias("__term"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("__term").cast("decimal(30,6)")).cast("double"),
+                4,
+            ).alias("decayed_score"),
+        )
+    )

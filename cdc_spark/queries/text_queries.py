@@ -717,3 +717,68 @@ def tx17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(lp, scale=6, ndigits=4).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "tx18_curation_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               ROUND(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                     * (len(list_distinct(string_split(text, ' '))) * 1.0
+                        / len(string_split(text, ' ')))
+                     * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        * 1.0 / length(text)), 4) AS quality
+        FROM documents
+        WHERE lang IN ('en', 'de', 'es', 'fr')
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.25),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+    final AS (
+        SELECT k.source, k.text, k.quality
+        FROM kept k JOIN keepers USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_quality
+    FROM final
+    GROUP BY source
+    ORDER BY source
+    """,
+    note="end-to-end corpus curation composite — the LLM-pretraining "
+    "shape run as ONE declarative plan: language filter -> quality "
+    "score gate (>= 0.25 on the rounded score, so the cut is "
+    "engine-identical) -> exact-dedup keep-min-id -> per-source kept "
+    "docs / token budget / mean quality. Catalyst pipelines the "
+    "filter+score map-side; the only shuffles are the dedup group and "
+    "the final per-source agg — demonstrating the individually-gated "
+    "stages compose without materialization between them",
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def tx18_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de", "es", "fr")
+    )
+    kept = docs.select(
+        "doc_id", "source", "text", quality_score("text").alias("quality")
+    ).where(F.col("quality") >= 0.25)
+    keepers = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(30,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
