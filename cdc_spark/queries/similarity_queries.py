@@ -6,7 +6,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table
-from cdc_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from cdc_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    hyperplanes,
+)
 from cdc_spark.queries.base import register
 
 
@@ -37,13 +41,62 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "embedding", "vec_id", q, k=20)
 
 
+_EMB_DIM = 64  # TESTDATA.md: embeddings.embedding is FLOAT[64] at every SF
+
+
+def _ann_lsh_topk_oracle(
+    *,
+    dim: int = _EMB_DIM,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 11,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of ``ann_lsh_topk`` (the dd05 technique): the
+    seeded hyperplanes are embedded as literals, so the oracle
+    recomputes BOTH the corpus signatures and the probe's bucket per
+    table in SQL — the ANN candidate filter itself is hash-checked,
+    not just the exact-cosine ranking of the survivors."""
+
+    def bucket_expr(t: int, col: str) -> str:
+        terms = []
+        for i, plane in enumerate(
+            hyperplanes(dim, n_planes, seed + 1000 * t)
+        ):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr})"
+                f" >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    any_table = "\n           OR ".join(
+        f"{bucket_expr(t, 'e.embedding')} = {bucket_expr(t, 'q.qe')}"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.qe::DOUBLE[]), 4) AS cosine_sim
+    FROM embeddings e, q
+    WHERE {any_table}
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
 @register(
     "ss02_ann_lsh_topk",
-    oracle=None,  # ANN: recall<1 by construction; tests measure recall
-    # against ss01's exact baseline
+    oracle=_ann_lsh_topk_oracle(),
     note="ANN top-10 via multi-table random-hyperplane LSH (8 tables x "
     "4 bits) — at scale the corpus stores materialized bucket columns "
-    "and is bucket-partitioned, so a probe prunes to a few partitions",
+    "and is bucket-partitioned, so a probe prunes to a few partitions. "
+    "Hash-checked end to end: the oracle re-derives the seeded planes, "
+    "corpus signatures AND probe buckets in SQL (recall vs exact stays "
+    "measured in tests)",
     tags=("similarity", "ann", "lsh"),
 )
 def ss02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
