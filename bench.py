@@ -44,6 +44,9 @@ HEADLINE = [
     "dd09_common_ngram_exposure",# corpus-level duplicate-n-gram signal
     "cdc17_incremental_snapshot",# DBLog watermark-chunk backfill
     "q63_sole_late_supplier",    # double-correlated semi+anti join
+    "tx18_curation_pipeline",    # e2e curation composite (filter+dedup+agg)
+    "mm03_phash_neardup",        # Arrow perceptual hash + banded pair join
+    "q72_time_decayed_engagement",  # decay aggregate (feature-store shape)
 ]
 
 
