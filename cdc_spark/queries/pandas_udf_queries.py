@@ -75,3 +75,52 @@ def pu02_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         return round(float(np.abs(arr - arr.mean()).mean()), 4)
 
     return events.groupBy("event_type").agg(mad("value").alias("mad"))
+
+
+@register(
+    "pu03_python_udtf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id,
+           CAST(j AS INT) AS win_no,
+           CAST(LEAST(8, len(l) - 4 * j) AS INT) AS n_tokens,
+           array_to_string(l[4 * j + 1 : 4 * j + 8], ' ') AS win_text
+    FROM toks,
+         UNNEST(generate_series(
+             0, CAST(CEIL(len(l) / 4.0) AS BIGINT) - 1)) AS u(j)
+    """,
+    note="Python UDTF (the Spark 4 table-function surface, "
+    "Arrow-optimized): one document row fans out to its 8-token "
+    "sliding windows (stride 4) via a LATERAL table-function join — "
+    "the per-row multi-row generator shape that plain UDFs cannot "
+    "express. Runs executor-side with no shuffle; the window "
+    "arithmetic is mirrored exactly by the oracle's slice algebra",
+    tags=("udf", "udtf"),
+)
+def pu03_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, win_no int, n_tokens int, "
+        "win_text string",
+        useArrow=True,
+    )
+    class SlidingWindows:
+        def eval(self, doc_id, text):  # noqa: ANN001 - Spark UDTF contract
+            toks = text.split(" ")
+            for j, start in enumerate(range(0, len(toks), 4)):
+                chunk = toks[start : start + 8]
+                yield doc_id, j, len(chunk), " ".join(chunk)
+
+    suffix = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"sliding_windows_{suffix}", SlidingWindows)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView(f"docs_{suffix}")
+    return spark.sql(
+        f"SELECT s.* FROM docs_{suffix}, "
+        f"LATERAL sliding_windows_{suffix}(doc_id, text) s"
+    )

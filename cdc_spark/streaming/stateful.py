@@ -195,3 +195,62 @@ def gap_timeout_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def running_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-key running (count, exact sum) on the transformWithState
+    API — the Spark 4 successor to applyInPandasWithState: named state
+    variables on the RocksDB store, per-key Arrow iteration, update-
+    mode cumulative emissions.
+
+    ENVIRONMENT SEAM: the transformWithState Python worker speaks
+    protobuf to the JVM state server; this container ships no
+    ``google.protobuf``, so the operator cannot execute here (the
+    same class of gap as Kafka transport / media codecs). The unit
+    test skips when protobuf is absent; on a cluster image with
+    protobuf installed it runs as-is.
+
+    The running sum is kept in integer MICRO-UNITS (round(v * 1e6))
+    so state content is independent of row arrival order and batch
+    boundaries — the property that makes the final emission gateable
+    against a batch SQL twin at any parallelism.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, micros BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, micros = (
+                tuple(self._agg.get()) if self._agg.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                micros += int(
+                    pdf["value"].map(lambda v: round(v * 1_000_000)).sum()
+                )
+            self._agg.update((n, micros))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(micros / 1_000_000, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, "
+        "total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

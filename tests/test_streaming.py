@@ -431,3 +431,68 @@ def test_watermark_accepts_timestamp_ntz_event_time(spark):
 
     deduped = run(stream_dedup(stream, ["id"], "ts"), "append")
     assert sorted(r.id for r in deduped) == [1, 2, 3]
+
+
+def test_running_totals_tws_requires_protobuf(spark, tmp_path):
+    """transformWithState needs google.protobuf (absent in this
+    container); run the operator when available, else assert the
+    plan still BUILDS (API wiring is right) and skip execution."""
+    import importlib.util
+
+    from cdc_spark.streaming.stateful import running_totals_tws
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.5), (1, 2.25), (2, 7.0)], "user_id long, value double"
+    ).write.parquet(str(src / "batch0.parquet"))
+    stream = spark.readStream.schema("user_id long, value double").parquet(
+        str(src)
+    )
+    out = running_totals_tws(stream)  # plan construction must succeed
+    assert set(out.schema.fieldNames()) == {
+        "user_id", "n_events", "total_value",
+    }
+    try:
+        has_protobuf = (
+            importlib.util.find_spec("google.protobuf") is not None
+        )
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        import pytest
+
+        pytest.skip("google.protobuf not available in this container")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r.user_id: r
+            for r in spark.sql(
+                "SELECT * FROM tws_test ORDER BY n_events DESC"
+            ).collect()
+        }
+        assert rows[1].n_events == 2 and rows[1].total_value == 12.75
+        assert rows[2].n_events == 1 and rows[2].total_value == 7.0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
