@@ -304,3 +304,56 @@ def io07_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "io08_python_datasource",
+    oracle="""
+    WITH gen AS (
+        SELECT r AS lsn,
+               CASE WHEN r % 10 = 9 THEN 'd' ELSE 'u' END AS op,
+               r % 97 AS key,
+               CAST((r * 31) % 1000 AS DOUBLE) AS value
+        FROM range(0, 10000) t(r)
+    )
+    SELECT op,
+           COUNT(*) AS n,
+           COUNT(DISTINCT key) AS n_keys,
+           CAST(MAX(lsn) AS BIGINT) AS max_lsn,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM gen
+    GROUP BY op
+    ORDER BY op
+    """,
+    note="custom connector via the Spark 4 Python DataSource API: a "
+    "deterministic change-feed generator with real partition planning "
+    "(4 independent read units, one task each — the Kafka-partition "
+    "shape a CDC transport source presents). The row formula is pure "
+    "integer arithmetic on the LSN, so the oracle regenerates the "
+    "feed with range() and the CONNECTOR itself is hash-checked end "
+    "to end",
+    tags=("io", "source", "datasource"),
+)
+def io08_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.sources.changegen import ChangeGenDataSource
+
+    try:
+        spark.dataSource.register(ChangeGenDataSource)
+    except Exception:
+        pass  # already registered in this session
+    feed = (
+        spark.read.format("cdc_changegen")
+        .option("numPartitions", "4")
+        .option("rowsPerPartition", "2500")
+        .load()
+    )
+    return (
+        feed.groupBy("op")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("key").alias("n_keys"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("op")
+    )
