@@ -152,3 +152,16 @@ def test_sorted_write_pushes_range_filter_to_scan(spark):
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     ).count()
     assert q.count() == n_expected
+
+
+def test_filtered_vector_search_pushes_label_filter(spark):
+    """ss09's metadata predicate must reach the embeddings scan as a
+    pushed filter (pre-filtering): at 100 TB only label-matching row
+    groups are read before any vector arithmetic runs."""
+    from cdc_spark.queries.similarity_queries import ss09_filtered_topk
+
+    out = ss09_filtered_topk(spark, SF)
+    plan = _physical_plan(out)
+    assert "PushedFilters" in plan
+    assert "In(label" in plan
+    assert out.count() > 0
