@@ -43,6 +43,8 @@ _NEVER_GATED = frozenset(
         "tx17_unigram_logprob",
         "st13_stream_scd2_enrich",
         "dd11_containment_pairs",
+        "cdc19_version_diff_feed",
+        "dd12_semantic_dedup",
     }
 )
 

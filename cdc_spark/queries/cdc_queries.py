@@ -1086,3 +1086,82 @@ def cdc18_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("dead").alias("route"), F.count("*").cast("int").alias("n")
         )
     )
+
+
+@register(
+    "cdc19_version_diff_feed",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    cut AS (SELECT MAX(event_id) // 3 AS c FROM events),
+    snap AS (
+        SELECT user_id,
+               arg_max(event_type, lsn) AS event_type,
+               arg_max(value, lsn) AS value
+        FROM (
+            SELECT *,
+                   MAX(CASE WHEN op = 'd' THEN lsn END)
+                       OVER (PARTITION BY user_id) AS last_del
+            FROM ch WHERE lsn <= (SELECT c FROM cut)
+        )
+        WHERE op IN ('c','u') AND (last_del IS NULL OR lsn > last_del)
+        GROUP BY user_id
+    ),
+    fin AS (
+        SELECT user_id,
+               arg_max(event_type, lsn) AS event_type,
+               arg_max(value, lsn) AS value
+        FROM (
+            SELECT *,
+                   MAX(CASE WHEN op = 'd' THEN lsn END)
+                       OVER (PARTITION BY user_id) AS last_del
+            FROM ch
+        )
+        WHERE op IN ('c','u') AND (last_del IS NULL OR lsn > last_del)
+        GROUP BY user_id
+    )
+    SELECT CASE WHEN s.user_id IS NULL THEN 'c'
+                WHEN f.user_id IS NULL THEN 'd'
+                ELSE 'u' END AS op,
+           COALESCE(f.user_id, s.user_id) AS user_id,
+           f.event_type, f.value
+    FROM snap s FULL OUTER JOIN fin f ON s.user_id = f.user_id
+    WHERE s.user_id IS NULL OR f.user_id IS NULL
+       OR f.event_type IS DISTINCT FROM s.event_type
+       OR f.value IS DISTINCT FROM s.value
+    """,
+    note="change-data-feed reconstruction between two state versions "
+    "(the Delta-CDF shape): manifests double as the change index, so "
+    "only buckets whose directory mapping differs between the "
+    "versions are opened and full-outer-diffed — O(changed buckets), "
+    "not O(state). Oracle recomputes both snapshots from the log and "
+    "diffs them in SQL",
+    tags=("cdc", "time-travel", "audit"),
+)
+def cdc19_version_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events).withColumn("value", F.round("value", 4))
+    mx = changes.agg(F.max("lsn")).first()[0] or 0
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc19_state_"),
+        ["user_id"],
+        n_buckets=16,
+    )
+    bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    versions = []
+    for lo, hi in bounds:
+        b = changes
+        if lo is not None:
+            b = b.where(F.col("lsn") > lo)
+        if hi is not None:
+            b = b.where(F.col("lsn") <= hi)
+        versions.append(state.apply(b, ["event_type", "value"]))
+    return state.version_diff(versions[0], versions[-1])

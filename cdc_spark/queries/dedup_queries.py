@@ -725,3 +725,52 @@ def dd10_aligned_duplicate_spans(
 def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.9)
+
+
+@register(
+    "dd12_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT id_a AS a, id_b AS b FROM ({_lsh_neardup_oracle(threshold=0.45)})
+        UNION
+        SELECT id_b, id_a FROM ({_lsh_neardup_oracle(threshold=0.45)})
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    labels AS (
+        SELECT n.a AS vec_id, LEAST(n.a, MIN(r.b)) AS cluster_id
+        FROM (SELECT DISTINCT a FROM e) n
+        LEFT JOIN reach r ON r.a = n.a
+        GROUP BY n.a
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_dropped
+    FROM labels GROUP BY cluster_id
+    """,
+    note="SemDeDup-style semantic dedup (Abbas et al. 2023, "
+    "arXiv:2303.09540): embeddings bucketed by seeded-hyperplane LSH "
+    "(the scale path: pairwise cosine only within colliding buckets, "
+    "never all-pairs), pairs above the semantic threshold linked into "
+    "clusters by min-label propagation, one canonical member (min id) "
+    "kept per cluster. Oracle embeds the same plane literals, "
+    "recomputes bucket collisions + cosine in SQL and closes the pair "
+    "graph with a recursive CTE — the approximate structure itself is "
+    "hash-checked",
+    tags=("dedup", "semantic", "embedding", "cluster"),
+)
+def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.cluster import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_lsh(
+        emb, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.45, n_tables=14
+    )
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    return labels.groupBy(F.col("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        (F.count("*") - F.lit(1)).alias("n_dropped"),
+    )
