@@ -45,6 +45,8 @@ _NEVER_GATED = frozenset(
         "dd11_containment_pairs",
         "cdc19_version_diff_feed",
         "dd12_semantic_dedup",
+        "tx19_quality_percentile_prune",
+        "io09_bucket_compaction",
     }
 )
 

@@ -357,3 +357,98 @@ def io08_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+@register(
+    "io09_bucket_compaction",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE event_type
+                   WHEN 'signup' THEN 'c'
+                   WHEN 'error' THEN 'd'
+                   ELSE 'u'
+               END AS op,
+               event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS event_type,
+           arg_max(value, lsn) AS value
+    FROM live GROUP BY user_id
+    """,
+    note="small-file compaction under the correctness gate: eight "
+    "micro-batch applies fragment every touched bucket (one file set "
+    "per apply), compact_buckets folds fragmented buckets into "
+    "byte-budgeted files and publishes a new version whose manifest "
+    "inherits untouched buckets — the query asserts the file census "
+    "actually shrank, and the gate proves the compacted layout is "
+    "byte-equivalent to the one-shot merge",
+    tags=("io", "maintenance", "compaction"),
+)
+def io09_bucket_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.maintenance import compact_buckets, dir_file_stats
+    from cdc_spark.queries.cdc_queries import _as_changes
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events).withColumn("value", F.round("value", 4))
+    mx = changes.agg(F.max("lsn")).first()[0] or 0
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="io09_state_"),
+        ["user_id"],
+        n_buckets=4,
+    )
+    def reachable_files(v: int) -> int:
+        man = state._load_manifest(v)
+        return sum(
+            dir_file_stats(os.path.join(state.path, rel))["n_files"]
+            for rel in man["buckets"].values()
+        )
+
+    # Fragment the writes the way a high-parallelism micro-batch sink
+    # does (each touched bucket gets one file per writing task). At
+    # sf0.01 AQE's partition coalescing would fold the tiny shuffle
+    # back to one task, hiding exactly the layout problem this
+    # operator exists to fix — suspend coalescing for the applies
+    # only, then restore.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    prev_shuffle = spark.conf.get(shuffle_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        spark.conf.set(shuffle_key, "6")
+        n_batches = 3
+        for i in range(n_batches):
+            lo = mx * i // n_batches
+            hi = mx * (i + 1) // n_batches if i < n_batches - 1 else None
+            b = changes.where(F.col("lsn") > lo)
+            if hi is not None:
+                b = b.where(F.col("lsn") <= hi)
+            state.apply(b, ["event_type", "value"])
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
+        spark.conf.set(shuffle_key, prev_shuffle)
+    v = state.current_version()
+    before = reachable_files(v)
+    v_new = compact_buckets(state, min_files=3)
+    after = reachable_files(v_new)
+    if v_new == v or after >= before:
+        raise AssertionError(
+            f"compaction did not shrink layout: {before} -> {after} "
+            f"files (v{v} -> v{v_new})"
+        )
+    return state.read()

@@ -782,3 +782,51 @@ def tx18_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tx19_quality_percentile_prune",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, {_QUALITY_SQL} AS q FROM documents
+    ),
+    thr AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(quantile_cont(q, 0.7), 4) AS threshold
+        FROM scored GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs, t.threshold,
+           COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(s.q AS DECIMAL(30,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_kept_quality
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    WHERE s.q >= t.threshold
+    GROUP BY t.lang, t.n_docs, t.threshold
+    """,
+    note="per-slice percentile pruning (keep the top 30% by quality "
+    "within each language): the threshold is an exact interpolated "
+    "p70 per slice computed as ONE hash aggregate — no per-slice "
+    "window sort over the corpus — broadcast back and applied as a "
+    "filter. Scores and thresholds rounded to 4 decimals on both "
+    "engines so the boundary comparison cannot flip on last-bit "
+    "interpolation noise",
+    tags=("text", "quality", "curation", "percentile"),
+)
+def tx19_quality_percentile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.queries.base import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", F.round(quality_score("text"), 4).alias("q")
+    )
+    thr = scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("q", 0.7), 4).alias("threshold"),
+    )
+    kept = scored.join(F.broadcast(thr), "lang").where(
+        F.col("q") >= F.col("threshold")
+    )
+    return kept.groupBy("lang", "n_docs", "threshold").agg(
+        F.count("*").alias("n_kept"),
+        davg("q", scale=4, ndigits=6).alias("avg_kept_quality"),
+    )
