@@ -47,6 +47,8 @@ _NEVER_GATED = frozenset(
         "dd12_semantic_dedup",
         "tx19_quality_percentile_prune",
         "io09_bucket_compaction",
+        "ss10_hybrid_rrf",
+        "tx20_link_pagerank",
     }
 )
 

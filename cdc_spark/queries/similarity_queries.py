@@ -427,3 +427,154 @@ def ss09_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_cosine_topk_literal(
         filtered, "embedding", "vec_id", probes, k=5, n_salt=64
     )
+
+
+@register(
+    "ss10_hybrid_rrf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) * 1.0 AS n_docs FROM documents),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    ptok AS (
+        SELECT doc_id AS q_id, term FROM tok WHERE doc_id IN (3, 11, 23, 37)
+    ),
+    kw_scored AS (
+        SELECT p.q_id, t.doc_id,
+               CAST(SUM(CAST(ROUND(ln(n_docs / df) ^ 2, 6)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS kw_score
+        FROM ptok p
+        JOIN tok t ON p.term = t.term AND t.doc_id <> p.q_id
+        JOIN dfs d ON d.term = p.term
+        CROSS JOIN n
+        GROUP BY p.q_id, t.doc_id
+    ),
+    kw AS (
+        SELECT q_id, doc_id, kw_rank FROM (
+            SELECT q_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY ROUND(kw_score, 4) DESC, doc_id
+                   ) AS kw_rank
+            FROM kw_scored
+        ) WHERE kw_rank <= 20
+    ),
+    vec_scored AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings e
+        JOIN embeddings q
+          ON q.vec_id IN (3, 11, 23, 37) AND e.vec_id <> q.vec_id
+    ),
+    vec AS (
+        SELECT q_id, doc_id, vec_rank FROM (
+            SELECT q_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, doc_id
+                   ) AS vec_rank
+            FROM vec_scored
+        ) WHERE vec_rank <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(k.q_id, v.q_id) AS q_id,
+               COALESCE(k.doc_id, v.doc_id) AS doc_id,
+               COALESCE(k.kw_rank, -1) AS kw_rank,
+               COALESCE(v.vec_rank, -1) AS vec_rank,
+               ROUND(COALESCE(1.0 / (60 + k.kw_rank), 0)
+                     + COALESCE(1.0 / (60 + v.vec_rank), 0), 6) AS rrf
+        FROM kw k
+        FULL OUTER JOIN vec v ON k.q_id = v.q_id AND k.doc_id = v.doc_id
+    )
+    SELECT q_id, doc_id, kw_rank, vec_rank, rrf FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY rrf DESC, doc_id
+        ) AS r FROM fused
+    ) WHERE r <= 10
+    """,
+    note="hybrid retrieval with reciprocal-rank fusion (the RAG "
+    "serving shape): keyword side = idf^2-weighted token-overlap "
+    "scored through an inverted-index equi-join (candidates share a "
+    "token with the probe, never all-pairs), vector side = exact "
+    "cosine top-20 over broadcast literal probes; both rankings use "
+    "rounded scores + id tiebreaks, fused by 1/(60+rank) — every "
+    "per-term idf contribution rounded then decimal-summed so the "
+    "score is order-independent across engines. Window top-ks are "
+    "salted two-stage on the Spark side (bounded sorts)",
+    tags=("similarity", "hybrid", "rrf", "retrieval"),
+)
+def ss10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.similarity import (
+        _salted_topk,
+        batch_cosine_topk_literal,
+    )
+    from cdc_spark.operators.text import tokens
+    from cdc_spark.queries.base import dsum
+
+    probe_ids = [3, 11, 23, 37]
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    n_agg = docs.agg(F.count("*").cast("double").alias("__n"))
+    dfs = tok.groupBy("term").agg(F.count("*").alias("df"))
+    ptok = tok.where(F.col("doc_id").isin(probe_ids)).select(
+        F.col("doc_id").alias("q_id"), "term"
+    )
+    idf2 = F.round(F.pow(F.log(F.col("__n") / F.col("df")), 2), 6)
+    cand = (
+        ptok.join(tok, "term")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(n_agg))
+        .select("q_id", "doc_id", idf2.alias("idf2"))
+    )
+    kw_scored = cand.groupBy("q_id", "doc_id").agg(
+        F.round(dsum("idf2", scale=6), 4).alias("sim")
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    kw = (
+        _salted_topk(kw_scored, "q_id", "doc_id", k=20, n_salt=16)
+        .withColumn("kw_rank", F.row_number().over(wk))
+        .select("q_id", "doc_id", "kw_rank")
+    )
+
+    probes = [
+        (r.vec_id, r.embedding)
+        for r in emb.where(F.col("vec_id").isin(probe_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    wv = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    vec = (
+        batch_cosine_topk_literal(emb, "embedding", "vec_id", probes, k=20)
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .select("q_id", F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+
+    fused = kw.join(vec, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        F.coalesce(F.col("kw_rank"), F.lit(-1)).alias("kw_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(-1)).alias("vec_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("__r", F.row_number().over(wf))
+        .where(F.col("__r") <= 10)
+        .drop("__r")
+    )

@@ -830,3 +830,108 @@ def tx19_quality_percentile_prune(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_kept"),
         davg("q", scale=4, ndigits=6).alias("avg_kept_quality"),
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration PageRank twin: each iteration's per-target
+    contributions are rounded then decimal-summed, so the fold is
+    order-independent and both engines produce bit-identical ranks."""
+    ctes = [
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        "nodes AS (SELECT doc_id FROM documents)",
+        """edges AS (
+        SELECT doc_id AS src,
+               (doc_id * 31 + 7) % (SELECT n_docs FROM n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT n_docs FROM n)
+        FROM documents
+    )""",
+        """r0 AS (
+        SELECT doc_id,
+               CAST(1.0 AS DOUBLE) / (SELECT n_docs FROM n) AS rank
+        FROM nodes
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+        SELECT e.dst,
+               SUM(CAST(ROUND(r.rank * CAST(0.425 AS DOUBLE), 12)
+                        AS DECIMAL(30,12))) AS s
+        FROM edges e JOIN r{i - 1} r ON e.src = r.doc_id
+        GROUP BY e.dst
+    )""")
+        ctes.append(f"""r{i} AS (
+        SELECT nd.doc_id,
+               ROUND(CAST(0.15 AS DOUBLE) / (SELECT n_docs FROM n)
+                     + COALESCE(CAST(c{i}.s AS DOUBLE), 0), 12) AS rank
+        FROM nodes nd LEFT JOIN c{i} ON c{i}.dst = nd.doc_id
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, ROUND(rank, 9) AS pagerank
+    FROM r{iters}
+    ORDER BY pagerank DESC, doc_id
+    LIMIT 20
+    """
+    )
+
+
+@register(
+    "tx20_link_pagerank",
+    oracle=_pagerank_oracle(3),
+    note="link-authority scoring for web curation (the domain-rank "
+    "quality prior, cf. Common Crawl harmonic centrality): 3 "
+    "power-iteration rounds of PageRank (damping 0.85, uniform "
+    "out-degree 2) over a deterministic synthetic link graph "
+    "derived from doc ids. Each round is one equi-join + one hash "
+    "aggregate (contributions rounded then decimal-summed, so the "
+    "distributed fold is order-independent); iterations unrolled in "
+    "the SQL oracle. The Spark loop localCheckpoints per round — at "
+    "scale, lineage truncation is what keeps iteration k from "
+    "re-running rounds 1..k-1",
+    tags=("text", "web", "graph", "pagerank"),
+)
+def tx20_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.queries.base import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select("doc_id")
+    src = F.col("doc_id")
+    edges = nodes.select(
+        src.alias("src"),
+        F.explode(
+            F.array((src * 31 + 7) % n, (src * 17 + 3) % n)
+        ).alias("dst"),
+    ).localCheckpoint(eager=True)  # reused every round
+    ranks = nodes.select(
+        "doc_id", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+    )
+    for _ in range(3):
+        contrib = edges.join(
+            ranks, edges.src == ranks.doc_id
+        ).select(
+            "dst",
+            F.round(F.col("rank") * F.lit(0.425), 12).alias("c"),
+        )
+        agg = contrib.groupBy("dst").agg(dsum("c", scale=12).alias("s"))
+        ranks = (
+            nodes.join(agg, nodes.doc_id == agg.dst, "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(0.15 / n) + F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("doc_id", F.round("rank", 9).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("doc_id"))
+        .limit(20)
+    )
