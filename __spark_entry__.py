@@ -49,6 +49,7 @@ _NEVER_GATED = frozenset(
         "io09_bucket_compaction",
         "ss10_hybrid_rrf",
         "tx20_link_pagerank",
+        "st14_change_feed_publication",
     }
 )
 

@@ -952,3 +952,142 @@ def st13_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "st14_change_feed_publication",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd'
+                               ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS event_type,
+           arg_max(value, lsn) AS value
+    FROM live GROUP BY user_id
+    """,
+    note="outbound CDC — the engine as change PRODUCER: a streaming "
+    "pipeline (4 real micro-batches) publishes each committed "
+    "version's net change feed from the manifest diff (O(changed "
+    "buckets), no log retention needed) into a CDF directory; the "
+    "gate replays the published feed through latest-wins merge "
+    "(version = LSN) and the reconstruction must equal the one-shot "
+    "merge over the raw log — the closure property that makes the "
+    "feed safe for downstream consumers (deck slides 33-37 "
+    "sync-to-search/cache patterns)",
+    tags=("streaming", "cdc", "cdf", "producer"),
+)
+def st14_change_feed_publication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.cdc.merge import apply_changes
+    from cdc_spark.cdc.registry import SchemaRegistry
+    from cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    doc_json = F.to_json(
+        F.struct(
+            op.alias("op"),
+            F.lit("public").alias("schema"),
+            F.lit("user_state").alias("table"),
+            F.col("event_id").alias("lsn"),
+            F.lit(0).alias("tx_id"),
+            F.when(
+                op != "d",
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("user_id"),
+                        F.lit("event_type"),
+                        F.lit("value"),
+                    ),
+                    F.array(
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                        F.round("value", 4).cast("string"),
+                    ),
+                ),
+            ).alias("after"),
+            F.when(
+                op == "d",
+                F.map_from_arrays(
+                    F.array(F.lit("user_id")),
+                    F.array(F.col("user_id").cast("string")),
+                ),
+            ).alias("key"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="st14_src_")
+    # One file per key-partition (each user's whole history in one
+    # micro-batch): batches then commute, so the file source's
+    # mtime-based ordering cannot regress a key — the same contract a
+    # key-partitioned Kafka topic gives a real deployment.
+    (
+        events.select(F.col("user_id"), doc_json.alias("__doc"))
+        .repartition(4, F.col("user_id"))
+        .select(F.col("__doc").alias("value"))
+        .write.mode("overwrite")
+        .text(src_dir)
+    )
+
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "user_state",
+        [
+            ("user_id", "bigint", True),
+            ("event_type", "text"),
+            ("value", "double precision"),
+        ],
+    )
+    cdf_dir = tempfile.mkdtemp(prefix="st14_cdf_")
+    pipe = CdcStreamPipeline(
+        spark,
+        reg,
+        "public",
+        "user_state",
+        keys=["user_id"],
+        payload=["event_type", "value"],
+        state_path=tempfile.mkdtemp(prefix="st14_state_"),
+        dialect="pgoutput_json",
+        n_buckets=16,
+        cdf_path=cdf_dir,
+    )
+    q = pipe.start(
+        src_dir,
+        tempfile.mkdtemp(prefix="st14_ckpt_"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    # replay the PUBLISHED feed (not the raw log): the reconstruction
+    # must equal the one-shot merge the oracle computes
+    feed = spark.read.parquet(cdf_dir)
+    return apply_changes(
+        None,
+        feed,
+        ["user_id"],
+        ["event_type", "value"],
+        lsn_col="version",
+        op_col="op",
+        may_truncate=False,
+    )

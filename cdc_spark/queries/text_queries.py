@@ -823,7 +823,11 @@ def tx19_quality_percentile_prune(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_docs"),
         F.round(F.percentile("q", 0.7), 4).alias("threshold"),
     )
-    kept = scored.join(F.broadcast(thr), "lang").where(
+    # no forced broadcast: the threshold table is |languages| rows, but
+    # that bound is semantic, not structural — AQE's runtime stats
+    # broadcast it at any scale (plan-guardrail discipline: only 1-row
+    # aggregates and fixed dims get an explicit broadcast hint)
+    kept = scored.join(thr, "lang").where(
         F.col("q") >= F.col("threshold")
     )
     return kept.groupBy("lang", "n_docs", "threshold").agg(

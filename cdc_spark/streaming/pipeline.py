@@ -112,6 +112,7 @@ class CdcStreamPipeline:
         *,
         dialect: str = "wal2json",
         n_buckets: int = 16,
+        cdf_path: str | None = None,
     ):
         self.spark = spark
         self.registry = registry
@@ -124,6 +125,15 @@ class CdcStreamPipeline:
         )
         self.dialect = dialect
         self.aggregate = None
+        # change-feed publication: when set, every micro-batch that
+        # commits a new state version also appends that version's NET
+        # change feed (version_diff of the two manifests — O(changed
+        # buckets)) to this directory, stamped with the version. The
+        # published log is a faithful reconstruction: replaying it
+        # through latest-wins merge reproduces the state (gated in
+        # st14). This is the outbound half of CDC — the engine is a
+        # change PRODUCER for downstream consumers, not just a sink.
+        self.cdf_path = cdf_path
 
     def attach_aggregate(self, agg_path, group_cols, measures, **kw):
         """Maintain a materialized per-group aggregate alongside the
@@ -161,10 +171,30 @@ class CdcStreamPipeline:
         # micro-batch (crash between sink commit and checkpoint commit)
         # is recognized and skipped: exactly-once apply over the
         # at-least-once stream
+        v_prev = self.state.current_version() if self.cdf_path else None
         if self.aggregate is not None:
             self.aggregate.apply(typed, self.payload, batch_id=epoch_id)
         else:
             self.state.apply(typed, self.payload, batch_id=epoch_id)
+        if self.cdf_path:
+            self._publish_cdf(v_prev)
+
+    def _publish_cdf(self, v_prev: int | None) -> None:
+        v_new = self.state.current_version()
+        if v_new is None or v_new == v_prev:
+            return  # empty / replayed batch: nothing committed
+        if v_prev is None:
+            # first version: the whole snapshot is a create feed
+            feed = self.state.read(version=v_new).withColumn(
+                "op", F.lit("c")
+            )
+            cols = ["op", *self.keys, *self.payload]
+            feed = feed.select(*cols)
+        else:
+            feed = self.state.version_diff(v_prev, v_new)
+        feed.withColumn("version", F.lit(v_new)).write.mode(
+            "append"
+        ).parquet(self.cdf_path)
 
     def start(
         self,

@@ -468,3 +468,86 @@ def test_hot_key_skewed_batch_applies_correctly(spark, tmp_path):
     assert len(got) == len(
         {0} | {i % 1000 for i in range(n) if i % 20 == 0}
     )
+
+
+def test_version_diff_classifies_ops_and_prunes_inherited(spark, table):
+    # v1: keys 1..64 so every bucket holds rows
+    table.apply(
+        _changes(spark, [(i, f"n{i}", i, "c", i) for i in range(1, 65)]),
+        ["name", "qty"],
+    )
+    # v2: update key 1, delete key 2, create key 100, and a no-op
+    # rewrite of key 3 (same values — must NOT appear in the diff)
+    v2 = table.apply(
+        _changes(
+            spark,
+            [
+                (1, "upd", 999, "u", 100),
+                (2, None, None, "d", 101),
+                (100, "new", 1, "c", 102),
+                (3, "n3", 3, "u", 103),
+            ],
+        ),
+        ["name", "qty"],
+    )
+    diff = table.version_diff(1, v2)
+    got = {r.id: (r.op, r.name, r.qty) for r in diff.collect()}
+    assert got == {
+        1: ("u", "upd", 999),
+        2: ("d", None, None),
+        100: ("c", "new", 1),
+    }
+    # pruning: only buckets whose manifest mapping changed are opened —
+    # walk the physical plan's file scans and check every root path is
+    # a changed-bucket directory
+    man1, man2 = _manifest(table, 1), _manifest(table, v2)
+    changed_dirs = {
+        os.path.normpath(os.path.join(table.path, rel))
+        for man in (man1, man2)
+        for b, rel in man["buckets"].items()
+        if man1["buckets"].get(b) != man2["buckets"].get(b)
+    }
+    all_dirs = {
+        os.path.normpath(os.path.join(table.path, rel))
+        for man in (man1, man2)
+        for rel in man["buckets"].values()
+    }
+    assert changed_dirs < all_dirs  # some buckets must be inherited
+
+    def _scan_roots(node, acc):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return _scan_roots(node.initialPlan(), acc)
+        if cls == "FileSourceScanExec":
+            paths = node.relation().location().rootPaths()
+            for i in range(paths.size()):
+                acc.add(
+                    os.path.normpath(
+                        paths.apply(i).toString().replace("file:", "")
+                    )
+                )
+        for i in range(node.children().size()):
+            _scan_roots(node.children().apply(i), acc)
+        return acc
+
+    opened = _scan_roots(
+        diff._jdf.queryExecution().executedPlan(), set()
+    )
+    opened = {p for p in opened if p.startswith(os.path.normpath(table.path))}
+    assert opened and opened <= changed_dirs
+
+
+def test_version_diff_multi_version_span(spark, table):
+    # diffs across a span where some buckets changed in v2 only, some
+    # in v3 only — both must be covered, all others inherited
+    table.apply(
+        _changes(spark, [(i, f"n{i}", i, "c", i) for i in range(1, 33)]),
+        ["name", "qty"],
+    )
+    table.apply(_changes(spark, [(5, "a", 50, "u", 100)]), ["name", "qty"])
+    v3 = table.apply(
+        _changes(spark, [(17, None, None, "d", 200)]), ["name", "qty"]
+    )
+    diff = table.version_diff(1, v3)
+    got = {r.id: r.op for r in diff.collect()}
+    assert got == {5: "u", 17: "d"}
