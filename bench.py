@@ -47,6 +47,10 @@ HEADLINE = [
     "tx18_curation_pipeline",    # e2e curation composite (filter+dedup+agg)
     "mm03_phash_neardup",        # Arrow perceptual hash + banded pair join
     "q72_time_decayed_engagement",  # decay aggregate (feature-store shape)
+    "ss10_hybrid_rrf",           # hybrid keyword+vector RRF retrieval
+    "dd12_semantic_dedup",       # SemDeDup: LSH buckets -> cosine -> clusters
+    "tx20_link_pagerank",        # 3-round power iteration + checkpoints
+    "cdc19_version_diff_feed",   # manifest-diff change-feed reconstruction
 ]
 
 
