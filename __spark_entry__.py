@@ -50,6 +50,7 @@ _NEVER_GATED = frozenset(
         "ss10_hybrid_rrf",
         "tx20_link_pagerank",
         "st14_change_feed_publication",
+        "io10_python_stream_source",
     }
 )
 

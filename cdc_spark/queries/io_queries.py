@@ -452,3 +452,72 @@ def io09_bucket_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"files (v{v} -> v{v_new})"
         )
     return state.read()
+
+
+@register(
+    "io10_python_stream_source",
+    oracle="""
+    WITH gen AS (
+        SELECT r AS lsn,
+               CASE WHEN r % 10 = 9 THEN 'd' ELSE 'u' END AS op,
+               r % 97 AS key,
+               CAST((r * 31) % 1000 AS DOUBLE) AS value
+        FROM range(0, 6000) t(r)
+    ),
+    last AS (
+        SELECT key,
+               arg_max(op, lsn) AS last_op,
+               arg_max(value, lsn) AS value
+        FROM gen GROUP BY key
+    )
+    SELECT key, value FROM last WHERE last_op <> 'd'
+    """,
+    note="custom STREAMING connector on the Spark 4 "
+    "DataSourceStreamReader API: LSN offsets with one "
+    "admission-controlled slice per trigger (4 micro-batches), each "
+    "slice split into 4 executor-side read partitions; micro-batches "
+    "merge into a BucketedStateTable via foreachBatch. The generator "
+    "is pure integer arithmetic, so offsets, batching, partition "
+    "planning AND the exactly-once apply are hash-checked end to end "
+    "against a range() replay of the whole feed",
+    tags=("io", "source", "datasource", "streaming"),
+)
+def io10_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.sources.changegen import ChangeGenDataSource
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    try:
+        spark.dataSource.register(ChangeGenDataSource)
+    except Exception:
+        pass  # already registered in this session
+    feed = (
+        spark.readStream.format("cdc_changegen")
+        .option("maxLsn", "6000")
+        .option("batchLsns", "1500")
+        .option("numPartitions", "4")
+        .load()
+    )
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="io10_state_"),
+        ["key"],
+        n_buckets=8,
+    )
+
+    def apply_batch(batch_df, epoch_id):
+        state.apply(batch_df, ["value"], batch_id=epoch_id)
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="io10_ckpt_")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # drain: latestOffset stops advancing at maxLsn, so this returns
+    # once every admitted slice is applied
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return state.read()
