@@ -51,6 +51,7 @@ _NEVER_GATED = frozenset(
         "tx20_link_pagerank",
         "st14_change_feed_publication",
         "io10_python_stream_source",
+        "mm04_audio_frame_energy",
     }
 )
 

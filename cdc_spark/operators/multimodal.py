@@ -253,3 +253,64 @@ def perceptual_hash(binary_df: DataFrame, *, n_samples: int = 64) -> DataFrame:
             )
 
     return binary_df.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("peak_energy", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("peak_idx", T.LongType()),
+    ]
+)
+
+
+def frame_energy(
+    binary_df: DataFrame, *, window: int = 64
+) -> DataFrame:
+    """Audio-modality feature extraction over the fake-decode seam:
+    the payload is treated as 8-bit unsigned PCM (the deterministic
+    stand-in — a real decoder plugs into ``_decode_media_real``), and
+    per-frame signal energy ``sum((s-128)^2)`` is computed over
+    non-overlapping ``window``-sample frames — the framing shape VAD /
+    silence-trim / segmentation pipelines use.
+
+    numpy-vectorized inside Arrow batches (one frombuffer + reshape
+    per item, no per-sample Python); energies are exact int64, so the
+    whole operator is engine-portable bit for bit. Items shorter than
+    one frame produce no row (no partial-frame estimates). ``peak_idx``
+    is the FIRST frame attaining the max (deterministic tiebreak).
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, peak, tot, pidx = [], [], [], [], []
+            for item, blob in zip(pdf["item_id"], pdf["payload"]):
+                n = len(blob) // window
+                if n == 0:
+                    continue
+                s = (
+                    np.frombuffer(blob[: n * window], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(n, window)
+                    - 128
+                )
+                es = (s * s).sum(axis=1)
+                ids.append(item)
+                nw.append(n)
+                peak.append(int(es.max()))
+                tot.append(int(es.sum()))
+                pidx.append(int(es.argmax()))  # first max: numpy argmax
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "n_windows": pd.Series(nw, dtype="int64"),
+                    "peak_energy": pd.Series(peak, dtype="int64"),
+                    "total_energy": pd.Series(tot, dtype="int64"),
+                    "peak_idx": pd.Series(pidx, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(extract, ENERGY_SCHEMA)

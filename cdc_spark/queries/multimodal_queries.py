@@ -200,3 +200,52 @@ def mm03_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         hashed, "item_id", bits=64, bands=4, max_hamming=12
     )
+
+
+@register(
+    "mm04_audio_frame_energy",
+    oracle="""
+    WITH ascii_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) = strlen(text) AND length(text) >= 64
+    ),
+    w AS (
+        SELECT doc_id, wi,
+               list_sum(list_transform(
+                   generate_series(wi * 64 + 1, wi * 64 + 64),
+                   i -> (ascii(text[i]) - 128) * (ascii(text[i]) - 128)
+               )) AS energy
+        FROM ascii_docs,
+             LATERAL unnest(generate_series(
+                 0, length(text) // 64 - 1)) t(wi)
+    ),
+    m AS (
+        SELECT *, MAX(energy) OVER (PARTITION BY doc_id) AS me FROM w
+    )
+    SELECT doc_id AS item_id,
+           COUNT(*) AS n_windows,
+           CAST(MAX(energy) AS BIGINT) AS peak_energy,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MIN(CASE WHEN energy = me THEN wi END) AS BIGINT)
+               AS peak_idx
+    FROM m GROUP BY doc_id
+    """,
+    note="audio-modality framing over the fake-decode seam: payloads "
+    "treated as 8-bit PCM, per-64-sample-frame signal energy "
+    "sum((s-128)^2) computed numpy-vectorized inside Arrow batches "
+    "(mapInPandas) — the VAD/segmentation framing shape. Energies are "
+    "exact int64, so the oracle recomputes every frame bit-for-bit "
+    "from the same bytes; peak frame uses a first-max deterministic "
+    "tiebreak. ASCII-only docs (byte == char) keep the SQL twin "
+    "byte-faithful",
+    tags=("multimodal", "audio"),
+)
+def mm04_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.multimodal import frame_energy
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") == F.octet_length("text"))
+        & (F.length("text") >= 64)
+    )
+    binary = attach_binary(docs, "text", "doc_id", modality="audio")
+    return frame_energy(binary, window=64)
