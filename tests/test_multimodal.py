@@ -125,3 +125,41 @@ def test_perceptual_hash_empty_payload(spark):
         attach_binary(df, "text", "doc_id", "image")
     ).collect()
     assert rows[0].simhash == 0
+
+
+def test_frame_energy_exact_and_short_payloads(spark):
+    from cdc_spark.operators.multimodal import attach_binary, frame_energy
+
+    rows = [
+        (1, "a" * 130),   # 2 full 64-byte frames, 2 bytes dropped
+        (2, "b" * 63),    # shorter than one frame: no row
+        (3, ""),          # empty: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.item_id: r
+        for r in frame_energy(
+            attach_binary(df, "text", "doc_id"), window=64
+        ).collect()
+    }
+    assert set(out) == {1}
+    r = out[1]
+    # 'a' = 97 -> (97-128)^2 = 961 per sample, 64 samples per frame
+    assert r.n_windows == 2
+    assert r.peak_energy == 961 * 64
+    assert r.total_energy == 2 * 961 * 64
+    assert r.peak_idx == 0  # tie between frames -> first
+
+
+def test_frame_energy_peak_localization(spark):
+    from cdc_spark.operators.multimodal import attach_binary, frame_energy
+
+    # frame 0 quiet ('~'=126, energy 4/sample), frame 1 loud ('a'=97)
+    text = "~" * 64 + "a" * 64
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = frame_energy(
+        attach_binary(df, "text", "doc_id"), window=64
+    ).first()
+    assert r.peak_idx == 1
+    assert r.peak_energy == 961 * 64
+    assert r.total_energy == 4 * 64 + 961 * 64
