@@ -52,6 +52,7 @@ _NEVER_GATED = frozenset(
         "st14_change_feed_publication",
         "io10_python_stream_source",
         "mm04_audio_frame_energy",
+        "cdc20_stream_binary_wire",
     }
 )
 

@@ -1165,3 +1165,161 @@ def cdc19_version_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = b.where(F.col("lsn") <= hi)
         versions.append(state.apply(b, ["event_type", "value"]))
     return state.version_diff(versions[0], versions[-1])
+
+
+@register(
+    "cdc20_stream_binary_wire",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Johny', 'Kowalski', 502),
+        (3, 'Joe', 'Fresh', 503)
+    ) AS t(id, firstname, lastname, tx_id)
+    """,
+    note="the reference's BINARY wire protocol under real Structured "
+    "Streaming: base64-framed pgoutput messages stream through 3 "
+    "micro-batches (file source, mtime-ordered), each batch decodes "
+    "declaratively (cdc10's tag-dispatch expressions), and the "
+    "transaction barrier buffers tx 502's ops until its COMMIT "
+    "arrives in the NEXT batch — a pgoutput Commit frame names no "
+    "xid, so the open-transaction context is carried across batches "
+    "driver-side, exactly the in-memory state the reference's "
+    "single-threaded loop holds (main.go:66-136). Mid-stream state "
+    "is asserted (uncommitted tx invisible); the final state is "
+    "gated against literals incl. TOAST fallback and per-tx ids",
+    tags=("cdc", "wire", "streaming-integration", "txn"),
+)
+def cdc20_stream_binary_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import os
+    import tempfile
+
+    import cdc_spark.cdc.pgoutput_wire as W
+    from cdc_spark.cdc.txn import TransactionalApply
+
+    rel = 16385
+    cols = [
+        (True, "id", 23, 0xFFFFFFFF),
+        (False, "firstname", 25, 0xFFFFFFFF),
+        (False, "lastname", 25, 0xFFFFFFFF),
+    ]
+    R = W.encode_relation(rel, "public", "users", ord("d"), cols)
+    batches = [
+        [  # tx501 commits here; tx502's ops arrive, commit doesn't
+            W.encode_begin(1000, 1_000_000, 501),
+            R,
+            W.encode_insert(rel, [("t", "1"), ("t", "Johny"), ("t", "Rambo")]),
+            W.encode_insert(rel, [("t", "2"), ("t", "Jane"), ("t", "Doe")]),
+            W.encode_commit(1001, 1002, 1_000_001),
+            W.encode_begin(2000, 2_000_000, 502),
+            W.encode_update(
+                rel,
+                [("t", "1"), ("u", None), ("t", "Kowalski")],
+                old=[("t", "1")],
+                old_kind="K",
+            ),
+            W.encode_delete(rel, [("t", "2")], "K"),
+        ],
+        [  # tx502's commit lands with no Begin in sight; tx503 opens
+            W.encode_commit(2001, 2002, 2_000_001),
+            R,  # pgoutput re-announces relations per session
+            W.encode_begin(3000, 3_000_000, 503),
+            W.encode_insert(rel, [("t", "3"), ("t", "Joe"), ("t", "Fresh")]),
+        ],
+        [W.encode_commit(3001, 3002, 3_000_001)],
+    ]
+    src_dir = tempfile.mkdtemp(prefix="cdc20_src_")
+    ordn = 0
+    for i, frames in enumerate(batches):
+        path = os.path.join(src_dir, f"b{i}.txt")
+        with open(path, "w") as fh:
+            for f in frames:
+                fh.write(f"{ordn}|{base64.b64encode(bytes(f)).decode()}\n")
+                ordn += 1
+        os.utime(path, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+
+    reg = SchemaRegistry()
+    applier = TransactionalApply(
+        spark,
+        tempfile.mkdtemp(prefix="cdc20_target_"),
+        tempfile.mkdtemp(prefix="cdc20_pending_"),
+        ["id"],
+        ["firstname", "lastname", "tx_id"],
+        n_buckets=8,
+    )
+    # the reference's in-memory open-transaction state, carried across
+    # micro-batches (a pgoutput Commit frame names no xid)
+    carry = {"xid": None}
+    checks: list[dict] = []
+
+    def apply_batch(batch_df, epoch_id):
+        raw = batch_df.select(
+            F.split("value", "\\|")[0].cast("long").alias("ord"),
+            F.unbase64(F.split("value", "\\|")[1]).alias("value"),
+        )
+        if raw.isEmpty():
+            return
+        parsed = W.parse_pgoutput_binary(raw, order_col="ord")
+        decoded = W.decode_frames(raw, order_col="ord")
+        W.announce_to_registry(reg, decoded)
+        typed = reg.materialize(parsed, "public", "users").withColumn(
+            "tx_id", F.coalesce(F.col("tx_id"), F.lit(carry["xid"]))
+        )
+        # tx markers are bounded (a handful per batch): resolve each
+        # Commit to the transaction open at its position
+        markers = sorted(
+            (
+                (r["__order"], r["tag"], r["xid"])
+                for r in decoded.where(F.col("tag").isin("B", "C"))
+                .select("__order", "tag", "xid")
+                .collect()
+            ),
+        )
+        commit_rows = []
+        open_xid = carry["xid"]
+        for ordv, tag, xid in markers:
+            if tag == "B":
+                open_xid = xid
+            else:
+                commit_rows.append((ordv, open_xid))
+                open_xid = None
+        carry["xid"] = open_xid
+        data = typed.select(
+            "op", "lsn", F.col("tx_id").cast("long").alias("tx_id"),
+            "id", "firstname", "lastname",
+        )
+        commits = spark.createDataFrame(
+            [(int(o), int(x)) for o, x in commit_rows if x is not None],
+            "lsn long, tx_id long",
+        ).select(
+            F.lit("C").alias("op"), "lsn", "tx_id",
+            F.lit(None).cast("integer").alias("id"),
+            F.lit(None).cast("string").alias("firstname"),
+            F.lit(None).cast("string").alias("lastname"),
+        )
+        applier.apply_batch(data.unionByName(commits))
+        st = applier.state()
+        checks.append(
+            {r["id"]: r["firstname"] for r in st.collect()} if st is not None else {}
+        )
+
+    q = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc20_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # barrier proof: after batch 1 only tx501 is visible (tx502's
+    # update/delete are pending, so id=2 still present, id=1 unrenamed)
+    if checks and checks[0] != {1: "Johny", 2: "Jane"}:
+        raise AssertionError(
+            f"uncommitted tx leaked into state after batch 1: {checks[0]}"
+        )
+    return applier.state().select(
+        "id", "firstname", "lastname", F.col("tx_id").cast("int").alias("tx_id")
+    )
