@@ -53,6 +53,7 @@ _NEVER_GATED = frozenset(
         "io10_python_stream_source",
         "mm04_audio_frame_energy",
         "cdc20_stream_binary_wire",
+        "tx21_bigram_logprob",
     }
 )
 

@@ -939,3 +939,90 @@ def tx20_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "tx21_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(l) AS term FROM toks),
+    uni AS (SELECT term, COUNT(*) AS c1 FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) * 1.0 AS n FROM tok),
+    bi AS (
+        SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(l) - 1),
+                       i -> struct_pack(w1 := l[i], w2 := l[i + 1])
+                   )) AS b
+            FROM toks WHERE len(l) >= 2
+        )
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(ln(
+                     CAST(0.75 AS DOUBLE) * c12 / u1.c1
+                     + CAST(0.25 AS DOUBLE) * u2.c1 / n), 6)
+                 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_logprob
+    FROM bi
+    JOIN bc USING (w1, w2)
+    JOIN uni u1 ON bi.w1 = u1.term
+    JOIN uni u2 ON bi.w2 = u2.term
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    note="corpus-bigram LM scoring with unigram interpolation "
+    "(KenLM-ish backoff shape, the stronger perplexity-proxy filter "
+    "over tx17): P(w2|w1) = 0.75*c12/c1 + 0.25*c2/N, trained on the "
+    "corpus itself — bigram and unigram models are each ONE hash "
+    "aggregate, scoring is inverted-index equi-joins (never "
+    "all-pairs), the corpus total a broadcast 1-row aggregate. "
+    "Per-bigram logprobs rounded then decimal-summed so the mean is "
+    "order-independent across engines and cluster sizes. Single-token "
+    "docs have no bigrams and drop out (same rule both engines)",
+    tags=("text", "quality", "lm", "bigram"),
+)
+def tx21_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.queries.base import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__l"))
+    tok = toks.select("doc_id", F.explode("__l").alias("term"))
+    uni = tok.groupBy("term").agg(F.count("*").alias("__c1"))
+    total = tok.agg(F.count("*").cast("double").alias("__n"))
+    bi = toks.where(F.size("__l") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__l) - 1), "
+                "i -> struct(element_at(__l, i) AS w1, "
+                "element_at(__l, i + 1) AS w2))"
+            )
+        ).alias("__b"),
+    ).select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("__c1").alias("__cw1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("__c1").alias("__cw2"))
+    lp = F.round(
+        F.log(
+            F.lit(0.75) * F.col("__c12") / F.col("__cw1")
+            + F.lit(0.25) * F.col("__cw2") / F.col("__n")
+        ),
+        6,
+    )
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            davg(lp, scale=6, ndigits=4).alias("avg_logprob"),
+        )
+    )
