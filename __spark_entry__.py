@@ -54,6 +54,7 @@ _NEVER_GATED = frozenset(
         "mm04_audio_frame_energy",
         "cdc20_stream_binary_wire",
         "tx21_bigram_logprob",
+        "ss11_mips_topk",
     }
 )
 

@@ -578,3 +578,136 @@ def ss10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__r") <= 10)
         .drop("__r")
     )
+
+
+@register(
+    "ss11_mips_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id IN (2, 19)
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[],
+                                      q.q_emb::DOUBLE[]), 4) AS ip
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, ip FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY ip DESC, vec_id
+        ) AS r FROM scored
+    ) WHERE r <= 10
+    """,
+    note="maximum-inner-product search (the recommender serving "
+    "score, where vector norm IS signal — popular items win): exact "
+    "top-10 by dot product for 2 literal probes, salted two-stage "
+    "ranking on the rounded score. The query ALSO runs the published "
+    "norm-augmentation reduction (Neyshabur & Srebro 2015, "
+    "arXiv:1410.5518: v' = [v, sqrt(M^2-|v|^2)], q' = [q, 0] turns "
+    "argmax-IP into argmax-cosine, unlocking every cosine-ANN index "
+    "for MIPS) and ASSERTS both rankings agree before returning — "
+    "the reduction itself is verified in-query",
+    tags=("similarity", "mips", "topk"),
+)
+def ss11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.similarity import _salted_topk, dot
+
+    probe_ids = [2, 19]
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id").isin(probe_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    probe_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("q_id"),
+                F.array(*[F.lit(x) for x in vec]).alias("q_emb"),
+            )
+            for qid, vec in probes
+        ]
+    )
+    scored = (
+        emb.select(
+            "vec_id", "embedding", F.explode(probe_arr).alias("__q")
+        )
+        .where(F.col("vec_id") != F.col("__q.q_id"))
+        .select(
+            F.col("__q.q_id").alias("q_id"),
+            F.col("vec_id"),
+            F.round(
+                dot(F.col("embedding"), F.col("__q.q_emb")), 4
+            ).alias("sim"),
+        )
+    )
+    mips = _salted_topk(scored, "q_id", "vec_id", k=10, n_salt=64)
+
+    # Norm-augmentation reduction, self-verified: the augmented-cosine
+    # ranking must agree with the direct-IP ranking (M = max corpus
+    # norm, a bounded 1-row aggregate collected driver-side)
+    from cdc_spark.operators.similarity import cosine, norm
+
+    m2 = (
+        emb.agg(F.max(dot(F.col("embedding"), F.col("embedding"))))
+        .first()[0]
+    )
+    aug = emb.select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(m2)
+                        - dot(F.col("embedding"), F.col("embedding")),
+                        F.lit(0.0),
+                    )
+                )
+            ),
+        ).alias("aug_emb"),
+    )
+    aug_scored = (
+        aug.select(
+            "vec_id", "aug_emb", F.explode(probe_arr).alias("__q")
+        )
+        .where(F.col("vec_id") != F.col("__q.q_id"))
+        .select(
+            F.col("__q.q_id").alias("q_id"),
+            F.col("vec_id"),
+            # q' = [q, 0]: the appended coordinate contributes nothing,
+            # so cosine(q', v') ranks exactly by dot(q, v)
+            F.round(
+                dot(
+                    F.col("aug_emb"),
+                    F.concat(
+                        F.col("__q.q_emb").cast("array<double>"),
+                        F.array(F.lit(0.0)),
+                    ),
+                )
+                / (norm(F.col("aug_emb")) * F.lit(math.sqrt(m2))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    aug_top = _salted_topk(aug_scored, "q_id", "vec_id", k=10, n_salt=64)
+    got = {
+        (r.q_id, r.vec_id)
+        for r in aug_top.select("q_id", "vec_id").collect()
+    }
+    want = {
+        (r.q_id, r.vec_id) for r in mips.select("q_id", "vec_id").collect()
+    }
+    if got != want:
+        raise AssertionError(
+            f"norm-augmentation reduction diverged from direct MIPS: "
+            f"only-aug={sorted(got - want)} only-ip={sorted(want - got)}"
+        )
+    return mips.select("q_id", "vec_id", F.col("sim").alias("ip"))
