@@ -55,6 +55,8 @@ _NEVER_GATED = frozenset(
         "cdc20_stream_binary_wire",
         "tx21_bigram_logprob",
         "ss11_mips_topk",
+        "io11_csv_dead_letter",
+        "tx22_blocklist_filter",
     }
 )
 

@@ -521,3 +521,58 @@ def io10_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination(60)
     return state.read()
+
+
+@register(
+    "io11_csv_dead_letter",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('bad', 3), ('good', 5)
+    ) AS t(route, n)
+    """,
+    note="permissive CSV ingestion with corrupt-record routing (the "
+    "I/O twin of cdc18's envelope dead-letter): mode=PERMISSIVE + "
+    "columnNameOfCorruptRecord captures rows that fail the declared "
+    "schema (wrong arity, unparseable numerics) instead of failing "
+    "the read or silently nulling — well-formed rows keep flowing, "
+    "malformed ones land in a quarantine frame for replay. Route "
+    "counts gated against literals",
+    tags=("io", "csv", "error-policy"),
+)
+def io11_csv_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="io11_src_")
+    lines = [
+        "1,alpha,10.5",
+        "2,beta,20.0",
+        "not-a-number,gamma,30.0",   # id fails the long cast
+        "4,delta",                   # missing column
+        "5,epsilon,xyz",             # value fails the double cast
+        "6,zeta,60.25",
+        "7,eta,70.0",
+        "8,theta,80.5",
+    ]
+    with open(os.path.join(src, "data.csv"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.schema(
+            "id long, name string, value double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(src)
+        .cache()  # one pass feeds both routes (Spark requires caching
+        # before filtering on the corrupt-record column)
+    )
+    good = df.where(F.col("_corrupt").isNull())
+    bad = df.where(F.col("_corrupt").isNotNull())
+    return (
+        good.agg(
+            F.lit("good").alias("route"), F.count("*").cast("int").alias("n")
+        )
+        .unionByName(
+            bad.agg(
+                F.lit("bad").alias("route"),
+                F.count("*").cast("int").alias("n"),
+            )
+        )
+    )

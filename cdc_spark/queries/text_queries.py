@@ -1026,3 +1026,54 @@ def tx21_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(lp, scale=6, ndigits=4).alias("avg_logprob"),
         )
     )
+
+
+# Stand-in blocklist over the synthetic vocabulary; a production safety
+# filter swaps in its real term list — the plan shape is identical.
+_BLOCKLIST = ("slow", "dup", "crash")
+
+
+@register(
+    "tx22_blocklist_filter",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT doc_id, source,
+               len(list_intersect(
+                   list_distinct(string_split_regex(trim(text), '\\s+')),
+                   [{", ".join(repr(w) for w in _BLOCKLIST)}]
+               )) AS n_hits
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (n_hits = 0) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (n_hits > 0) AS BIGINT) AS n_flagged,
+           CAST(MAX(n_hits) AS BIGINT) AS max_hits
+    FROM flagged GROUP BY source
+    """,
+    note="blocklist safety filtering (the C4-style badwords stage "
+    "every curation pipeline runs): token-boundary matching via "
+    "tokenize + set-intersect — NOT substring contains, so 'dup' "
+    "cannot flag 'dedupe' — entirely codegen'd array expressions, "
+    "zero Python. Per-source kept/flagged accounting; the term list "
+    "is a stand-in over the synthetic vocabulary, the plan shape is "
+    "what production swaps its real list into",
+    tags=("text", "safety", "curation"),
+)
+def tx22_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.col("text"))),
+            F.array(*[F.lit(w) for w in _BLOCKLIST]),
+        )
+    )
+    flagged = docs.select("source", hits.alias("n_hits"))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("n_hits") == 0, 1)).cast("long").alias("n_kept"),
+        F.count(F.when(F.col("n_hits") > 0, 1))
+        .cast("long")
+        .alias("n_flagged"),
+        F.max("n_hits").cast("long").alias("max_hits"),
+    )
