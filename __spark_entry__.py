@@ -57,6 +57,7 @@ _NEVER_GATED = frozenset(
         "ss11_mips_topk",
         "io11_csv_dead_letter",
         "tx22_blocklist_filter",
+        "st15_stream_trending",
     }
 )
 

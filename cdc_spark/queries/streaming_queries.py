@@ -1091,3 +1091,68 @@ def st14_change_feed_publication(
         op_col="op",
         may_truncate=False,
     )
+
+
+@register(
+    "st15_stream_trending",
+    oracle="""
+    WITH slid AS (
+        SELECT event_type,
+               date_trunc('hour', ts) - INTERVAL (h) HOUR AS window_start
+        FROM events, LATERAL unnest(generate_series(0, 1)) t(h)
+    ),
+    counts AS (
+        SELECT window_start, event_type, COUNT(*) AS n
+        FROM slid GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start ORDER BY n DESC, event_type
+               ) AS rnk,
+               n - COALESCE(LAG(n) OVER (
+                   PARTITION BY event_type ORDER BY window_start
+               ), 0) AS velocity
+        FROM counts
+    )
+    SELECT window_start, event_type, n, rnk, velocity
+    FROM ranked WHERE rnk <= 3
+    """,
+    note="streaming trending detection: a REAL sliding-window count "
+    "(2h window, 1h slide — each event lands in 2 windows) runs "
+    "through the streaming engine (availableNow -> memory sink), "
+    "then per-window rank and velocity (count minus previous "
+    "window's count per type) pick the top-3 movers. The oracle "
+    "reproduces the slide by exploding each event into its 2 "
+    "windows; counts are integers and the rank carries a type "
+    "tiebreak, so the composite is exact",
+    tags=("streaming", "window", "trending"),
+)
+def st15_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "2 hours", "1 hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    w_rank = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("window_start")
+    ranked = out.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.row_number().over(w_rank).alias("rnk"),
+        (F.col("n") - F.coalesce(F.lag("n").over(w_lag), F.lit(0))).alias(
+            "velocity"
+        ),
+    )
+    return ranked.where(F.col("rnk") <= 3)
