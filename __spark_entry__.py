@@ -58,6 +58,7 @@ _NEVER_GATED = frozenset(
         "io11_csv_dead_letter",
         "tx22_blocklist_filter",
         "st15_stream_trending",
+        "dd13_incremental_dedup",
     }
 )
 

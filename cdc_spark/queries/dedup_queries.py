@@ -781,3 +781,108 @@ def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         (F.count("*") - F.lit(1)).alias("n_dropped"),
     )
+
+
+@register(
+    "dd13_incremental_dedup",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    newb AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' zzzfresh' ELSE text END AS text
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT 'dup' AS route,
+           CAST((SELECT COUNT(*) FROM newb
+                 WHERE text IN (SELECT text FROM corpus)) AS BIGINT) AS n
+    UNION ALL
+    SELECT 'new',
+           CAST((SELECT COUNT(*) FROM newb
+                 WHERE text NOT IN (SELECT text FROM corpus)) AS BIGINT)
+    UNION ALL
+    SELECT 'state_after',
+           CAST((SELECT COUNT(DISTINCT text) FROM
+                 (SELECT text FROM corpus
+                  UNION ALL SELECT text FROM newb)) AS BIGINT)
+    """,
+    note="CONTINUOUS corpus dedup — the daily-crawl shape: the corpus "
+    "fingerprint set lives in a BucketedStateTable keyed by content "
+    "hash; an incoming batch probes ONLY the buckets its own hashes "
+    "fall into (read_buckets — asserted to open a strict subset), so "
+    "membership checking is O(new batch), never a rescan of the "
+    "100 TB corpus; survivors merge back into the same state, ready "
+    "for the next batch. Routes + resulting state size gated "
+    "against set-semantics SQL",
+    tags=("dedup", "incremental", "state"),
+)
+def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_buckets = 256
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="dd13_state_"),
+        ["content_hash"],
+        n_buckets=n_buckets,
+    )
+    seed = docs.select(
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        F.col("doc_id").alias("keeper_id"),
+    ).groupBy("content_hash").agg(
+        F.min("keeper_id").alias("keeper_id")
+    ).select(
+        F.lit("c").alias("op"),
+        F.col("keeper_id").alias("lsn"),
+        "content_hash",
+        "keeper_id",
+    )
+    state.apply(seed, ["keeper_id"])
+
+    newb = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" zzzfresh"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hashes = newb.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+    ).localCheckpoint(eager=True)  # reused for probe, routes and merge
+
+    # bucket-pruned membership probe: open only the buckets this
+    # batch's hashes fall into — O(batch), never O(corpus)
+    touched = sorted(
+        hashes.select(
+            F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).alias("b")
+        )
+        .agg(F.collect_set("b"))
+        .first()[0]
+    )
+    if len(touched) >= n_buckets:
+        raise AssertionError(
+            "probe batch touched every bucket — pruning not exercised"
+        )
+    prior = state.read_buckets(touched)
+    fresh = hashes.join(prior, "content_hash", "left_anti")
+    dup_n = hashes.join(prior, "content_hash", "left_semi").count()
+    fresh_changes = fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_id")
+    ).select(
+        F.lit("c").alias("op"),
+        F.col("keeper_id").alias("lsn"),
+        "content_hash",
+        "keeper_id",
+    )
+    state.apply(fresh_changes, ["keeper_id"])
+
+    rows = [
+        ("dup", dup_n),
+        ("new", fresh.count()),
+        ("state_after", state.read().count()),
+    ]
+    return spark.createDataFrame(rows, "route string, n long")
