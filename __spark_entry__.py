@@ -59,6 +59,7 @@ _NEVER_GATED = frozenset(
         "tx22_blocklist_filter",
         "st15_stream_trending",
         "dd13_incremental_dedup",
+        "pu04_arrow_scalar_udf",
     }
 )
 

@@ -124,3 +124,38 @@ def pu03_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT s.* FROM docs_{suffix}, "
         f"LATERAL sliding_windows_{suffix}(doc_id, text) s"
     )
+
+
+@register(
+    "pu04_arrow_scalar_udf",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) * 1000000
+           + length(text) AS packed_stat,
+           CAST(length(text) % 97 AS BIGINT) AS shard
+    FROM documents
+    """,
+    note="Arrow-optimized scalar Python UDF (Spark 4 "
+    "@udf(useArrow=True)): per-row Python logic shipped over Arrow "
+    "batches instead of pickled rows — shows as ArrowEvalPython in "
+    "the plan (the guardrail test forbids the legacy BatchEvalPython "
+    "row path repo-wide). The function is pure integer arithmetic on "
+    "the text, so the oracle recomputes it exactly. This is the "
+    "THIRD Python surface beside pandas_udf (pu01/pu02) and UDTF "
+    "(pu03) — for logic that is genuinely per-row scalar",
+    tags=("udf", "arrow", "python"),
+)
+def pu04_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="bigint", useArrow=True)
+    def packed_stat(text: str) -> int:
+        toks = [t for t in text.strip().split() if t]
+        return len(toks) * 1_000_000 + len(text)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        packed_stat("text").alias("packed_stat"),
+        (F.length("text") % 97).cast("long").alias("shard"),
+    )
