@@ -60,6 +60,7 @@ _NEVER_GATED = frozenset(
         "st15_stream_trending",
         "dd13_incremental_dedup",
         "pu04_arrow_scalar_udf",
+        "io12_dynamic_partition_overwrite",
     }
 )
 

@@ -576,3 +576,83 @@ def io11_csv_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "io12_dynamic_partition_overwrite",
+    oracle="""
+    WITH first_load AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders
+    ),
+    restated AS (  -- second job restates ONLY status 'F' partitions
+        SELECT o_orderkey, o_custkey,
+               o_totalprice * 2 AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    final AS (
+        SELECT * FROM first_load WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT * FROM restated
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    note="dynamic partition overwrite (partitionOverwriteMode=dynamic) "
+    "— the lakehouse partition-granularity restatement: the second "
+    "write overwrites ONLY the partitions present in its data "
+    "(status 'F'), untouched partitions survive byte-identical — "
+    "versus static mode, which would have wiped the whole table. "
+    "The conf is set per-query and restored; final table aggregated "
+    "and hash-checked against the union semantics",
+    tags=("io", "partition", "overwrite"),
+)
+def io12_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    target = tempfile.mkdtemp(prefix="io12_tbl_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "dynamic")
+        orders.write.partitionBy("o_orderstatus").mode(
+            "overwrite"
+        ).parquet(target)
+        restated = orders.where(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2  # exact in IEEE
+        )
+        untouched = os.path.join(target, "o_orderstatus=O")
+        before = sorted(
+            (f, os.path.getsize(os.path.join(untouched, f)))
+            for f in os.listdir(untouched)
+            if f.endswith(".parquet")
+        )
+        restated.write.partitionBy("o_orderstatus").mode(
+            "overwrite"
+        ).parquet(target)
+        after = sorted(
+            (f, os.path.getsize(os.path.join(untouched, f)))
+            for f in os.listdir(untouched)
+            if f.endswith(".parquet")
+        )
+        if before != after:
+            raise AssertionError(
+                "dynamic overwrite touched a partition absent from the "
+                "restatement data"
+            )
+    finally:
+        spark.conf.set(key, prev)
+    final = spark.read.parquet(target)
+    return final.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
