@@ -61,6 +61,7 @@ _NEVER_GATED = frozenset(
         "dd13_incremental_dedup",
         "pu04_arrow_scalar_udf",
         "io12_dynamic_partition_overwrite",
+        "cdc21_wal2json_v2",
     }
 )
 

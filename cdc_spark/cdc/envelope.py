@@ -399,3 +399,108 @@ def parse_maxwell(
             "replica_identity"
         ),
     )
+
+
+# wal2json format-version 2: ONE action per JSON document (B/C/I/U/D/
+# T/M), columns/identity as name+type+value struct arrays. Reference:
+# the wal2json extension's documented v2 output
+# (https://github.com/eulerto/wal2json#format-version-2).
+WAL2JSON_V2_SCHEMA = T.StructType(
+    [
+        T.StructField("action", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField(
+            "columns",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "identity",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_V2_ACTION_TO_OP = {"I": "c", "U": "u", "D": "d", "T": "t"}
+
+
+def _v2_map(col):  # noqa: ANN001
+    return F.when(
+        col.isNotNull(),
+        F.map_from_entries(
+            F.transform(col, lambda c: F.struct(c["name"], c["value"]))
+        ),
+    )
+
+
+def parse_wal2json_v2(
+    raw: DataFrame, value_col: str = "value", lsn_col: str | None = None
+) -> DataFrame:
+    """Parse wal2json FORMAT-VERSION 2 documents → canonical rows.
+
+    The fifth envelope dialect: v2 emits one action per document
+    (``action`` I/U/D/T plus B/C transaction markers and M messages)
+    instead of v1's per-transaction ``change`` array. Dialect rules:
+
+    - ``columns`` is the new image (I/U); ``identity`` is the old
+      key/image (U/D) — identity maps to both ``key`` and ``before``
+      (it IS the replica-identity image, 'K'-shaped);
+    - ``xid`` arrives per action (``include-xids``) — no positional
+      Begin fill-forward needed, unlike the binary wire;
+    - B/C/M actions parse with null op and flow to the dead-letter /
+      marker path (callers using the txn barrier map them to markers);
+    - unparseable documents keep op null with null action — the same
+      permissive policy as every other dialect.
+    """
+    doc = raw.withColumn(
+        "__e", F.from_json(F.col(value_col), WAL2JSON_V2_SCHEMA)
+    )
+    if lsn_col:
+        lsn_expr = F.col(lsn_col).cast("long")
+    else:
+        pid = F.shiftright(F.monotonically_increasing_id(), 33)
+        row = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
+        lsn_expr = F.shiftleft(pid, 43) + row
+    op_map = F.create_map(
+        *[F.lit(x) for kv in _V2_ACTION_TO_OP.items() for x in kv]
+    )
+    cols, ident = F.col("__e.columns"), F.col("__e.identity")
+    return doc.select(
+        op_map[F.col("__e.action")].alias("op"),
+        F.col("__e.schema").alias("src_schema"),
+        F.col("__e.table").alias("src_table"),
+        lsn_expr.alias("lsn"),
+        F.col("__e.xid").alias("tx_id"),
+        F.to_timestamp(F.col("__e.timestamp")).alias("commit_ts"),
+        _v2_map(ident).alias("key"),
+        _v2_map(ident).alias("before"),
+        _v2_map(cols).alias("after"),
+        F.when(
+            cols.isNotNull(),
+            F.map_from_entries(
+                F.transform(cols, lambda c: F.struct(c["name"], c["type"]))
+            ),
+        ).alias("col_types"),
+        F.lit(None).cast("string").alias("origin"),
+        F.when(ident.isNotNull(), F.lit("K")).alias("replica_identity"),
+    )

@@ -1323,3 +1323,82 @@ def cdc20_stream_binary_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applier.state().select(
         "id", "firstname", "lastname", F.col("tx_id").cast("int").alias("tx_id")
     )
+
+
+@register(
+    "cdc21_wal2json_v2",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Johny', 'Kowalski', 502),
+        (3, 'Joe', 'Fresh', 503)
+    ) AS t(id, firstname, lastname, tx_id)
+    """,
+    note="wal2json FORMAT-VERSION 2 — the fifth envelope dialect: one "
+    "action per document (I/U/D with per-action xid, identity = "
+    "replica-identity old image), golden story equivalent to "
+    "cdc01/cdc10 (insert x2, identity-keyed update + delete, late "
+    "insert) parsed, registry-typed and merged; per-action xids "
+    "carried through as payload to gate the v2 transaction metadata "
+    "path",
+    tags=("cdc", "envelope", "wal2json"),
+)
+def cdc21_wal2json_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.cdc.envelope import parse_wal2json_v2
+
+    def act(action, xid, columns=None, identity=None):
+        d = {
+            "action": action,
+            "schema": "public",
+            "table": "users",
+            "xid": xid,
+            "timestamp": "2024-01-01 00:00:00",
+        }
+        if columns is not None:
+            d["columns"] = [
+                {"name": n, "type": t, "value": v} for n, t, v in columns
+            ]
+        if identity is not None:
+            d["identity"] = [
+                {"name": n, "type": t, "value": v} for n, t, v in identity
+            ]
+        return json.dumps(d)
+
+    u = [("id", "integer"), ("firstname", "text"), ("lastname", "text")]
+
+    def cols(*vals):
+        return [(n, t, v) for (n, t), v in zip(u, vals)]
+
+    docs = [
+        act("B", 501),
+        act("I", 501, columns=cols("1", "Johny", "Rambo")),
+        act("I", 501, columns=cols("2", "Jane", "Doe")),
+        act("C", 501),
+        act("B", 502),
+        act(
+            "U",
+            502,
+            columns=cols("1", "Johny", "Kowalski"),
+            identity=[("id", "integer", "1")],
+        ),
+        act("D", 502, identity=[("id", "integer", "2")]),
+        act("C", 502),
+        act("B", 503),
+        act("I", 503, columns=cols("3", "Joe", "Fresh")),
+        act("C", 503),
+    ]
+    raw = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "seq long, value string"
+    )
+    parsed = parse_wal2json_v2(raw, lsn_col="seq")
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "users",
+        [("id", "integer", True), ("firstname", "text"), ("lastname", "text")],
+    )
+    typed = reg.materialize(parsed, "public", "users")
+    return apply_changes(
+        None, typed, ["id"], ["firstname", "lastname", "tx_id"]
+    ).select(
+        "id", "firstname", "lastname", F.col("tx_id").cast("int").alias("tx_id")
+    )
