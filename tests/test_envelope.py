@@ -343,3 +343,53 @@ def test_maxwell_bootstrap_maps_to_snapshot_read(spark):
     )
     raw = spark.createDataFrame([(doc,)], "value string")
     assert parse_maxwell(raw).collect()[0].op == "r"
+
+
+def test_wal2json_v2_actions_and_markers(spark):
+    import json
+
+    from cdc_spark.cdc.envelope import parse_wal2json_v2
+
+    docs = [
+        json.dumps({"action": "B", "xid": 7}),
+        json.dumps(
+            {
+                "action": "I",
+                "schema": "s",
+                "table": "t",
+                "xid": 7,
+                "columns": [
+                    {"name": "id", "type": "integer", "value": "1"},
+                    {"name": "v", "type": "text", "value": "x"},
+                ],
+            }
+        ),
+        json.dumps(
+            {
+                "action": "U",
+                "schema": "s",
+                "table": "t",
+                "xid": 8,
+                # unchanged-TOAST convention: v omitted from columns
+                "columns": [
+                    {"name": "id", "type": "integer", "value": "1"}
+                ],
+                "identity": [
+                    {"name": "id", "type": "integer", "value": "1"}
+                ],
+            }
+        ),
+        json.dumps({"action": "C", "xid": 8}),
+        "{broken",
+    ]
+    raw = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "seq long, value string"
+    )
+    rows = parse_wal2json_v2(raw, lsn_col="seq").orderBy("lsn").collect()
+    assert [r.op for r in rows] == [None, "c", "u", None, None]
+    ins, upd = rows[1], rows[2]
+    assert ins.after == {"id": "1", "v": "x"} and ins.tx_id == 7
+    # omitted column stays absent from the after map (unchanged TOAST)
+    assert upd.after == {"id": "1"} and "v" not in upd.after
+    assert upd.key == {"id": "1"} and upd.replica_identity == "K"
+    assert upd.tx_id == 8
