@@ -62,6 +62,7 @@ _NEVER_GATED = frozenset(
         "pu04_arrow_scalar_udf",
         "io12_dynamic_partition_overwrite",
         "cdc21_wal2json_v2",
+        "cdc22_bidirectional_origin_filter",
     }
 )
 

@@ -1402,3 +1402,106 @@ def cdc21_wal2json_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "id", "firstname", "lastname", F.col("tx_id").cast("int").alias("tx_id")
     )
+
+
+@register(
+    "cdc22_bidirectional_origin_filter",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value,
+               CASE WHEN user_id % 2 = 0 THEN 'site_a' ELSE 'site_b' END
+                   AS origin
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    ),
+    merged AS (
+        SELECT user_id,
+               arg_max(event_type, lsn) AS event_type,
+               arg_max(value, lsn) AS value,
+               arg_max(origin, lsn) AS origin
+        FROM live GROUP BY user_id
+    )
+    SELECT 'site_a' AS site, user_id, event_type, value, origin FROM merged
+    UNION ALL
+    SELECT 'site_b', user_id, event_type, value, origin FROM merged
+    """,
+    note="bidirectional cross-service sync with origin-based loop "
+    "prevention (deck slides 36-37 + the Origin wire message the "
+    "binary decoder surfaces): each site owns the keys it writes "
+    "(origin tag travels with every change), replication applies "
+    "only foreign-origin changes it has not itself produced, and a "
+    "second replication round is asserted to be a NO-OP (the echo a "
+    "naive two-way sync would ping-pong forever). Both sites "
+    "converge to the identical merged state, gated per site",
+    tags=("cdc", "sync", "origin"),
+)
+def cdc22_bidirectional_origin_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events).select(
+        "op",
+        "lsn",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.when(F.col("user_id") % 2 == 0, "site_a")
+        .otherwise("site_b")
+        .alias("origin"),
+    )
+    payload = ["event_type", "value", "origin"]
+
+    # each site first applies only ITS OWN writes...
+    state_a = apply_changes(
+        None, changes.where(F.col("origin") == "site_a"), ["user_id"], payload
+    )
+    state_b = apply_changes(
+        None, changes.where(F.col("origin") == "site_b"), ["user_id"], payload
+    )
+    # ...then replication ships the full change stream both ways and
+    # each side applies only FOREIGN-origin changes (the loop filter)
+    state_a2 = apply_changes(
+        state_a, changes.where(F.col("origin") != "site_a"), ["user_id"], payload
+    ).localCheckpoint(eager=True)
+    state_b2 = apply_changes(
+        state_b, changes.where(F.col("origin") != "site_b"), ["user_id"], payload
+    ).localCheckpoint(eager=True)
+
+    # echo round: re-capturing site A's state and shipping it back
+    # must change NOTHING — every row it holds is either site B's own
+    # (filtered by origin) or already applied. Assert the no-op.
+    echo = state_a2.select(
+        F.lit("u").alias("op"),
+        (F.col("user_id") + F.lit(10_000_000)).alias("lsn"),
+        "user_id",
+        *payload,
+    )
+    state_b3 = apply_changes(
+        state_b2,
+        echo.where(F.col("origin") != "site_b"),
+        ["user_id"],
+        payload,
+    )
+    diff_n = (
+        state_b3.exceptAll(state_b2).count()
+        + state_b2.exceptAll(state_b3).count()
+    )
+    if diff_n != 0:
+        raise AssertionError(
+            f"echo replication round changed {diff_n} rows — loop "
+            "prevention failed"
+        )
+    return state_a2.select(F.lit("site_a").alias("site"), "*").unionByName(
+        state_b2.select(F.lit("site_b").alias("site"), "*")
+    )
