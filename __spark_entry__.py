@@ -63,6 +63,7 @@ _NEVER_GATED = frozenset(
         "io12_dynamic_partition_overwrite",
         "cdc21_wal2json_v2",
         "cdc22_bidirectional_origin_filter",
+        "st16_cdf_consumer_agg",
     }
 )
 

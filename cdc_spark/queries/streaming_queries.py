@@ -1156,3 +1156,165 @@ def st15_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.where(F.col("rnk") <= 3)
+
+
+@register(
+    "st16_cdf_consumer_agg",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd'
+                               ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    ),
+    state AS (
+        SELECT user_id,
+               arg_max(event_type, lsn) AS event_type,
+               arg_max(value, lsn) AS value
+        FROM live GROUP BY user_id
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM state GROUP BY event_type
+    """,
+    note="the full CDC producer->consumer chain: a pipeline publishes "
+    "its change feed WITH before-images (Delta-CDF's "
+    "preimage/postimage pair, version_diff include_old), and a "
+    "SECOND, independent streaming job maintains a per-type "
+    "count+sum aggregate from the feed ALONE — each c/u/d row "
+    "explodes into signed contributions (+new, -old), one streaming "
+    "aggregation, zero reads of the base state. The telescoped "
+    "deltas must equal the aggregate computed from the one-shot "
+    "merge of the raw log",
+    tags=("streaming", "cdc", "cdf", "ivm"),
+)
+def st16_cdf_consumer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.cdc.registry import SchemaRegistry
+    from cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    doc_json = F.to_json(
+        F.struct(
+            op.alias("op"),
+            F.lit("public").alias("schema"),
+            F.lit("user_state").alias("table"),
+            F.col("event_id").alias("lsn"),
+            F.lit(0).alias("tx_id"),
+            F.when(
+                op != "d",
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("user_id"), F.lit("event_type"), F.lit("value")
+                    ),
+                    F.array(
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                        F.round("value", 4).cast("string"),
+                    ),
+                ),
+            ).alias("after"),
+            F.when(
+                op == "d",
+                F.map_from_arrays(
+                    F.array(F.lit("user_id")),
+                    F.array(F.col("user_id").cast("string")),
+                ),
+            ).alias("key"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="st16_src_")
+    (
+        events.select(F.col("user_id"), doc_json.alias("__doc"))
+        .repartition(4, F.col("user_id"))
+        .select(F.col("__doc").alias("value"))
+        .write.mode("overwrite")
+        .text(src_dir)
+    )
+    reg = SchemaRegistry()
+    reg.announce(
+        "public",
+        "user_state",
+        [
+            ("user_id", "bigint", True),
+            ("event_type", "text"),
+            ("value", "double precision"),
+        ],
+    )
+    cdf_dir = tempfile.mkdtemp(prefix="st16_cdf_")
+    pipe = CdcStreamPipeline(
+        spark,
+        reg,
+        "public",
+        "user_state",
+        keys=["user_id"],
+        payload=["event_type", "value"],
+        state_path=tempfile.mkdtemp(prefix="st16_state_"),
+        dialect="pgoutput_json",
+        n_buckets=16,
+        cdf_path=cdf_dir,
+    )
+    q = pipe.start(
+        src_dir,
+        tempfile.mkdtemp(prefix="st16_ckpt_"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    # the INDEPENDENT consumer: a real streaming job over the feed
+    feed_schema = (
+        "op string, user_id bigint, event_type string, value double, "
+        "old_event_type string, old_value double, version int"
+    )
+    feed = spark.readStream.schema(feed_schema).parquet(cdf_dir)
+    contrib = feed.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("op").isin("c", "u"),
+                        F.struct(
+                            F.col("event_type").alias("t"),
+                            F.lit(1).alias("dn"),
+                            F.col("value").alias("dv"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("op").isin("d", "u"),
+                        F.struct(
+                            F.col("old_event_type").alias("t"),
+                            F.lit(-1).alias("dn"),
+                            (-F.col("old_value")).alias("dv"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("c")
+    ).select("c.t", "c.dn", "c.dv")
+    agg = contrib.groupBy(F.col("t").alias("event_type")).agg(
+        F.sum("dn").alias("n"),
+        F.sum(F.col("dv").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.where(F.col("n") != 0)

@@ -184,14 +184,22 @@ class CdcStreamPipeline:
         if v_new is None or v_new == v_prev:
             return  # empty / replayed batch: nothing committed
         if v_prev is None:
-            # first version: the whole snapshot is a create feed
-            feed = self.state.read(version=v_new).withColumn(
-                "op", F.lit("c")
+            # first version: the whole snapshot is a create feed (old
+            # images all null — nothing preceded it)
+            snap = self.state.read(version=v_new)
+            feed = snap.select(
+                F.lit("c").alias("op"),
+                *self.keys,
+                *self.payload,
+                *[
+                    F.lit(None)
+                    .cast(snap.schema[c].dataType)
+                    .alias(f"old_{c}")
+                    for c in self.payload
+                ],
             )
-            cols = ["op", *self.keys, *self.payload]
-            feed = feed.select(*cols)
         else:
-            feed = self.state.version_diff(v_prev, v_new)
+            feed = self.state.version_diff(v_prev, v_new, include_old=True)
         feed.withColumn("version", F.lit(v_new)).write.mode(
             "append"
         ).parquet(self.cdf_path)

@@ -174,11 +174,19 @@ class BucketedStateTable:
                 break
         return self.read(version=best) if best is not None else None
 
-    def version_diff(self, v_old: int, v_new: int) -> DataFrame | None:
+    def version_diff(
+        self, v_old: int, v_new: int, *, include_old: bool = False
+    ) -> DataFrame | None:
         """Reconstruct the change feed between two committed versions
         (the Delta-CDF shape without Delta): one row per key whose
         image differs, tagged ``op`` 'c' (created), 'u' (updated) or
         'd' (deleted), carrying the v_new image (null values on 'd').
+
+        ``include_old=True`` additionally emits each value column's
+        v_old image as ``old_<col>`` (Delta CDF's preimage/postimage
+        pair) — what a downstream consumer needs to maintain an
+        aggregate from the feed alone: delta = f(new) - f(old), no
+        read of the base state.
 
         Manifests double as the change index: a bucket whose directory
         mapping is identical in both manifests was *inherited* through
@@ -227,8 +235,13 @@ class BucketedStateTable:
             .when(F.col("__in_new").isNull(), F.lit("d"))
             .when(differs, F.lit("u"))
         )
+        old_cols = (
+            [F.col(f"__old_{c}").alias(f"old_{c}") for c in vcols]
+            if include_old
+            else []
+        )
         return (
-            j.select(op.alias("op"), *self.keys, *vcols)
+            j.select(op.alias("op"), *self.keys, *vcols, *old_cols)
             .where(F.col("op").isNotNull())
         )
 
