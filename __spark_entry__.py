@@ -64,6 +64,7 @@ _NEVER_GATED = frozenset(
         "cdc21_wal2json_v2",
         "cdc22_bidirectional_origin_filter",
         "st16_cdf_consumer_agg",
+        "st17_stream_schema_evolution",
     }
 )
 

@@ -1318,3 +1318,119 @@ def st16_cdf_consumer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.where(F.col("n") != 0)
+
+
+@register(
+    "st17_stream_schema_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Johny', 'Kowalski', '555-0199'),
+        (2, 'Jane', 'Doe', NULL),
+        (3, 'Joe', 'Fresh', '555-0100')
+    ) AS t(id, firstname, lastname, phone_number)
+    """,
+    note="the reference's migration-002 story (ALTER TABLE ADD COLUMN "
+    "on a live table, 002_user_field.up.sql) under REAL streaming: "
+    "batch 2's wal2json docs carry a fourth column, the registry "
+    "LEARNS the widened relation in-band from the batch's observed "
+    "column announcements (no pre-declared schema), and the bucketed "
+    "state widens mid-stream — inherited pre-migration buckets "
+    "null-backfill on read, post-migration rows carry the new "
+    "column. Gated against literals",
+    tags=("streaming", "cdc", "schema"),
+)
+def st17_stream_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    from cdc_spark.cdc.envelope import parse_wal2json
+    from cdc_spark.cdc.registry import SchemaRegistry
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    def doc(names, values, keys=None, kind="insert"):
+        c = {
+            "kind": kind,
+            "schema": "public",
+            "table": "users",
+            "columnnames": names,
+            "columntypes": ["integer"] + ["text"] * (len(names) - 1),
+            "columnvalues": values,
+        }
+        if keys is not None:
+            c["oldkeys"] = {
+                "keynames": ["id"],
+                "keytypes": ["integer"],
+                "keyvalues": keys,
+            }
+        return _json.dumps({"change": [c]})
+
+    v1 = ["id", "firstname", "lastname"]
+    v2 = v1 + ["phone_number"]
+    batches = [
+        [doc(v1, [1, "Johny", "Rambo"]), doc(v1, [2, "Jane", "Doe"])],
+        [  # post-migration: the relation announcement rides in-band
+            doc(v2, [1, "Johny", "Kowalski", "555-0199"], keys=[1],
+                kind="update"),
+            doc(v2, [3, "Joe", "Fresh", "555-0100"]),
+        ],
+    ]
+    src_dir = tempfile.mkdtemp(prefix="st17_src_")
+    ordn = 0
+    for i, lines in enumerate(batches):
+        path = os.path.join(src_dir, f"b{i}.txt")
+        with open(path, "w") as fh:
+            for line in lines:
+                fh.write(f"{ordn}|{line}\n")
+                ordn += 1
+        os.utime(path, (1_700_000_000 + 60 * i,) * 2)
+
+    reg = SchemaRegistry()
+    state = BucketedStateTable(
+        spark, tempfile.mkdtemp(prefix="st17_state_"), ["id"], n_buckets=8
+    )
+    meta_cols = {"op", "lsn", "tx_id", "commit_ts", "id"}
+
+    def apply_batch(batch_df, epoch_id):
+        raw = batch_df.select(
+            F.split("value", "\\|", 2)[0].cast("long").alias("ord"),
+            F.split("value", "\\|", 2)[1].alias("value"),
+        )
+        if raw.isEmpty():
+            return
+        parsed = raw.transform(
+            lambda df: parse_wal2json(df, lsn_col="ord")
+        )
+        # in-band relation learning: each distinct observed column set
+        # (bounded — one per schema version in the batch) upserts the
+        # registry, exactly the reference's catalog swap on a Relation
+        # message (main.go:425-427)
+        seen = (
+            parsed.where(F.col("col_types").isNotNull())
+            .select(F.to_json("col_types").alias("j"))
+            .distinct()
+            .collect()
+        )
+        for r in sorted(rr["j"] for rr in seen):
+            cols = _json.loads(r)  # insertion-ordered
+            reg.announce(
+                "public",
+                "users",
+                [(n, t, n == "id") for n, t in cols.items()],
+            )
+        typed = reg.materialize(parsed, "public", "users")
+        payload = [c for c in typed.columns if c not in meta_cols]
+        state.apply(typed, payload, batch_id=epoch_id)
+
+    q = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st17_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return state.read()

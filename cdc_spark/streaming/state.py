@@ -359,6 +359,21 @@ class BucketedStateTable:
 
         if len(touched) < self.n_buckets:
             ch = ch.where(F.col(_BUCKET).isin([int(b) for b in touched]))
+        # mid-stream schema evolution (the reference's migration-002
+        # story, 002_user_field.up.sql): a batch may carry payload
+        # columns the stored schema predates — widen the base with
+        # nulls so the merge sees both sides full-width; the committed
+        # manifest then records the widened schema, and inherited
+        # old buckets null-backfill on read (_read_dirs). Column DROP
+        # is deliberately not folded in (an analytics sink keeps the
+        # history; dropped columns just stop receiving values).
+        if base is not None:
+            ch_types = {f.name: f.dataType for f in ch.schema.fields}
+            for c in payload:
+                if c not in base.columns and c in ch_types:
+                    base = base.withColumn(
+                        c, F.lit(None).cast(ch_types[c])
+                    )
         new_state = apply_changes(
             base,
             ch.drop(_BUCKET),

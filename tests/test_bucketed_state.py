@@ -551,3 +551,23 @@ def test_version_diff_multi_version_span(spark, table):
     diff = table.version_diff(1, v3)
     got = {r.id: r.op for r in diff.collect()}
     assert got == {5: "u", 17: "d"}
+
+
+def test_apply_widens_schema_mid_stream(spark, table):
+    # batch 1: 3-column rows fill several buckets
+    table.apply(
+        _changes(spark, [(i, f"n{i}", i, "c", i) for i in range(1, 17)]),
+        ["name", "qty"],
+    )
+    # batch 2 carries a NEW payload column (migration-002 shape)
+    wide = spark.createDataFrame(
+        [(1, "upd", 99, "p1", "u", 100), (40, "new", 1, "p40", "c", 101)],
+        "id long, name string, qty long, phone string, op string, lsn long",
+    )
+    table.apply(wide, ["name", "qty", "phone"])
+    got = {r.id: (r.name, r.qty, r.phone) for r in table.read().collect()}
+    assert got[1] == ("upd", 99, "p1")
+    assert got[40] == ("new", 1, "p40")
+    # rows living in INHERITED (never-rewritten) buckets null-backfill
+    untouched = [i for i in got if i not in (1, 40)]
+    assert untouched and all(got[i][2] is None for i in untouched)
