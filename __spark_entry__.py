@@ -65,6 +65,7 @@ _NEVER_GATED = frozenset(
         "cdc22_bidirectional_origin_filter",
         "st16_cdf_consumer_agg",
         "st17_stream_schema_evolution",
+        "dp05_curriculum_order",
     }
 )
 

@@ -145,3 +145,56 @@ def dp04_length_bucket_batching(
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dp05_curriculum_order",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               ROUND(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                     * (len(list_distinct(string_split(text, ' '))) * 1.0
+                        / len(string_split(text, ' ')))
+                     * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        * 1.0 / length(text)), 4) AS q
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, q,
+               CAST(least(floor(q * 10), 9) AS BIGINT) AS band,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM scored
+    )
+    SELECT doc_id, band,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY band DESC, shuffle_key, doc_id
+           ) AS BIGINT) AS position
+    FROM banded
+    """,
+    note="curriculum data ordering: docs banded by quality decile, "
+    "highest band first, deterministically shuffled WITHIN each band "
+    "by an md5 key (seeded-shuffle reproducibility across engines "
+    "and runs — tx15's trick applied to curriculum learning). The "
+    "global position is a total order any trainer can replay; at "
+    "scale the same (band DESC, md5, id) sort key drives a "
+    "repartitionByRange write so shard files are curriculum-ordered",
+    tags=("packing", "curriculum", "ordering"),
+)
+def dp05_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_score("text"), 4)
+    banded = docs.select(
+        "doc_id",
+        F.least(F.floor(q * 10), F.lit(9)).cast("long").alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = Window.orderBy(
+        F.desc("band"), F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    return banded.select(
+        "doc_id", "band", F.row_number().over(w).cast("long").alias("position")
+    )
