@@ -66,6 +66,7 @@ _NEVER_GATED = frozenset(
         "st16_cdf_consumer_agg",
         "st17_stream_schema_evolution",
         "dp05_curriculum_order",
+        "q74_series_similarity",
     }
 )
 

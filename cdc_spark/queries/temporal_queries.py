@@ -433,3 +433,89 @@ def q72_time_decayed_engagement(
             ).alias("decayed_score"),
         )
     )
+
+
+@register(
+    "q74_series_similarity",
+    oracle="""
+    WITH grid AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+                   AS v
+        FROM events GROUP BY 1, 2
+    ),
+    probe AS (SELECT bucket, v AS x FROM grid WHERE user_id = 5),
+    paired AS (
+        SELECT g.user_id, p.x, g.v AS y
+        FROM grid g JOIN probe p ON g.bucket = p.bucket
+        WHERE g.user_id <> 5
+    ),
+    stats AS (
+        SELECT user_id,
+               COUNT(*) * 1.0 AS n,
+               CAST(SUM(CAST(ROUND(x, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                   AS sx2,
+               CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                   AS sy2
+        FROM paired GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_shared,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+                 4) AS corr
+    FROM stats
+    WHERE n >= 5 AND (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+    ORDER BY corr DESC, user_id
+    LIMIT 10
+    """,
+    note="time-series similarity search (the EDBT 2019 streaming "
+    "series-similarity shape, PAPERS.md): per-user hourly activity "
+    "series on a common grid, Pearson correlation of every user "
+    "against a probe user computed from five decimal-summed moments "
+    "over the ALIGNED buckets only (inner join on the hour — the "
+    "sparse-series intersection, never a dense matrix), top-10 by "
+    "rounded correlation with id tiebreak; degenerate "
+    "(zero-variance) and short overlaps filtered identically on "
+    "both engines",
+    tags=("timeseries", "similarity", "correlation"),
+)
+def q74_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    grid = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(dsum("value", scale=6), 4).alias("v"))
+    probe = grid.where(F.col("user_id") == 5).select(
+        "bucket", F.col("v").alias("x")
+    )
+    paired = (
+        grid.where(F.col("user_id") != 5)
+        .join(probe, "bucket")
+        .select("user_id", "x", F.col("v").alias("y"))
+    )
+    stats = paired.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.round(F.col("x"), 4), scale=4).alias("sx"),
+        dsum(F.round(F.col("y"), 4), scale=4).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("y"), 6), scale=6).alias("sxy"),
+        dsum(F.round(F.col("x") * F.col("x"), 6), scale=6).alias("sx2"),
+        dsum(F.round(F.col("y") * F.col("y"), 6), scale=6).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    vx, vy = n * sx2 - sx * sx, n * sy2 - sy * sy
+    return (
+        stats.where((n >= 5) & (vx > 0) & (vy > 0))
+        .select(
+            "user_id",
+            n.cast("long").alias("n_shared"),
+            F.round(
+                (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 4
+            ).alias("corr"),
+        )
+        .orderBy(F.desc("corr"), F.asc("user_id"))
+        .limit(10)
+    )
