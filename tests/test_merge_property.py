@@ -129,3 +129,55 @@ def test_sequential_batches_match_reference(spark, log1, log2):
     ref = _ref_apply(_ref_apply({}, log1), log2)
     got = _spark_apply(spark, _spark_apply(spark, None, log1), log2)
     assert got == ref
+
+
+@given(log1=change_log(min_size=1, max_size=8), log2=change_log(max_size=8))
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_version_diff_matches_snapshot_diff(spark, tmp_path_factory, log1, log2):
+    """version_diff(v1, v2) over random logs ≡ the dict diff of the
+    reference-replayed snapshots: same keys, same ops, same images —
+    the manifest-diff pruning must never hide a change or invent one."""
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    # truncate in batch 2 hits the all-buckets path; keep it in scope
+    t = BucketedStateTable(
+        spark, tempfile.mkdtemp(prefix="vdiff_prop_"), ["k"], n_buckets=4
+    )
+    df1 = spark.createDataFrame(
+        [(op, lsn, k, v1, v2) for op, lsn, k, v1, v2 in log1], SCHEMA
+    )
+    base_lsn = len(log1)
+    df2 = spark.createDataFrame(
+        [(op, lsn + base_lsn, k, v1, v2) for op, lsn, k, v1, v2 in log2],
+        SCHEMA,
+    )
+    v1n = t.apply(df1, PAYLOAD)
+    v2n = t.apply(df2, PAYLOAD)
+    if v1n is None or v2n is None or v1n == v2n:
+        return  # one of the batches was empty: no diff to check
+
+    s1 = _ref_apply({}, list(log1))
+    s2 = _ref_apply(
+        s1, [(op, lsn + base_lsn, k, v1, v2) for op, lsn, k, v1, v2 in log2]
+    )
+    want = {}
+    for k in set(s1) | set(s2):
+        if k not in s1:
+            want[k] = ("c", s2[k]["v1"], s2[k]["v2"])
+        elif k not in s2:
+            want[k] = ("d", None, None)
+        elif s1[k] != s2[k]:
+            want[k] = ("u", s2[k]["v1"], s2[k]["v2"])
+
+    got = {
+        r.k: (r.op, r.v1, r.v2)
+        for r in t.version_diff(v1n, v2n).collect()
+    }
+    assert got == want
