@@ -67,6 +67,7 @@ _NEVER_GATED = frozenset(
         "st17_stream_schema_evolution",
         "dp05_curriculum_order",
         "q74_series_similarity",
+        "q75_funnel_conversion",
     }
 )
 

@@ -51,6 +51,8 @@ HEADLINE = [
     "dd12_semantic_dedup",       # SemDeDup: LSH buckets -> cosine -> clusters
     "tx20_link_pagerank",        # 3-round power iteration + checkpoints
     "cdc19_version_diff_feed",   # manifest-diff change-feed reconstruction
+    "dd13_incremental_dedup",    # bucket-pruned continuous corpus dedup
+    "q74_series_similarity",     # aligned-bucket Pearson correlation top-k
 ]
 
 

@@ -519,3 +519,70 @@ def q74_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "q75_funnel_conversion",
+    oracle="""
+    WITH stage1 AS (
+        SELECT user_id, MIN(event_id) AS e1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    stage2 AS (
+        SELECT e.user_id, MIN(e.event_id) AS e2
+        FROM events e JOIN stage1 s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.event_id > s.e1
+        GROUP BY e.user_id
+    ),
+    stage3 AS (
+        SELECT e.user_id, MIN(e.event_id) AS e3
+        FROM events e JOIN stage2 s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.event_id > s.e2
+        GROUP BY e.user_id
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM stage1) AS BIGINT) AS n_signup,
+        CAST((SELECT COUNT(*) FROM stage2) AS BIGINT) AS n_clicked_after,
+        CAST((SELECT COUNT(*) FROM stage3) AS BIGINT) AS n_purchased_after,
+        ROUND((SELECT COUNT(*) FROM stage3) * 1.0
+              / (SELECT COUNT(*) FROM stage1), 4) AS conversion
+    """,
+    note="ordered funnel analysis (signup -> later click -> later "
+    "purchase): each stage is one conditional MIN aggregate chained "
+    "through an equi-join on the previous stage's anchor event — the "
+    "strictly-ordered sequence match, no window sort over the full "
+    "event stream and no self-join explosion (each stage's frame "
+    "shrinks monotonically). Event-id total order makes the stage "
+    "anchors engine-exact",
+    tags=("funnel", "sequence", "analytics"),
+)
+def q75_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(prior, etype):
+        e = events.where(F.col("event_type") == etype)
+        if prior is None:
+            return e.groupBy("user_id").agg(
+                F.min("event_id").alias("anchor")
+            )
+        return (
+            e.join(
+                prior.select("user_id", F.col("anchor").alias("__prev")),
+                "user_id",
+            )
+            .where(F.col("event_id") > F.col("__prev"))
+            .groupBy("user_id")
+            .agg(F.min("event_id").alias("anchor"))
+        )
+
+    s1 = stage(None, "signup").localCheckpoint(eager=True)
+    s2 = stage(s1, "click").localCheckpoint(eager=True)
+    s3 = stage(s2, "purchase")
+    n1 = s1.count()
+    n2 = s2.count()
+    n3 = s3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3, round(n3 / n1, 4) if n1 else None)],
+        "n_signup long, n_clicked_after long, n_purchased_after long, "
+        "conversion double",
+    )
