@@ -68,6 +68,7 @@ _NEVER_GATED = frozenset(
         "dp05_curriculum_order",
         "q74_series_similarity",
         "q75_funnel_conversion",
+        "mm05_interleaved_packing",
     }
 )
 

@@ -249,3 +249,88 @@ def mm04_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binary = attach_binary(docs, "text", "doc_id", modality="audio")
     return frame_energy(binary, window=64)
+
+
+@register(
+    "mm05_interleaved_packing",
+    oracle="""
+    WITH text_items AS (
+        SELECT doc_id AS item_id, 'text' AS modality,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    image_items AS (
+        -- every 4th doc carries an image: fixed 64 patch tokens
+        SELECT doc_id + 500000 AS item_id, 'image' AS modality,
+               64 AS n_tokens
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    items AS (
+        SELECT *, md5(CAST(item_id AS VARCHAR)) AS ord_key
+        FROM (SELECT * FROM text_items UNION ALL SELECT * FROM image_items)
+    ),
+    placed AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   ORDER BY ord_key, item_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS start_off
+        FROM items
+    )
+    SELECT CAST(start_off // 512 AS BIGINT) AS window_id,
+           CAST(COUNT(*) FILTER (modality = 'text') AS BIGINT) AS n_text,
+           CAST(COUNT(*) FILTER (modality = 'image') AS BIGINT) AS n_image,
+           CAST(SUM(n_tokens) FILTER (modality = 'text') AS BIGINT)
+               AS text_tokens,
+           CAST(COALESCE(SUM(n_tokens) FILTER (modality = 'image'), 0)
+               AS BIGINT) AS image_tokens
+    FROM placed GROUP BY 1
+    """,
+    note="multimodal interleaved sequence packing (the VLM "
+    "training-data shape): text items carry their token counts, "
+    "image items a fixed 64-patch-token budget; a deterministic "
+    "md5-keyed order interleaves modalities, one window cumsum "
+    "assigns each item's start offset, and items bin into 512-token "
+    "context windows by start (boundary spans allowed, dp03's "
+    "convention). Per-window modality accounting is exact integers. "
+    "Same single-pass cumsum caveat as dp03: at scale the order key "
+    "range-partitions and the cumsum becomes a two-pass prefix sum",
+    tags=("multimodal", "packing", "interleave"),
+)
+def mm05_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("text").alias("modality"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    image_items = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 500000).alias("item_id"),
+        F.lit("image").alias("modality"),
+        F.lit(64).cast("long").alias("n_tokens"),
+    )
+    items = text_items.unionByName(image_items).withColumn(
+        "ord_key", F.md5(F.col("item_id").cast("string"))
+    )
+    w = (
+        Window.orderBy("ord_key", "item_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = items.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    t, i = F.col("modality") == "text", F.col("modality") == "image"
+    return placed.groupBy(
+        F.floor(F.col("start_off") / 512).cast("long").alias("window_id")
+    ).agg(
+        F.count(F.when(t, 1)).cast("long").alias("n_text"),
+        F.count(F.when(i, 1)).cast("long").alias("n_image"),
+        F.sum(F.when(t, F.col("n_tokens"))).cast("long").alias("text_tokens"),
+        F.coalesce(F.sum(F.when(i, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("image_tokens"),
+    )
