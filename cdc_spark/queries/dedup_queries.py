@@ -822,7 +822,11 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_spark.streaming.state import BucketedStateTable
 
     docs = load_table(spark, sf_dir, "documents")
-    n_buckets = 256
+    # 64 buckets: plenty to prove pruning (the probe batch hashes into
+    # ≤ its own row count of buckets) without paying 100s of tiny
+    # bucket-directory writes at test scale; production sizes this to
+    # tens-of-GB buckets exactly like the CDC row state
+    n_buckets = 64
     state = BucketedStateTable(
         spark,
         tempfile.mkdtemp(prefix="dd13_state_"),
