@@ -69,6 +69,7 @@ _NEVER_GATED = frozenset(
         "q74_series_similarity",
         "q75_funnel_conversion",
         "mm05_interleaved_packing",
+        "ss12_ann_recall_eval",
     }
 )
 

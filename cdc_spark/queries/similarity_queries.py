@@ -711,3 +711,99 @@ def ss11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"only-aug={sorted(got - want)} only-ip={sorted(want - got)}"
         )
     return mips.select("q_id", "vec_id", F.col("sim").alias("ip"))
+
+
+def _recall_eval_oracle(
+    probes=(0, 7, 13, 21),
+    *,
+    dim: int = _EMB_DIM,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 11,
+    k: int = 10,
+) -> str:
+    """Per-probe recall@k of the LSH ANN path vs exact — both rankings
+    re-derived in SQL (plane literals embedded), so the QUALITY METRIC
+    itself is hash-checked, not just asserted in tests."""
+
+    def bucket_expr(t: int, col: str) -> str:
+        terms = []
+        for i, plane in enumerate(
+            hyperplanes(dim, n_planes, seed + 1000 * t)
+        ):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr})"
+                f" >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    parts = []
+    for p in probes:
+        any_table = "\n               OR ".join(
+            f"{bucket_expr(t, 'e.embedding')} = {bucket_expr(t, 'q.qe')}"
+            for t in range(n_tables)
+        )
+        parts.append(f"""
+        SELECT {p} AS q_id, COUNT(*) AS n_hits FROM (
+            SELECT e.vec_id FROM embeddings e,
+                 (SELECT embedding AS qe FROM embeddings
+                  WHERE vec_id = {p}) q
+            ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.qe::DOUBLE[]), 4)
+                     DESC, e.vec_id
+            LIMIT {k}
+        ) ex
+        WHERE ex.vec_id IN (
+            SELECT vec_id FROM (
+                SELECT e.vec_id FROM embeddings e,
+                     (SELECT embedding AS qe FROM embeddings
+                      WHERE vec_id = {p}) q
+                WHERE {any_table}
+                ORDER BY ROUND(list_cosine_similarity(
+                             e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4)
+                         DESC, e.vec_id
+                LIMIT {k}
+            )
+        )""")
+    union = "\n        UNION ALL\n        ".join(parts)
+    return f"""
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(n_hits / {k}.0, 4) AS recall
+    FROM (
+        {union}
+    )
+    """
+
+
+@register(
+    "ss12_ann_recall_eval",
+    oracle=_recall_eval_oracle(),
+    note="ANN quality evaluation as a first-class gated operator: "
+    "recall@10 of the hyperplane-LSH path against the exact ranking "
+    "for 4 probes — BOTH rankings (and therefore the metric) "
+    "re-derived bit-for-bit by the oracle from the embedded plane "
+    "literals. The evaluation harness every vector store needs, "
+    "runnable as a query over any corpus slice; deterministic "
+    "tiebreaks make recall itself engine-exact",
+    tags=("similarity", "ann", "evaluation"),
+)
+def ss12_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    probes = [0, 7, 13, 21]
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = []
+    for p in probes:
+        q = _query_vector(spark, sf_dir, p)
+        exact = cosine_topk(emb, "embedding", "vec_id", q, 10).select(
+            "vec_id"
+        )
+        approx = ann_lsh_topk(emb, "embedding", "vec_id", q, k=10).select(
+            "vec_id"
+        )
+        hits = exact.join(approx, "vec_id", "semi").count()
+        out.append((p, hits, round(hits / 10.0, 4)))
+    return spark.createDataFrame(
+        out, "q_id int, n_hits long, recall double"
+    )
