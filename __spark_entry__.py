@@ -70,6 +70,7 @@ _NEVER_GATED = frozenset(
         "q75_funnel_conversion",
         "mm05_interleaved_packing",
         "ss12_ann_recall_eval",
+        "q76_cohort_retention",
     }
 )
 

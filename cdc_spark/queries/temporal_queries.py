@@ -586,3 +586,75 @@ def q75_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_signup long, n_clicked_after long, n_purchased_after long, "
         "conversion double",
     )
+
+
+@register(
+    "q76_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(floor((epoch_us(date_trunc('week', e.ts))
+                           - epoch_us(c.cohort_week))
+                          / 604800000000.0) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           COUNT(*) AS n_active,
+           CAST(MAX(s.cohort_size) AS BIGINT) AS cohort_size,
+           ROUND(COUNT(*) * 1.0 / MAX(s.cohort_size), 4) AS retention
+    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset
+    """,
+    note="cohort retention matrix: users cohorted by first-activity "
+    "week, each (cohort, week-offset) cell counts distinct users "
+    "still active — two hash aggregates and one distinct projection, "
+    "no per-user window sort; offsets from epoch arithmetic on "
+    "week-truncated timestamps (timezone-invariant integers), so "
+    "the matrix is engine-exact",
+    tags=("cohort", "retention", "analytics"),
+)
+def q76_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp(F.col("cohort_week"))
+                )
+                / 604800.0
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.max("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.count("*") / F.max("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
