@@ -71,6 +71,7 @@ _NEVER_GATED = frozenset(
         "mm05_interleaved_packing",
         "ss12_ann_recall_eval",
         "q76_cohort_retention",
+        "q77_association_rules",
     }
 )
 

@@ -658,3 +658,85 @@ def q76_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "q77_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) * 1.0 AS n_users FROM events),
+    singles AS (
+        SELECT event_type, COUNT(*) AS c FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               COUNT(*) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons,
+           CAST(p.c_ab AS BIGINT) AS n_both,
+           ROUND(p.c_ab / n_users, 4) AS support,
+           ROUND(p.c_ab * 1.0 / sa.c, 4) AS confidence,
+           ROUND(p.c_ab * n_users / (sa.c * 1.0 * sc.c), 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON p.ante = sa.event_type
+    JOIN singles sc ON p.cons = sc.event_type
+    CROSS JOIN n
+    WHERE p.c_ab / n_users >= 0.05
+    """,
+    note="association-rule mining over per-user event baskets "
+    "(support / confidence / lift, the market-basket shape): baskets "
+    "are one distinct projection, itemset-2 counts one self-equi-join "
+    "on the basket key ordered a<b (each pair counted once, never "
+    "all-pairs across baskets), singleton counts and the user total "
+    "join back as tiny aggregates. All ratios rounded identically on "
+    "both engines; 5% minimum support",
+    tags=("association", "basket", "analytics"),
+)
+def q77_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    baskets = events.select("user_id", "event_type").distinct()
+    n_agg = events.agg(
+        F.countDistinct("user_id").cast("double").alias("__n")
+    )
+    singles = baskets.groupBy("event_type").agg(F.count("*").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("ante"), F.col("c").alias("c_a")
+    )
+    sc = singles.select(
+        F.col("event_type").alias("cons"), F.col("c").alias("c_c")
+    )
+    return (
+        pairs.join(sa, "ante")
+        .join(sc, "cons")
+        .join(F.broadcast(n_agg))
+        .where(F.col("c_ab") / F.col("__n") >= 0.05)
+        .select(
+            "ante",
+            "cons",
+            F.col("c_ab").cast("long").alias("n_both"),
+            F.round(F.col("c_ab") / F.col("__n"), 4).alias("support"),
+            F.round(F.col("c_ab") / F.col("c_a"), 4).alias("confidence"),
+            F.round(
+                F.col("c_ab") * F.col("__n") / (F.col("c_a") * F.col("c_c")),
+                4,
+            ).alias("lift"),
+        )
+    )
