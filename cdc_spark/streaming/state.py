@@ -218,9 +218,21 @@ class BucketedStateTable:
             for f in new.schema.fields
             if f.name not in self.keys and f.name != _BUCKET
         ]
+        # schema evolution between the two versions: a column added
+        # after v_old is absent from the old read — its old image is
+        # null by definition (the widening rule apply() uses)
+        new_types = {f.name: f.dataType for f in new.schema.fields}
+        old_img = {
+            c: (
+                F.col(c)
+                if c in old.columns
+                else F.lit(None).cast(new_types[c])
+            )
+            for c in vcols
+        }
         o = old.select(
             *self.keys,
-            *[F.col(c).alias(f"__old_{c}") for c in vcols],
+            *[old_img[c].alias(f"__old_{c}") for c in vcols],
             F.lit(True).alias("__in_old"),
         )
         n = new.select(

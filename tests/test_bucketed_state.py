@@ -571,3 +571,24 @@ def test_apply_widens_schema_mid_stream(spark, table):
     # rows living in INHERITED (never-rewritten) buckets null-backfill
     untouched = [i for i in got if i not in (1, 40)]
     assert untouched and all(got[i][2] is None for i in untouched)
+
+
+def test_version_diff_across_schema_evolution(spark, table):
+    table.apply(
+        _changes(spark, [(1, "a", 1, "c", 1), (2, "b", 2, "c", 2)]),
+        ["name", "qty"],
+    )
+    wide = spark.createDataFrame(
+        [(1, "a", 1, "p1", "u", 10), (3, "c", 3, "p3", "c", 11)],
+        "id long, name string, qty long, phone string, op string, lsn long",
+    )
+    v2 = table.apply(wide, ["name", "qty", "phone"])
+    got = {
+        r.id: (r.op, r.phone, r.old_phone)
+        for r in table.version_diff(1, v2, include_old=True).collect()
+    }
+    # key 1: only the NEW column changed (null -> p1) — still a 'u';
+    # its old image for the post-evolution column is null by rule
+    assert got[1] == ("u", "p1", None)
+    assert got[3] == ("c", "p3", None)
+    assert 2 not in got  # untouched key in an inherited bucket
