@@ -72,6 +72,7 @@ _NEVER_GATED = frozenset(
         "ss12_ann_recall_eval",
         "q76_cohort_retention",
         "q77_association_rules",
+        "tx23_intradoc_dedup",
     }
 )
 

@@ -1077,3 +1077,65 @@ def tx22_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_flagged"),
         F.max("n_hits").cast("long").alias("max_hits"),
     )
+
+
+@register(
+    "tx23_intradoc_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, wi,
+               array_to_string(l[wi * 8 + 1 : wi * 8 + 8], ' ') AS span
+        FROM toks,
+             LATERAL unnest(generate_series(
+                 0, greatest((len(l) + 7) // 8 - 1, 0))) t(wi)
+        WHERE len(l) > 0
+    ),
+    marked AS (
+        SELECT doc_id, wi, span,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, span ORDER BY wi
+               ) AS occ
+        FROM spans
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(COUNT(*) FILTER (occ = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (occ > 1) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY doc_id
+    """,
+    note="intra-document repetition removal (the dolma-style cleaning "
+    "stage): each doc splits into contiguous 8-token spans, repeated "
+    "spans WITHIN a doc keep only their first occurrence (row_number "
+    "per (doc, span) ordered by position — deterministic). Per-doc "
+    "kept/dropped accounting; the span partition key means the "
+    "window state is bounded by one document, never corpus-wide",
+    tags=("text", "dedup", "cleaning"),
+)
+def tx23_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__l")).where(
+        F.size("__l") > 0
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(int((size(__l) + 7) / 8)"
+                " - 1, 0)), wi -> struct(wi, array_join(slice(__l, "
+                "wi * 8 + 1, 8), ' ') AS span))"
+            )
+        ).alias("__s"),
+    ).select("doc_id", F.col("__s.wi").alias("wi"), F.col("__s.span").alias("span"))
+    w = Window.partitionBy("doc_id", "span").orderBy("wi")
+    marked = spans.withColumn("occ", F.row_number().over(w))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.count(F.when(F.col("occ") == 1, 1)).cast("long").alias("n_kept"),
+        F.count(F.when(F.col("occ") > 1, 1)).cast("long").alias("n_dropped"),
+    )
