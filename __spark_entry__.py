@@ -73,6 +73,7 @@ _NEVER_GATED = frozenset(
         "q76_cohort_retention",
         "q77_association_rules",
         "tx23_intradoc_dedup",
+        "ss13_knn_graph",
     }
 )
 

@@ -807,3 +807,83 @@ def ss12_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "q_id int, n_hits long, recall double"
     )
+
+
+def _knn_graph_oracle(
+    *, dim: int = _EMB_DIM, n_planes: int = 4, seed: int = 11, k: int = 3
+) -> str:
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for i, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr})"
+                f" >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {bucket_expr("embedding")} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT s.vec_id AS src, d.vec_id AS dst,
+               ROUND(list_cosine_similarity(s.embedding::DOUBLE[],
+                                            d.embedding::DOUBLE[]), 4)
+                   AS sim
+        FROM b s JOIN b d
+          ON s.bucket = d.bucket AND s.vec_id <> d.vec_id
+    )
+    SELECT src, dst, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY src ORDER BY sim DESC, dst
+        ) AS r FROM scored
+    ) WHERE r <= {k}
+    """
+
+
+@register(
+    "ss13_knn_graph",
+    oracle=_knn_graph_oracle(),
+    note="KNN-graph construction — the artifact graph-based ANN "
+    "(HNSW/NSG-style serving) and SemDeDup both start from: every "
+    "vector's top-3 neighbors computed WITHIN its cluster partition "
+    "(the seeded 4-plane signature; same n^2/k scope and the same "
+    "cross-cluster-miss tradeoff as dd12, documented). Per-source "
+    "ranking windows partition on the vector id, so no sort exceeds "
+    "one vector's candidate list; oracle re-derives the partition "
+    "and every edge bit-for-bit",
+    tags=("similarity", "knn", "graph"),
+)
+def ss13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.similarity import cosine, hyperplanes, lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(_EMB_DIM, 4, 11)
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    s, d = b.alias("s"), b.alias("d")
+    scored = s.join(
+        d,
+        (F.col("s.bucket") == F.col("d.bucket"))
+        & (F.col("s.vec_id") != F.col("d.vec_id")),
+    ).select(
+        F.col("s.vec_id").alias("src"),
+        F.col("d.vec_id").alias("dst"),
+        F.round(
+            cosine(F.col("s.embedding"), F.col("d.embedding")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 3)
+        .drop("__r")
+    )
