@@ -74,6 +74,7 @@ _NEVER_GATED = frozenset(
         "q77_association_rules",
         "tx23_intradoc_dedup",
         "ss13_knn_graph",
+        "q78_anomaly_zscore",
     }
 )
 

@@ -740,3 +740,88 @@ def q77_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q78_anomaly_zscore",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ROUND(value, 4) AS value FROM events
+    ),
+    stats AS (
+        SELECT user_id, event_id, value,
+               COUNT(*) OVER w AS n_prior,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(30,6)))
+                    OVER w AS DOUBLE) AS s2
+        FROM v
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    ),
+    scored AS (
+        SELECT user_id, event_id, value, n_prior,
+               ROUND((value - s1 / n_prior)
+                     / sqrt((s2 - s1 * s1 / n_prior) / (n_prior - 1)),
+                     3) AS z
+        FROM stats
+        WHERE n_prior >= 10
+          AND (s2 - s1 * s1 / n_prior) / (n_prior - 1) > 0
+    )
+    SELECT user_id, event_id, value, z
+    FROM scored WHERE abs(z) > 3
+    """,
+    note="expanding-window anomaly detection: each event scored "
+    "against the running mean/std of ITS OWN user's prior history "
+    "(rows-between-preceding frame — the leakage-free online "
+    "monitoring shape), |z| > 3 flags. Running moments are "
+    "decimal-summed over rounded values so the expanding sums are "
+    "bit-identical on both engines; z rounded before the threshold "
+    "so the flag set is engine-exact",
+    tags=("anomaly", "monitoring", "window"),
+)
+def q78_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "user_id", "event_id", F.round("value", 4).alias("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    split = 10**6
+    vd = F.col("value")
+    # expanding decimal sums via the split-long trick (base.dsum is an
+    # aggregate helper; windows need the same exactness inline)
+    s1 = (
+        F.sum(F.round(vd * 10**4).cast("long")).over(w).cast("decimal(38,0)")
+        / F.lit(10**4)
+    ).cast("double")
+    s2 = (
+        F.sum(F.round(vd * vd, 6).cast("decimal(30,6)")).over(w)
+    ).cast("double")
+    n = F.count("*").over(w)
+    stats = v.select(
+        "user_id",
+        "event_id",
+        "value",
+        n.alias("n_prior"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_prior")) / (
+        F.col("n_prior") - 1
+    )
+    z = F.round(
+        (F.col("value") - F.col("s1") / F.col("n_prior")) / F.sqrt(var), 3
+    )
+    return (
+        stats.where((F.col("n_prior") >= 10) & (var > 0))
+        .select("user_id", "event_id", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3)
+    )
