@@ -75,6 +75,7 @@ _NEVER_GATED = frozenset(
         "tx23_intradoc_dedup",
         "ss13_knn_graph",
         "q78_anomaly_zscore",
+        "st18_stream_file_sink",
     }
 )
 

@@ -1434,3 +1434,44 @@ def st17_stream_schema_evolution(
     )
     q.awaitTermination(300)
     return state.read()
+
+
+@register(
+    "st18_stream_file_sink",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+    note="REAL streaming FILE sink: the event stream appends parquet "
+    "through Spark's transactional file sink (_spark_metadata commit "
+    "log — readers see only files of committed batches, the "
+    "exactly-once contract for file-based downstream consumers, "
+    "unlike raw directory writes where a crashed task leaks partial "
+    "files). The sink directory is read back as a batch table and "
+    "aggregated; totals must equal the source exactly",
+    tags=("streaming", "sink", "files"),
+)
+def st18_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="st18_sink_")
+    q = (
+        stream.select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st18_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # the commit log must exist — it IS the exactly-once mechanism
+    if not os.path.isdir(os.path.join(out_dir, "_spark_metadata")):
+        raise AssertionError("file sink wrote no _spark_metadata commit log")
+    sunk = spark.read.parquet(out_dir)
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
