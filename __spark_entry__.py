@@ -76,6 +76,7 @@ _NEVER_GATED = frozenset(
         "ss13_knn_graph",
         "q78_anomaly_zscore",
         "st18_stream_file_sink",
+        "q79_session_paths",
     }
 )
 

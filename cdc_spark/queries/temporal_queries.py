@@ -825,3 +825,87 @@ def q78_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", z.alias("z"))
         .where(F.abs(F.col("z")) > 3)
     )
+
+
+@register(
+    "q79_session_paths",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) > 1800000000
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS session_no
+        FROM g
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:3],
+                   '>') AS path
+        FROM s GROUP BY user_id, session_no
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+    note="session path analysis: 30-minute-gap sessionization (the "
+    "q17 lag/cumsum fold), each session reduced to its first three "
+    "event types in (ts, event_id) order — sort_array over bounded "
+    "per-session structs, NOT a global sort — top-15 navigation "
+    "paths. Deterministic tiebreaks end to end",
+    tags=("session", "path", "analytics"),
+)
+def q79_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    new_s = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_s).over(wc).alias("session_no"),
+    )
+    paths = s.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(15)
+    )
