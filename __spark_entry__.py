@@ -77,6 +77,7 @@ _NEVER_GATED = frozenset(
         "q78_anomaly_zscore",
         "st18_stream_file_sink",
         "q79_session_paths",
+        "io13_incremental_file_discovery",
     }
 )
 

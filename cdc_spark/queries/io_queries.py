@@ -656,3 +656,63 @@ def io12_dynamic_partition_overwrite(
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "io13_incremental_file_discovery",
+    oracle="""
+    SELECT CASE WHEN user_id % 3 = 0 THEN 'wave1' ELSE 'wave2' END
+               AS wave,
+           COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM events
+    WHERE user_id % 3 <> 0
+    GROUP BY 1
+    """,
+    note="incremental batch ingestion by file-discovery cutoff "
+    "(modifiedAfter — the poor-man's Auto Loader): two write waves "
+    "land with distinct mtimes, the incremental read names the "
+    "cutoff between them and the scan PLANS ONLY wave-2's files "
+    "(listing-level pruning, no row filter involved). Gated by "
+    "reproducing wave membership from the data itself",
+    tags=("io", "incremental", "discovery"),
+)
+def io13_incremental_file_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events")
+    target = tempfile.mkdtemp(prefix="io13_tbl_")
+    w1 = os.path.join(target, "wave1")
+    w2 = os.path.join(target, "wave2")
+    events.where(F.col("user_id") % 3 == 0).select(
+        "event_id", "user_id"
+    ).write.parquet(w1)
+    events.where(F.col("user_id") % 3 != 0).select(
+        "event_id", "user_id"
+    ).write.parquet(w2)
+    # pin mtimes around an explicit cutoff (files-only; the reader
+    # checks data files, directories are irrelevant)
+    t1, cut, t2 = 1_700_000_000, 1_700_000_600, 1_700_001_200
+    for d, t in ((w1, t1), (w2, t2)):
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    cutoff = _time.strftime(
+        "%Y-%m-%dT%H:%M:%S", _time.gmtime(cut)
+    )
+    inc = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("modifiedAfter", cutoff)
+        .parquet(target)
+    )
+    return inc.select(
+        F.when(F.col("user_id") % 3 == 0, "wave1")
+        .otherwise("wave2")
+        .alias("wave"),
+        "event_id",
+    ).groupBy("wave").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").cast("long").alias("min_id"),
+    )
