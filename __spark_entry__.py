@@ -78,6 +78,8 @@ _NEVER_GATED = frozenset(
         "st18_stream_file_sink",
         "q79_session_paths",
         "io13_incremental_file_discovery",
+        "tx24_lexicon_sentiment",
+        "q80_observed_metrics",
     }
 )
 

@@ -1047,3 +1047,48 @@ def q71_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q80_observed_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(30,2)))
+                AS DOUBLE) AS total_price,
+           CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                AS BIGINT) AS n_returned
+    FROM lineitem WHERE l_quantity > 25
+    """,
+    note="the Observation API surface (df.observe): data-quality "
+    "metrics accumulate ON THE SIDE of a real pass over the data — "
+    "no second scan, no collect of the data itself; the query "
+    "RETURNS the observed metrics, gating the accumulator path "
+    "(exact decimal sum inside the observation, so the side-channel "
+    "is engine-exact too). At scale this is how row-count/invariant "
+    "checks ride along ETL writes for free",
+    tags=("observe", "metrics", "quality"),
+)
+def q80_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") > 25
+    )
+    obs = Observation("q80_stats")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round("l_extendedprice", 2).cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    # the observed pass must be a REAL action over the data
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["n_returned"])],
+        "n_rows long, total_price double, n_returned long",
+    )

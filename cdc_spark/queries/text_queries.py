@@ -1139,3 +1139,68 @@ def tx23_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("occ") == 1, 1)).cast("long").alias("n_kept"),
         F.count(F.when(F.col("occ") > 1, 1)).cast("long").alias("n_dropped"),
     )
+
+
+_POS_WORDS = ("fast", "big", "value")
+_NEG_WORDS = ("slow", "small", "dup")
+
+
+@register(
+    "tx24_lexicon_sentiment",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> list_contains(
+                       [{", ".join(repr(w) for w in _POS_WORDS)}], t)))
+                   AS n_pos,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> list_contains(
+                       [{", ".join(repr(w) for w in _NEG_WORDS)}], t)))
+                   AS n_neg,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS total_neg,
+           ROUND(CAST(SUM(CAST(ROUND((n_pos - n_neg) * 1.0 / n_tok, 6)
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_polarity
+    FROM scored GROUP BY source
+    """,
+    note="lexicon-based sentiment scoring at corpus scale (the "
+    "EDBT-2016 Spark-sentiment shape from PAPERS.md): per-doc "
+    "positive/negative token counts against a broadcast-literal "
+    "lexicon — pure codegen'd array expressions, token-boundary "
+    "matched — polarity = (pos-neg)/tokens, per-source aggregate "
+    "with rounded-then-decimal-summed means. The lexicon is a "
+    "stand-in over the synthetic vocabulary; production swaps in "
+    "SentiWordNet-style lists with the identical plan",
+    tags=("text", "sentiment", "analytics"),
+)
+def tx24_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.queries.base import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    pos = F.array(*[F.lit(w) for w in _POS_WORDS])
+    neg = F.array(*[F.lit(w) for w in _NEG_WORDS])
+    n_pos = F.size(F.filter(toks, lambda t: F.array_contains(pos, t)))
+    n_neg = F.size(F.filter(toks, lambda t: F.array_contains(neg, t)))
+    scored = docs.select(
+        "source",
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.size(toks).alias("n_tok"),
+    )
+    polarity = F.round(
+        (F.col("n_pos") - F.col("n_neg")) / F.col("n_tok"), 6
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pos").cast("long").alias("total_pos"),
+        F.sum("n_neg").cast("long").alias("total_neg"),
+        davg(polarity, scale=6, ndigits=4).alias("avg_polarity"),
+    )
