@@ -80,6 +80,7 @@ _NEVER_GATED = frozenset(
         "io13_incremental_file_discovery",
         "tx24_lexicon_sentiment",
         "q80_observed_metrics",
+        "q81_grouping_id",
     }
 )
 

@@ -1092,3 +1092,43 @@ def q80_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_price"], m["n_returned"])],
         "n_rows long, total_price double, n_returned long",
     )
+
+
+@register(
+    "q81_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS flag,
+           COALESCE(l_linestatus, '(all)') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    note="grouping_id over GROUPING SETS: the bitmask that "
+    "disambiguates 'NULL because aggregated away' from 'NULL in the "
+    "data' — subtotal and grand-total rows carry their grouping "
+    "level explicitly, so downstream consumers never misread a "
+    "rollup row. Identical COALESCE labeling on both engines",
+    tags=("agg", "grouping-sets", "grouping-id"),
+)
+def q81_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("status"),
+            "gid",
+            "n",
+        )
+    )
