@@ -81,6 +81,7 @@ _NEVER_GATED = frozenset(
         "tx24_lexicon_sentiment",
         "q80_observed_metrics",
         "q81_grouping_id",
+        "dd14_incremental_neardup",
     }
 )
 

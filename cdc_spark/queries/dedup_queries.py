@@ -890,3 +890,194 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("state_after", state.read().count()),
     ]
     return spark.createDataFrame(rows, "route string, n long")
+
+
+def _incremental_neardup_oracle(
+    *,
+    num_hashes: int = 32,
+    seed: int = 7,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of dd14: portable minhash signatures for corpus AND
+    probe batch, banded collision join, per-pair signature-component
+    match estimate — the whole incremental index probe recomputed."""
+    params = _minhash_params(num_hashes, seed)
+    p = _MERSENNE
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT side, doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"m{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    match = " + ".join(
+        f"(CASE WHEN ns.m{j} = cs.m{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH alld AS (
+        SELECT 'c' AS side, doc_id, text FROM documents
+        UNION ALL
+        SELECT 'n', doc_id + 1000000,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' zzzfresh' ELSE text END
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    toks AS (
+        SELECT side, doc_id, string_split(text, ' ') AS l FROM alld
+    ),
+    shm AS (
+        SELECT side, doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 2, 0)),
+                   i -> array_to_string(l[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    h AS (
+        SELECT side, doc_id,
+               {_PHASH60.format(s='s')} % {p} AS h FROM shm
+    ),
+    sig AS (
+        SELECT side, doc_id,
+               {mins}
+        FROM h GROUP BY side, doc_id
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM banded n JOIN banded c
+          ON n.band = c.band AND n.bucket = c.bucket
+        WHERE n.side = 'n' AND c.side = 'c'
+    )
+    SELECT cand.new_id, cand.corpus_id,
+           ROUND(({match}) / {num_hashes}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig ns ON ns.side = 'n' AND ns.doc_id = cand.new_id
+    JOIN sig cs ON cs.side = 'c' AND cs.doc_id = cand.corpus_id
+    WHERE ({match}) / {num_hashes}.0 >= {threshold}
+    """
+
+
+@register(
+    "dd14_incremental_neardup",
+    oracle=_incremental_neardup_oracle(),
+    note="CONTINUOUS near-dup dedup — dd13's exact twin generalized "
+    "to MinHash: the corpus's banded signature index persists as "
+    "parquet PARTITIONED by a band-bucket hash; an incoming batch "
+    "probes only the partitions its own band buckets fall into "
+    "(PartitionFilters prune at planning time — asserted a strict "
+    "subset), candidates estimate Jaccard from matching signature "
+    "components (no shingle re-join against the corpus AT ALL). "
+    "Oracle recomputes signatures, banding, collisions and the "
+    "estimate bit-for-bit via the portable md5 shingle hash",
+    tags=("dedup", "incremental", "minhash", "index"),
+)
+def dd14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    bands, rpb, nh = 8, 4, 32
+    n_parts = 64
+    docs = load_table(spark, sf_dir, "documents")
+
+    def banded(sigs, idc):
+        def band_key(b):
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rpb + 1, rpb),
+                    lambda x: x.cast("string"),
+                ),
+            )
+
+        return sigs.select(
+            F.col(idc),
+            "sig",
+            F.posexplode(
+                F.array(*[band_key(b) for b in range(bands)])
+            ).alias("band", "bucket"),
+        ).withColumn(
+            "__b",
+            F.pmod(
+                F.xxhash64(F.concat_ws("|", F.col("band"), F.col("bucket"))),
+                F.lit(n_parts),
+            ),
+        )
+
+    corpus_sigs = minhash_signature(
+        docs, "text", "doc_id", num_hashes=nh, portable=True
+    )
+    index_dir = tempfile.mkdtemp(prefix="dd14_index_")
+    banded(corpus_sigs, "doc_id").write.partitionBy("__b").mode(
+        "overwrite"
+    ).parquet(index_dir)
+
+    newb = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" zzzfresh"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    probe = banded(
+        minhash_signature(
+            newb, "text", "doc_id", num_hashes=nh, portable=True
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    wanted = sorted(
+        r[0] for r in probe.select("__b").distinct().collect()
+    )
+    if len(wanted) >= n_parts:
+        raise AssertionError(
+            "probe touched every index partition — pruning not exercised"
+        )
+    idx = spark.read.parquet(index_dir).where(
+        F.col("__b").isin([int(b) for b in wanted])
+    )
+    cand = (
+        probe.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("n.sig").alias("ns"),
+            F.col("c.sig").alias("cs"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("ns"),
+                F.col("cs"),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(nh))
+    )
+    return (
+        cand.select(
+            "new_id",
+            "corpus_id",
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+    )
