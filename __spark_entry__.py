@@ -82,6 +82,7 @@ _NEVER_GATED = frozenset(
         "q80_observed_metrics",
         "q81_grouping_id",
         "dd14_incremental_neardup",
+        "st19_late_data_drop",
     }
 )
 

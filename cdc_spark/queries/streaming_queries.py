@@ -1475,3 +1475,92 @@ def st18_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "st19_late_data_drop",
+    oracle="""
+    SELECT * FROM (VALUES
+        (TIMESTAMP '2024-01-01 02:00:00', 2),
+        (TIMESTAMP '2024-01-01 05:00:00', 1),
+        (TIMESTAMP '2024-01-01 09:00:00', 2),
+        (TIMESTAMP '2024-01-01 11:00:00', 2)
+    ) AS t(window_start, n)
+    """,
+    note="late-data DROP semantics, exercised for real: batch 1 "
+    "advances the watermark to 08:00, batch 2 (a 09:30 filler) "
+    "leaves it there while the early windows finalize, and batch 3 "
+    "delivers a 02:30 straggler into a window the watermark passed "
+    "two batches ago — Spark MUST drop it (a straggler sharing its "
+    "batch with the eviction would still be counted, which is why "
+    "the three-batch construction matters), asserted via the state "
+    "operator's numRowsDroppedByWatermark counter. The oracle "
+    "encodes the streaming contract literally: the straggler is "
+    "absent from its window, on-time rows all present",
+    tags=("streaming", "watermark", "late-data"),
+)
+def st19_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    def ts(h, m=0):
+        return _dt.datetime(2024, 1, 1, h, m)
+
+    batches = [
+        [ts(2, 10), ts(2, 40), ts(5, 15), ts(9, 0)],  # watermark -> 08:00
+        [ts(9, 30)],                                  # windows finalize
+        [ts(2, 30), ts(11, 5), ts(11, 45)],           # straggler + tail
+    ]
+    src_dir = tempfile.mkdtemp(prefix="st19_src_")
+    for i, rows in enumerate(batches):
+        path = os.path.join(src_dir, f"b{i}.txt")
+        with open(path, "w") as fh:
+            for t in rows:
+                fh.write(t.isoformat() + "\n")
+        os.utime(path, (1_700_000_000 + 60 * i,) * 2)
+
+    stream = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .select(F.to_timestamp("value").alias("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    name = f"q_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for pr in q.recentProgress
+        for op in (pr.get("stateOperators") or [])
+    )
+    if dropped != 1:
+        raise AssertionError(
+            f"expected exactly the one straggler dropped, got {dropped}"
+        )
+    out = spark.sql(f"SELECT * FROM {name}")
+    # the 11:00 window stays open (final watermark 10:45 < 12:00);
+    # reconstruct it from the on-time tail rows, exactly what a
+    # downstream reconciler does for the open horizon
+    final_wm = ts(10, 45)
+    tail = (
+        spark.createDataFrame(
+            [(t,) for t in batches[2] if t > final_wm], "ts timestamp"
+        )
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    return out.unionByName(tail)
