@@ -83,6 +83,7 @@ _NEVER_GATED = frozenset(
         "q81_grouping_id",
         "dd14_incremental_neardup",
         "st19_late_data_drop",
+        "pu05_cogrouped_asof",
     }
 )
 

@@ -159,3 +159,86 @@ def pu04_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed_stat("text").alias("packed_stat"),
         (F.length("text") % 97).cast("long").alias("shard"),
     )
+
+
+@register(
+    "pu05_cogrouped_asof",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS user_id, o_orderkey, o_totalprice
+        FROM orders WHERE o_custkey <= 120
+    ),
+    e AS (SELECT user_id, event_id, value FROM events),
+    matched AS (
+        SELECT o.user_id, o.o_orderkey, o.o_totalprice,
+               (SELECT MAX(e2.event_id) FROM e e2
+                WHERE e2.user_id = o.user_id
+                  AND e2.event_id <= o.o_orderkey) AS last_event_id
+        FROM o
+    )
+    SELECT user_id,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(last_event_id) AS BIGINT) AS n_matched,
+           CAST(MAX(last_event_id) AS BIGINT) AS max_event_id
+    FROM matched GROUP BY user_id
+    """,
+    note="cogrouped applyInPandas (the two-table grouped-map surface, "
+    "pandas merge_asof per key): each user's orders and events arrive "
+    "as ALIGNED pandas frames in one task — the backward as-of match "
+    "(latest event at-or-before each order, by the shared id order) "
+    "runs as a vectorized searchsorted per group, state bounded by "
+    "one user's rows. The per-user cogroup is exactly how "
+    "feature-store point-in-time joins scale: shuffle once on the "
+    "entity key, align in memory per entity",
+    tags=("udf", "cogroup", "asof"),
+)
+def pu05_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 120)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+
+    def align(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:
+            return pd.DataFrame(
+                columns=["user_id", "o_orderkey", "last_event_id"]
+            )
+        odf = odf.sort_values("o_orderkey")
+        ev = np.sort(edf["event_id"].to_numpy()) if not edf.empty else np.array([], dtype="int64")
+        idx = np.searchsorted(ev, odf["o_orderkey"].to_numpy(), side="right") - 1
+        last = np.where(idx >= 0, ev[np.clip(idx, 0, None)], -1)
+        return pd.DataFrame(
+            {
+                "user_id": odf["user_id"],
+                "o_orderkey": odf["o_orderkey"],
+                "last_event_id": pd.array(
+                    [None if x < 0 else int(x) for x in last],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    aligned = (
+        orders.groupBy("user_id")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id long, o_orderkey long, last_event_id long",
+        )
+    )
+    return aligned.groupBy("user_id").agg(
+        F.count("*").alias("n_orders"),
+        F.count("last_event_id").cast("long").alias("n_matched"),
+        F.max("last_event_id").cast("long").alias("max_event_id"),
+    )
