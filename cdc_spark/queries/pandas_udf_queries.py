@@ -215,9 +215,18 @@ def pu05_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["user_id", "o_orderkey", "last_event_id"]
             )
         odf = odf.sort_values("o_orderkey")
-        ev = np.sort(edf["event_id"].to_numpy()) if not edf.empty else np.array([], dtype="int64")
-        idx = np.searchsorted(ev, odf["o_orderkey"].to_numpy(), side="right") - 1
-        last = np.where(idx >= 0, ev[np.clip(idx, 0, None)], -1)
+        if edf.empty:
+            # user has orders but no events: nothing to match
+            last = np.full(len(odf), -1, dtype="int64")
+        else:
+            ev = np.sort(edf["event_id"].to_numpy())
+            idx = (
+                np.searchsorted(
+                    ev, odf["o_orderkey"].to_numpy(), side="right"
+                )
+                - 1
+            )
+            last = np.where(idx >= 0, ev[np.clip(idx, 0, None)], -1)
         return pd.DataFrame(
             {
                 "user_id": odf["user_id"],
