@@ -84,6 +84,7 @@ _NEVER_GATED = frozenset(
         "dd14_incremental_neardup",
         "st19_late_data_drop",
         "pu05_cogrouped_asof",
+        "cdc23_checkpoint_resume",
     }
 )
 

@@ -1505,3 +1505,165 @@ def cdc22_bidirectional_origin_filter(
     return state_a2.select(F.lit("site_a").alias("site"), "*").unionByName(
         state_b2.select(F.lit("site_b").alias("site"), "*")
     )
+
+
+@register(
+    "cdc23_checkpoint_resume",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS event_type,
+           arg_max(value, lsn) AS value
+    FROM live GROUP BY user_id
+    """,
+    note="restart/resume exactly-once, end to end: phase 1 streams "
+    "half the log into bucketed state and STOPS; more files land; a "
+    "NEW pipeline object on the SAME checkpoint + state resumes and "
+    "processes ONLY the new files (asserted: phase-2 input rows == "
+    "the second half, no re-read of phase-1 files), and the final "
+    "state equals the one-shot merge — the crash-restart contract "
+    "the reference gets from replication-slot LSN acks "
+    "(main.go:61-74), here from the checkpoint + epoch-guarded "
+    "manifests",
+    tags=("cdc", "streaming-integration", "restart", "exactly-once"),
+)
+def cdc23_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from cdc_spark.cdc.registry import SchemaRegistry
+    from cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("event_id")).first()[0] or 0
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    doc_json = F.to_json(
+        F.struct(
+            op.alias("op"),
+            F.lit("public").alias("schema"),
+            F.lit("user_state").alias("table"),
+            F.col("event_id").alias("lsn"),
+            F.lit(0).alias("tx_id"),
+            F.when(
+                op != "d",
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("user_id"), F.lit("event_type"), F.lit("value")
+                    ),
+                    F.array(
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                        F.round("value", 4).cast("string"),
+                    ),
+                ),
+            ).alias("after"),
+            F.when(
+                op == "d",
+                F.map_from_arrays(
+                    F.array(F.lit("user_id")),
+                    F.array(F.col("user_id").cast("string")),
+                ),
+            ).alias("key"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="cdc23_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdc23_ckpt_")
+    state_path = tempfile.mkdtemp(prefix="cdc23_state_")
+
+    def write_half(pred, name):
+        (
+            events.where(pred)
+            .select(F.col("user_id"), doc_json.alias("__doc"))
+            .repartition(2, F.col("user_id"))
+            .select(F.col("__doc").alias("value"))
+            .write.mode("overwrite")
+            .text(os.path.join(src_dir, name))
+        )
+
+    def announce():
+        reg = SchemaRegistry()
+        reg.announce(
+            "public",
+            "user_state",
+            [
+                ("user_id", "bigint", True),
+                ("event_type", "text"),
+                ("value", "double precision"),
+            ],
+        )
+        return reg
+
+    def run_phase():
+        pipe = CdcStreamPipeline(
+            spark,
+            announce(),
+            "public",
+            "user_state",
+            keys=["user_id"],
+            payload=["event_type", "value"],
+            state_path=state_path,
+            dialect="pgoutput_json",
+            n_buckets=16,
+        )
+        seen = []
+
+        def apply(batch_df, epoch_id):
+            # count the SOURCE rows this phase actually processes
+            # (numInputRows inflates with every re-execution of the
+            # batch frame inside apply_batch, so it cannot gate this)
+            seen.append(batch_df.count())
+            pipe.apply_batch(batch_df, epoch_id)
+
+        raw = (
+            spark.readStream.format("text")
+            .schema("value string")
+            .load(os.path.join(src_dir, "*"))
+        )
+        q = (
+            raw.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return pipe, sum(seen)
+
+    n_first = events.where(F.col("event_id") <= mx // 2).count()
+    n_second = events.count() - n_first
+
+    write_half(F.col("event_id") <= mx // 2, "w1")
+    pipe1, rows1 = run_phase()
+    lsn1 = (pipe1.state.replication_progress() or {}).get("applied_lsn")
+    # the log grows while the pipeline is DOWN
+    write_half(F.col("event_id") > mx // 2, "w2")
+    pipe2, rows2 = run_phase()
+    lsn2 = (pipe2.state.replication_progress() or {}).get("applied_lsn")
+    if rows1 != n_first or rows2 != n_second:
+        raise AssertionError(
+            f"resume re-read data: phase1={rows1}/{n_first} "
+            f"phase2={rows2}/{n_second}"
+        )
+    if lsn1 != mx // 2 or lsn2 != mx:
+        raise AssertionError(
+            f"applied-LSN watermark wrong: {lsn1}/{mx // 2}, {lsn2}/{mx}"
+        )
+    return pipe2.state.read()
