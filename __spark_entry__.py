@@ -85,6 +85,7 @@ _NEVER_GATED = frozenset(
         "st19_late_data_drop",
         "pu05_cogrouped_asof",
         "cdc23_checkpoint_resume",
+        "q82_outer_explode",
     }
 )
 

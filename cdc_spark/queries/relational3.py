@@ -1132,3 +1132,41 @@ def q81_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q82_outer_explode",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN []
+                    ELSE string_split_regex(trim(text), '\\s+')[1:3]
+               END AS toks
+        FROM documents
+    )
+    SELECT d.doc_id, u.tok, u.pos
+    FROM docs d
+    LEFT JOIN LATERAL (
+        SELECT unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos
+    ) u ON TRUE
+    """,
+    note="null-preserving generator semantics (posexplode_outer vs "
+    "plain explode): rows whose array is EMPTY survive with null "
+    "token/position instead of vanishing — the outer-generator "
+    "contract that keeps parent rows accountable through a fan-out "
+    "(every 10th doc's list is emptied to exercise it). Oracle uses "
+    "the LATERAL-left-join equivalent",
+    tags=("lateral", "explode", "null-semantics"),
+)
+def q82_outer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.col("doc_id") % 10 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(tokens(F.col("text")), 1, 3))
+    return docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.posexplode_outer("toks").alias("pos", "tok"),
+    ).select("doc_id", "tok", F.col("pos").cast("long").alias("pos"))
