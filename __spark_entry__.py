@@ -86,6 +86,7 @@ _NEVER_GATED = frozenset(
         "pu05_cogrouped_asof",
         "cdc23_checkpoint_resume",
         "q82_outer_explode",
+        "cdc24_multi_table_demux",
     }
 )
 

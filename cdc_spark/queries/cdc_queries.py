@@ -1667,3 +1667,84 @@ def cdc23_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"applied-LSN watermark wrong: {lsn1}/{mx // 2}, {lsn2}/{mx}"
         )
     return pipe2.state.read()
+
+
+@register(
+    "cdc24_multi_table_demux",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value,
+               CASE WHEN user_id % 2 = 0 THEN 'accounts' ELSE 'profiles'
+               END AS tbl
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY tbl, user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    ),
+    states AS (
+        SELECT tbl, user_id,
+               arg_max(event_type, lsn) AS event_type,
+               arg_max(value, lsn) AS value
+        FROM live GROUP BY tbl, user_id
+    )
+    SELECT tbl, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM states GROUP BY tbl
+    """,
+    note="multi-relation dispatch through ONE replication stream (the "
+    "reference handles every announced relation over a single slot, "
+    "main.go:116-130): one change log carries two tables' events, "
+    "the envelope's src_table routes each to its own bucketed state "
+    "— one pass over the batch, two filtered applies, no per-table "
+    "re-read of the source. Both materializations gated via their "
+    "per-table aggregates",
+    tags=("cdc", "demux", "multi-table"),
+)
+def cdc24_multi_table_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events).select(
+        "op",
+        "lsn",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.when(F.col("user_id") % 2 == 0, "accounts")
+        .otherwise("profiles")
+        .alias("src_table"),
+    ).localCheckpoint(eager=True)  # one source pass feeds both routes
+
+    out = []
+    for tbl in ("accounts", "profiles"):
+        state = BucketedStateTable(
+            spark,
+            tempfile.mkdtemp(prefix=f"cdc24_{tbl}_"),
+            ["user_id"],
+            n_buckets=8,
+        )
+        state.apply(
+            changes.where(F.col("src_table") == tbl).drop("src_table"),
+            ["event_type", "value"],
+        )
+        out.append(
+            state.read().agg(
+                F.lit(tbl).alias("tbl"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(30,4)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+    return out[0].unionByName(out[1])
