@@ -87,6 +87,7 @@ _NEVER_GATED = frozenset(
         "cdc23_checkpoint_resume",
         "q82_outer_explode",
         "cdc24_multi_table_demux",
+        "io14_parquet_bloom_filter",
     }
 )
 

