@@ -88,6 +88,7 @@ _NEVER_GATED = frozenset(
         "q82_outer_explode",
         "cdc24_multi_table_demux",
         "io14_parquet_bloom_filter",
+        "dp06_epoch_shuffles",
     }
 )
 

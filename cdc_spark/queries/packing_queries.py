@@ -198,3 +198,56 @@ def dp05_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded.select(
         "doc_id", "band", F.row_number().over(w).cast("long").alias("position")
     )
+
+
+@register(
+    "dp06_epoch_shuffles",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, e.epoch,
+               md5(CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents, (SELECT unnest([0, 1, 2]) AS epoch) e
+    )
+    SELECT epoch, doc_id, position FROM (
+        SELECT epoch, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY epoch ORDER BY k, doc_id
+               ) AS BIGINT) AS position
+        FROM keyed
+    ) WHERE position <= 10
+    """,
+    note="per-epoch reproducible training orders: each epoch's "
+    "shuffle key is md5(epoch:doc_id) — orders are deterministic, "
+    "engine-portable, and DECORRELATED across epochs (no shared "
+    "prefix between epoch permutations), the property multi-epoch "
+    "training needs from its data loader. First 10 positions per "
+    "epoch gated; at scale the same key drives a "
+    "repartitionByRange write per epoch",
+    tags=("packing", "shuffle", "epochs"),
+)
+def dp06_epoch_shuffles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn(
+            "position", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("position") <= 10)
+        .select("epoch", "doc_id", "position")
+    )
