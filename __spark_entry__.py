@@ -89,6 +89,7 @@ _NEVER_GATED = frozenset(
         "cdc24_multi_table_demux",
         "io14_parquet_bloom_filter",
         "dp06_epoch_shuffles",
+        "q83_ignore_nulls_locf",
     }
 )
 

@@ -1170,3 +1170,59 @@ def q82_outer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode_outer("toks").alias("pos", "tok"),
     ).select("doc_id", "tok", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
+    "q83_ignore_nulls_locf",
+    oracle="""
+    WITH sparse AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 5 = 0 THEN event_type END AS reading
+        FROM events
+    ),
+    filled AS (
+        SELECT user_id, event_id, reading,
+               last_value(reading IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS carried
+        FROM sparse
+    )
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(COUNT(reading) AS BIGINT) AS n_observed,
+           CAST(COUNT(carried) AS BIGINT) AS n_filled
+    FROM filled GROUP BY user_id
+    """,
+    note="IGNORE NULLS window semantics: last_value over a sparse "
+    "sensor column carries the most recent observation forward "
+    "(LOCF as a pure window expression — no self-join, no gap "
+    "table); per-user observed-vs-filled accounting gated. The "
+    "SQL-standard IGNORE NULLS surface q59's dense-grid gap-fill "
+    "does not exercise",
+    tags=("window", "ignore-nulls", "locf"),
+)
+def q83_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    sparse = events.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("event_type")).alias(
+            "reading"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = sparse.withColumn(
+        "carried", F.last("reading", ignorenulls=True).over(w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.count("reading").cast("long").alias("n_observed"),
+        F.count("carried").cast("long").alias("n_filled"),
+    )
