@@ -90,6 +90,7 @@ _NEVER_GATED = frozenset(
         "io14_parquet_bloom_filter",
         "dp06_epoch_shuffles",
         "q83_ignore_nulls_locf",
+        "cdc25_tombstone_retention",
     }
 )
 

@@ -1748,3 +1748,66 @@ def cdc24_multi_table_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+@register(
+    "cdc25_tombstone_retention",
+    oracle=f"""
+    WITH ch AS (
+        SELECT {_OP_SQL} AS op, event_id AS lsn, user_id, event_type,
+               ROUND(value, 4) AS value
+        FROM events
+    ),
+    horizon AS (
+        SELECT CAST(MAX(lsn) * 0.8 AS BIGINT) AS h FROM ch
+    ),
+    latest AS (
+        SELECT user_id,
+               arg_max(op, lsn) AS last_op,
+               arg_max(lsn, lsn) AS last_lsn,
+               arg_max(event_type, lsn) AS event_type,
+               arg_max(value, lsn) AS value
+        FROM ch GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN last_op = 'd' THEN 'tombstone' ELSE 'record' END
+               AS kind,
+           CASE WHEN last_op = 'd' THEN NULL ELSE event_type END
+               AS event_type,
+           CASE WHEN last_op = 'd' THEN NULL ELSE value END AS value
+    FROM latest CROSS JOIN horizon
+    WHERE last_op <> 'd' OR last_lsn > h
+    """,
+    note="Kafka compact+delete topic semantics (the transport the "
+    "deck's Debezium pipelines publish through, slides 22-27): "
+    "compaction keeps the latest record per key, deletes become "
+    "null-value TOMBSTONES that survive only inside the retention "
+    "horizon (so lagging consumers still see them) and vanish after "
+    "it — three outcomes per key (live record / retained tombstone "
+    "/ fully reclaimed), all gated. One hash aggregate + a broadcast "
+    "scalar horizon",
+    tags=("cdc", "kafka", "compaction", "tombstone"),
+)
+def cdc25_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ch = _as_changes(events).withColumn("value", F.round("value", 4))
+    horizon = ch.agg(
+        (F.max("lsn") * 0.8).cast("long").alias("__h")
+    )
+    latest = ch.groupBy("user_id").agg(
+        F.max_by("op", "lsn").alias("last_op"),
+        F.max("lsn").alias("last_lsn"),
+        F.max_by("event_type", "lsn").alias("event_type"),
+        F.max_by("value", "lsn").alias("value"),
+    )
+    is_del = F.col("last_op") == "d"
+    return (
+        latest.join(F.broadcast(horizon))
+        .where(~is_del | (F.col("last_lsn") > F.col("__h")))
+        .select(
+            "user_id",
+            F.when(is_del, "tombstone").otherwise("record").alias("kind"),
+            F.when(~is_del, F.col("event_type")).alias("event_type"),
+            F.when(~is_del, F.col("value")).alias("value"),
+        )
+    )
