@@ -91,6 +91,7 @@ _NEVER_GATED = frozenset(
         "dp06_epoch_shuffles",
         "q83_ignore_nulls_locf",
         "cdc25_tombstone_retention",
+        "ss14_centroid_drift",
     }
 )
 

@@ -887,3 +887,83 @@ def ss13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__r") <= 3)
         .drop("__r")
     )
+
+
+@register(
+    "ss14_centroid_drift",
+    oracle="""
+    WITH comp AS (
+        SELECT label, u.d, u.x FROM embeddings,
+             LATERAL (
+                 SELECT generate_subscripts(embedding, 1) AS d,
+                        unnest(embedding::DOUBLE[]) AS x
+             ) u
+    ),
+    lab AS (
+        -- centroid SUMS, not means: cosine is scale-invariant, and
+        -- the decimal sums are exact (no mean-rounding divergence)
+        SELECT label, d,
+               CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS m
+        FROM comp GROUP BY label, d
+    ),
+    gmean AS (
+        SELECT d,
+               CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS g
+        FROM comp GROUP BY d
+    ),
+    sizes AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    dots AS (
+        SELECT l.label,
+               CAST(SUM(CAST(ROUND(l.m * gl.g, 9) AS DECIMAL(30,9)))
+                    AS DOUBLE) AS dot,
+               CAST(SUM(CAST(ROUND(l.m * l.m, 9) AS DECIMAL(30,9)))
+                    AS DOUBLE) AS nl,
+               CAST(SUM(CAST(ROUND(gl.g * gl.g, 9) AS DECIMAL(30,9)))
+                    AS DOUBLE) AS ng
+        FROM lab l JOIN gmean gl ON l.d = gl.d
+        GROUP BY l.label
+    )
+    SELECT d.label, CAST(s.n AS BIGINT) AS n_vectors,
+           ROUND(d.dot / (sqrt(d.nl) * sqrt(d.ng)), 4) AS drift_cosine
+    FROM dots d JOIN sizes s ON d.label = s.label
+    """,
+    note="embedding drift monitoring (the vector-store data-quality "
+    "check): per-label centroids vs the corpus centroid, cosine per "
+    "label — a slice whose centroid swings away from the corpus "
+    "flags ingestion drift. Every mean and every dot-product term "
+    "is rounded then decimal-summed, so the drift metric itself is "
+    "engine-exact at any cluster size; centroids are one "
+    "(label, dim) hash aggregate over exploded components",
+    tags=("similarity", "monitoring", "drift"),
+)
+def ss14_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.queries.base import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("d"), "x")
+    # centroid SUMS, not means: cosine is scale-invariant and the
+    # decimal sums are exact on both engines
+    lab = comp.groupBy("label", "d").agg(
+        dsum(F.round("x", 6), scale=6).alias("m")
+    )
+    glob = comp.groupBy("d").agg(
+        dsum(F.round("x", 6), scale=6).alias("g")
+    )
+    sizes = emb.groupBy("label").agg(F.count("*").alias("n"))
+    j = lab.join(glob, "d")
+    dots = j.groupBy("label").agg(
+        dsum(F.round(F.col("m") * F.col("g"), 9), scale=9).alias("dot"),
+        dsum(F.round(F.col("m") * F.col("m"), 9), scale=9).alias("nl"),
+        dsum(F.round(F.col("g") * F.col("g"), 9), scale=9).alias("ng"),
+    )
+    return dots.join(sizes, "label").select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("nl")) * F.sqrt(F.col("ng"))), 4
+        ).alias("drift_cosine"),
+    )
