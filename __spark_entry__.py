@@ -92,6 +92,8 @@ _NEVER_GATED = frozenset(
         "q83_ignore_nulls_locf",
         "cdc25_tombstone_retention",
         "ss14_centroid_drift",
+        "cdc26_lsn_gap_audit",
+        "q84_column_profile",
     }
 )
 

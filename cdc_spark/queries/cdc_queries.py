@@ -1811,3 +1811,57 @@ def cdc25_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~is_del, F.col("value")).alias("value"),
         )
     )
+
+
+@register(
+    "cdc26_lsn_gap_audit",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id AS lsn,
+               LAG(event_id) OVER (ORDER BY event_id) AS prev_lsn
+        FROM events WHERE event_id % 97 <> 13
+    ),
+    gaps AS (
+        SELECT prev_lsn AS gap_after, lsn AS resume_at,
+               lsn - prev_lsn - 1 AS n_missing
+        FROM seq WHERE lsn - prev_lsn > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(n_missing) AS BIGINT) AS total_missing,
+           CAST(MIN(gap_after) AS BIGINT) AS first_gap_after,
+           CAST(MAX(resume_at) AS BIGINT) AS last_resume_at
+    FROM gaps
+    """,
+    note="replication-integrity audit: detect holes in the LSN "
+    "sequence (a transport that silently skipped WAL records — the "
+    "failure the reference's single-slot total order makes "
+    "impossible but any Kafka-hop deployment must monitor). Every "
+    "97th position is deterministically dropped to simulate loss; "
+    "one ordered lag pass finds each gap's position and width. At "
+    "scale the lag runs per source partition (each partition's "
+    "offsets are independently dense)",
+    tags=("cdc", "audit", "integrity"),
+)
+def cdc26_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    seq = events.where(F.col("event_id") % 97 != 13).select(
+        F.col("event_id").alias("lsn")
+    )
+    w = Window.orderBy("lsn")
+    gaps = (
+        seq.withColumn("prev_lsn", F.lag("lsn").over(w))
+        .where(F.col("lsn") - F.col("prev_lsn") > 1)
+        .select(
+            F.col("prev_lsn").alias("gap_after"),
+            F.col("lsn").alias("resume_at"),
+            (F.col("lsn") - F.col("prev_lsn") - 1).alias("n_missing"),
+        )
+    )
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("n_missing").cast("long").alias("total_missing"),
+        F.min("gap_after").cast("long").alias("first_gap_after"),
+        F.max("resume_at").cast("long").alias("last_resume_at"),
+    )

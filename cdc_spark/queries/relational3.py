@@ -1226,3 +1226,61 @@ def q83_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("reading").cast("long").alias("n_observed"),
         F.count("carried").cast("long").alias("n_filled"),
     )
+
+
+@register(
+    "q84_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           ROUND(MIN(l_quantity), 4) AS min_v,
+           ROUND(MAX(l_quantity), 4) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    """,
+    note="data-profiling report (the ANALYZE/data-catalog shape): "
+    "count / nulls / exact NDV / min / max per column in ONE pass "
+    "over the fact table — all three columns' aggregates share the "
+    "single scan (one wide aggregate, unpivoted to a row per "
+    "column), where the naive per-column UNION the oracle spells "
+    "out would scan three times",
+    tags=("profiling", "stats", "quality"),
+)
+def q84_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__ndv"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = None
+    for c in cols:
+        r = wide.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("ndv"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
