@@ -580,7 +580,7 @@ def q18_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERSECT
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
     """,
-    note="INTERSECT",
+    note="INTERSECT distinct-set semantics over projected keys",
     tags=("setop",),
 )
 def q19_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
