@@ -23,93 +23,111 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 5: a prefix-sampling gate saw cdc/dd/tx/st/pu in
-# round 4, so the families it has NOT recently (or ever) hash-checked
-# come first — io/dp/ss/mm, then q56+ (never gated), then other new
-# round-5 entries, then the rest of the relational inventory, with the
-# round-4-green families last.
-_PRIORITY = ("io", "dp", "ss", "mm", "q", "cdc", "dd", "tx", "st", "pu")
-
-# Round-5 additions outside the io/dp/ss/mm/q families: never had a
-# driver row, so they jump ahead of the q01..q55 block.
-_NEVER_GATED = frozenset(
-    {
-        "cdc17_incremental_snapshot",
-        "dd09_common_ngram_exposure",
-        "dd10_aligned_duplicate_spans",
-        "st12_incremental_snapshot_stream",
-        "tx16_temperature_mixture",
-        "cdc18_dead_letter_routing",
-        "tx17_unigram_logprob",
-        "st13_stream_scd2_enrich",
-        "dd11_containment_pairs",
-        "cdc19_version_diff_feed",
-        "dd12_semantic_dedup",
-        "tx19_quality_percentile_prune",
-        "io09_bucket_compaction",
-        "ss10_hybrid_rrf",
-        "tx20_link_pagerank",
-        "st14_change_feed_publication",
-        "io10_python_stream_source",
-        "mm04_audio_frame_energy",
-        "cdc20_stream_binary_wire",
-        "tx21_bigram_logprob",
-        "ss11_mips_topk",
-        "io11_csv_dead_letter",
-        "tx22_blocklist_filter",
-        "st15_stream_trending",
-        "dd13_incremental_dedup",
-        "pu04_arrow_scalar_udf",
-        "io12_dynamic_partition_overwrite",
-        "cdc21_wal2json_v2",
-        "cdc22_bidirectional_origin_filter",
-        "st16_cdf_consumer_agg",
-        "st17_stream_schema_evolution",
-        "dp05_curriculum_order",
-        "q74_series_similarity",
-        "q75_funnel_conversion",
-        "mm05_interleaved_packing",
-        "ss12_ann_recall_eval",
-        "q76_cohort_retention",
-        "q77_association_rules",
-        "tx23_intradoc_dedup",
-        "ss13_knn_graph",
-        "q78_anomaly_zscore",
-        "st18_stream_file_sink",
-        "q79_session_paths",
-        "io13_incremental_file_discovery",
-        "tx24_lexicon_sentiment",
-        "q80_observed_metrics",
-        "q81_grouping_id",
-        "dd14_incremental_neardup",
-        "st19_late_data_drop",
-        "pu05_cogrouped_asof",
-        "cdc23_checkpoint_resume",
-        "q82_outer_explode",
-        "cdc24_multi_table_demux",
-        "io14_parquet_bloom_filter",
-        "dp06_epoch_shuffles",
-        "q83_ignore_nulls_locf",
-        "cdc25_tombstone_retention",
-        "ss14_centroid_drift",
-        "cdc26_lsn_gap_audit",
-        "q84_column_profile",
-    }
+# Rotated for round 6: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 is an explicit, deliberately
+# ordered list of exactly 50 entries drawn from the 62 that either
+# have never had a driver row (60, per rounds 1-5 CORRECTNESS files)
+# or changed semantics this round (ss03/ss06's new deterministic
+# hash-checkable codebook): entries fixed/changed in round 6 first,
+# then the streaming family (the riskiest never-gated code, st12-st19
+# including st14/st16 whose CDF publication layout changed), then the
+# remaining never-gated families. Tier 1 is the 12-entry remainder
+# that rolls to round 7 (q75-q83 relational shapes with gated
+# siblings, and q26/q28-q31 which DO have old r1 rows). Tier 2 is
+# everything already gated, most-recently-checked last.
+_R6_PREFIX = (
+    # changed or fixed in round 6 (distributed two-pass windows,
+    # deterministic IVF codebook, single-scan profile)
+    "dp05_curriculum_order",
+    "mm05_interleaved_packing",
+    "cdc26_lsn_gap_audit",
+    "ss03_ivf_topk",
+    "ss06_ivf_persisted_index",
+    "q84_column_profile",
+    # streaming: never gated, most semantically loaded
+    "st12_incremental_snapshot_stream",
+    "st13_stream_scd2_enrich",
+    "st14_change_feed_publication",
+    "st15_stream_trending",
+    "st16_cdf_consumer_agg",
+    "st17_stream_schema_evolution",
+    "st18_stream_file_sink",
+    "st19_late_data_drop",
+    # dedup
+    "dd08_boilerplate_ratio",
+    "dd09_common_ngram_exposure",
+    "dd10_aligned_duplicate_spans",
+    "dd11_containment_pairs",
+    "dd12_semantic_dedup",
+    "dd13_incremental_dedup",
+    "dd14_incremental_neardup",
+    # text curation
+    "tx15_seeded_corpus_shuffle",
+    "tx16_temperature_mixture",
+    "tx17_unigram_logprob",
+    "tx18_curation_pipeline",
+    "tx19_quality_percentile_prune",
+    "tx20_link_pagerank",
+    "tx21_bigram_logprob",
+    "tx22_blocklist_filter",
+    "tx23_intradoc_dedup",
+    "tx24_lexicon_sentiment",
+    # similarity
+    "ss10_hybrid_rrf",
+    "ss11_mips_topk",
+    "ss12_ann_recall_eval",
+    "ss13_knn_graph",
+    "ss14_centroid_drift",
+    # io / sources
+    "io09_bucket_compaction",
+    "io10_python_stream_source",
+    "io11_csv_dead_letter",
+    "io12_dynamic_partition_overwrite",
+    "io13_incremental_file_discovery",
+    "io14_parquet_bloom_filter",
+    # UDF surface
+    "pu03_python_udtf",
+    "pu04_arrow_scalar_udf",
+    "pu05_cogrouped_asof",
+    # packing / multimodal remainder
+    "dp06_epoch_shuffles",
+    "mm04_audio_frame_energy",
+    # temporal analytics (3 of 11 fit; rest roll to r7)
+    "q74_series_similarity",
+    "q77_association_rules",
+    "q79_session_paths",
 )
+
+_R7_NEXT = (
+    # new in round 6 — never gated, first in line next round
+    "ss15_pq_adc_topk",
+    "dp07_curriculum_shard_write",
+    "mm06_scene_segmentation",
+    "io15_zorder_layout",
+    "q75_funnel_conversion",
+    "q76_cohort_retention",
+    "q78_anomaly_zscore",
+    "q80_observed_metrics",
+    "q81_grouping_id",
+    "q82_outer_explode",
+    "q83_ignore_nulls_locf",
+    "q26_range_join",
+    "q28_tumbling_window",
+    "q29_sliding_window",
+    "q30_percentiles",
+    "q31_approx_stats",
+)
+
+_R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}
+_R7_RANK = {n: i for i, n in enumerate(_R7_NEXT)}
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _NEVER_GATED:
-        # between the q56+ tier (4, 0) and the q01..q55 tier (4, 2)
-        return (4, 1, name)
-    for i, prefix in enumerate(_PRIORITY):
-        if name.startswith(prefix):
-            # Within the q family, q56+ have never had a driver row —
-            # put them (and the _NEVER_GATED set) ahead of q01..q55.
-            if prefix == "q" and name[1:3].isdigit():
-                return (i, 0 if int(name[1:3]) >= 56 else 2, name)
-            return (i, 0, name)
-    return (len(_PRIORITY), 0, name)
+    if name in _R6_RANK:
+        return (0, _R6_RANK[name], name)
+    if name in _R7_RANK:
+        return (1, _R7_RANK[name], name)
+    return (2, 0, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

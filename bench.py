@@ -53,6 +53,8 @@ HEADLINE = [
     "cdc19_version_diff_feed",   # manifest-diff change-feed reconstruction
     "dd13_incremental_dedup",    # bucket-pruned continuous corpus dedup
     "q74_series_similarity",     # aligned-bucket Pearson correlation top-k
+    "dp05_curriculum_order",     # distributed two-pass global row number
+    "mm05_interleaved_packing",  # distributed two-pass prefix-sum packing
 ]
 
 

@@ -28,11 +28,80 @@ def _nearest_centroid(emb: Column, centroids: list[list[float]]) -> Column:
 
     Argmax via an array of dots + array_position: linear-size
     expression (a chained when() argmax would embed each prior tree
-    twice per step — exponential blowup)."""
+    twice per step — exponential blowup). ``array_position`` returns
+    the FIRST max, so ties break to the lowest centroid index — the
+    same tiebreak the SQL oracles' ``ORDER BY d DESC, cid`` encodes."""
     dots = F.array(
         *[dot(emb, F.array(*[F.lit(x) for x in c])) for c in centroids]
     )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def quantize_expr(emb: Column, scale: int) -> Column:
+    """Element-wise half-up integer quantization (``ss04``'s explicit
+    codes): identical arithmetic in Spark, DuckDB and Python, so every
+    engine derives the SAME integers — the trick that makes the IVF
+    coarse quantizer hash-checkable."""
+    return F.transform(
+        emb,
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def quantize_vec(vec: Sequence[float], scale: int) -> list[int]:
+    """Driver-side twin of :func:`quantize_expr` (same formula)."""
+    import math
+
+    return [int(math.floor(float(x) * scale + 0.5)) for x in vec]
+
+
+def deterministic_codebook(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    scale: int = 64,
+) -> list[list[int]]:
+    """Seeded deterministic coarse quantizer: the first ``k`` corpus
+    vectors by id, integer-quantized at ``scale``.
+
+    Any deterministic partitioner is a valid IVF coarse quantizer
+    (recall vs exact is measured separately); this one is chosen so
+    assignment = argmax of an INTEGER dot product — exact in every
+    engine regardless of summation order (sums ≪ 2⁵³), which lets a
+    SQL oracle recompute assignment AND probe pruning bit-for-bit.
+    The k-means trainer (:func:`train_codebook`) stays for workloads
+    that want learned centroids; its float iterations are the reason
+    it cannot be oracle-hashed."""
+    rows = (
+        df.orderBy(id_col).limit(k).select(embedding_col).collect()
+    )
+    if not rows:
+        raise ValueError("cannot build a codebook on an empty corpus")
+    return [quantize_vec(r[0], scale) for r in rows]
+
+
+def _int_dot(vec: Sequence[int], centroid: Sequence[int]) -> int:
+    return sum(int(x) * int(y) for x, y in zip(vec, centroid))
+
+
+def probe_order(
+    query_vec: Sequence[float],
+    centroids: list[list[int]],
+    *,
+    scale: int,
+) -> list[int]:
+    """Centroid ids by descending integer dot with the quantized
+    query, ties to the lowest id — exact, so the probe SET matches the
+    oracle's ``ORDER BY d DESC, cid`` exactly."""
+    qq = quantize_vec(query_vec, scale)
+    return sorted(
+        range(len(centroids)),
+        key=lambda i: (-_int_dot(qq, centroids[i]), i),
+    )
 
 
 def train_codebook(
@@ -97,15 +166,19 @@ def train_codebook(
 def ivf_assign(
     df: DataFrame,
     embedding_col: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | list[list[int]],
     *,
     cluster_col: str = "cluster",
+    scale: int | None = None,
 ) -> DataFrame:
     """Attach the coarse-quantizer cluster id (at scale: write the
-    corpus partitioned by this column)."""
-    return df.withColumn(
-        cluster_col, _nearest_centroid(F.col(embedding_col), centroids)
-    )
+    corpus partitioned by this column). With ``scale`` set the
+    centroids are integer codes and the argmax runs over the
+    integer-quantized embedding — exact, hash-checkable assignment."""
+    emb = F.col(embedding_col)
+    if scale is not None:
+        emb = quantize_expr(emb, scale)
+    return df.withColumn(cluster_col, _nearest_centroid(emb, centroids))
 
 
 def ivf_topk(
@@ -113,24 +186,149 @@ def ivf_topk(
     embedding_col: str,
     id_col: str,
     query_vec: Sequence[float],
-    centroids: list[list[float]],
+    centroids: list[list[float]] | list[list[int]],
     *,
     k: int = 10,
     n_probe: int = 4,
     round_digits: int = 4,
+    scale: int | None = None,
 ) -> DataFrame:
     """ANN top-k scanning only the n_probe nearest clusters."""
     import math
 
-    def pdot(c):
-        return math.fsum(x * y for x, y in zip(query_vec, c))
+    if scale is not None:
+        probes = probe_order(query_vec, centroids, scale=scale)[:n_probe]
+    else:
 
-    order = sorted(range(len(centroids)), key=lambda i: -pdot(centroids[i]))
-    probes = order[:n_probe]
-    assigned = ivf_assign(df, embedding_col, centroids)
+        def pdot(c):
+            return math.fsum(x * y for x, y in zip(query_vec, c))
+
+        order = sorted(
+            range(len(centroids)), key=lambda i: -pdot(centroids[i])
+        )
+        probes = order[:n_probe]
+    assigned = ivf_assign(df, embedding_col, centroids, scale=scale)
     near = assigned.where(F.col("cluster").isin(probes))
     return cosine_topk(
         near, embedding_col, id_col, query_vec, k, round_digits=round_digits
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    *,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    scale: int = 64,
+) -> list[list[list[int]]]:
+    """Deterministic product-quantization codebook:
+    ``codebook[s][j]`` = subspace ``s`` of the ``j``-th corpus vector
+    by id, integer-quantized. Same rationale as
+    :func:`deterministic_codebook`: every engine re-derives the exact
+    integers, so PQ encoding AND ADC scoring are hash-checkable."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    rows = df.orderBy(id_col).limit(k).select(embedding_col).collect()
+    if not rows:
+        raise ValueError("cannot build a PQ codebook on an empty corpus")
+    out = []
+    for s in range(m):
+        out.append(
+            [
+                quantize_vec(r[0][s * d_sub : (s + 1) * d_sub], scale)
+                for r in rows
+            ]
+        )
+    return out
+
+
+def _sq_norm(v: Sequence[int]) -> int:
+    return sum(int(x) * int(x) for x in v)
+
+
+def pq_encode(
+    df: DataFrame,
+    embedding_col: str,
+    codebook: list[list[list[int]]],
+    *,
+    scale: int = 64,
+    code_prefix: str = "pq",
+) -> DataFrame:
+    """Attach one code column per subspace: ``argmin_j ||x_s - c_j||²``
+    over the integer-quantized subvector.
+
+    ``||x-c||² = x·x − 2·x·c + c·c`` and ``x·x`` is constant within a
+    row's argmin, so each candidate's score is the INTEGER
+    ``c·c − 2·x·c`` — exact in every engine; ties break to the lowest
+    centroid id (``array_position`` first-max ↔ the oracle's ``ORDER
+    BY dist, cid``). At scale the codes (m bytes) replace the float
+    vector (4·dim bytes) in the scan: 16× compression at m=8, k=16.
+    """
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    qe = quantize_expr(F.col(embedding_col), scale)
+    out = df
+    for s in range(m):
+        sub = F.slice(qe, s * d_sub + 1, d_sub)
+        scores = F.array(
+            *[
+                F.lit(_sq_norm(c)) - 2 * dot(sub, F.array(*[F.lit(x) for x in c]))
+                for c in codebook[s]
+            ]
+        )
+        code = (F.array_position(scores, F.array_min(scores)) - 1).cast(
+            "int"
+        )
+        out = out.withColumn(f"{code_prefix}{s}", code)
+    return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    codebook: list[list[list[int]]],
+    *,
+    k: int = 10,
+    scale: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou et al., public
+    PQ literature): the query precomputes one m×k lookup table of
+    exact integer subspace distances; every corpus row's approximate
+    distance is m table lookups over its codes — no float math, no
+    full-vector read. The compressed-domain scan is the 100 TB shape:
+    codes are 8 bytes/vector and the LUT is broadcast as literals."""
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    qq = quantize_vec(query_vec, scale)
+    luts = []
+    for s in range(m):
+        q_sub = qq[s * d_sub : (s + 1) * d_sub]
+        luts.append(
+            [
+                _sq_norm([a - b for a, b in zip(q_sub, c)])
+                for c in codebook[s]
+            ]
+        )
+    coded = pq_encode(df, embedding_col, codebook, scale=scale)
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in luts[s]]),
+            F.col(f"pq{s}") + 1,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        coded.select(
+            F.col(id_col), adc.cast("long").alias("adc_dist")
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
     )
 
 
@@ -159,6 +357,7 @@ class IvfIndex:
         self.centroids = meta["centroids"]
         self.embedding_col = meta["embedding_col"]
         self.id_col = meta["id_col"]
+        self.scale = meta.get("scale")
 
     @classmethod
     def build(
@@ -171,14 +370,22 @@ class IvfIndex:
         *,
         k: int = 16,
         iterations: int = 3,
+        codebook: list[list[int]] | None = None,
+        scale: int | None = None,
     ) -> "IvfIndex":
+        """Train (k-means) or adopt (``codebook`` + ``scale`` — the
+        deterministic integer quantizer) a codebook, then write the
+        corpus cluster-partitioned."""
         import json
         import os
 
-        centroids = train_codebook(
-            df, embedding_col, id_col, k=k, iterations=iterations
-        )
-        assigned = ivf_assign(df, embedding_col, centroids)
+        if codebook is not None:
+            centroids: list = codebook
+        else:
+            centroids = train_codebook(
+                df, embedding_col, id_col, k=k, iterations=iterations
+            )
+        assigned = ivf_assign(df, embedding_col, centroids, scale=scale)
         # one file per cluster partition at this scale; at real scale
         # the repartition keys on cluster and AQE sizes the files
         assigned.repartition(len(centroids), F.col("cluster")).write.partitionBy(
@@ -189,6 +396,7 @@ class IvfIndex:
                 "centroids": centroids,
                 "embedding_col": embedding_col,
                 "id_col": id_col,
+                "scale": scale,
             }
         )
         tmp = os.path.join(path, "CODEBOOK.json.tmp")
@@ -204,7 +412,9 @@ class IvfIndex:
         standard IVF practice.)"""
         import os
 
-        assigned = ivf_assign(df, self.embedding_col, self.centroids)
+        assigned = ivf_assign(
+            df, self.embedding_col, self.centroids, scale=self.scale
+        )
         assigned.write.partitionBy("cluster").mode("append").parquet(
             os.path.join(self.path, "corpus")
         )
@@ -228,14 +438,20 @@ class IvfIndex:
         cluster is opened)."""
         import math
 
-        def pdot(c):
-            return math.fsum(x * y for x, y in zip(query_vec, c))
+        if self.scale is not None:
+            probes = probe_order(
+                query_vec, self.centroids, scale=self.scale
+            )[:n_probe]
+        else:
 
-        order = sorted(
-            range(len(self.centroids)),
-            key=lambda i: -pdot(self.centroids[i]),
-        )
-        probes = order[:n_probe]
+            def pdot(c):
+                return math.fsum(x * y for x, y in zip(query_vec, c))
+
+            order = sorted(
+                range(len(self.centroids)),
+                key=lambda i: -pdot(self.centroids[i]),
+            )
+            probes = order[:n_probe]
         near = self.corpus().where(F.col("cluster").isin(probes))
         return cosine_topk(
             near,

@@ -314,3 +314,51 @@ def frame_energy(
             )
 
     return binary_df.mapInPandas(extract, ENERGY_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def frame_energies(
+    binary_df: DataFrame, *, window: int = 64
+) -> DataFrame:
+    """Per-frame fan-out twin of :func:`frame_energy`: one row per
+    non-overlapping ``window``-sample frame with its exact int64
+    energy — the input shape for segmentation / VAD logic that needs
+    the frame SEQUENCE, not per-item aggregates. Same deterministic
+    8-bit-PCM fake-decode seam; numpy-vectorized per Arrow batch; no
+    shuffle (mapInPandas fan-out stays in the scan stage)."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idx, en = [], [], []
+            for item, blob in zip(pdf["item_id"], pdf["payload"]):
+                n = len(blob) // window
+                if n == 0:
+                    continue
+                s = (
+                    np.frombuffer(blob[: n * window], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(n, window)
+                    - 128
+                )
+                es = (s * s).sum(axis=1)
+                ids.extend([item] * n)
+                idx.extend(range(n))
+                en.extend(int(e) for e in es)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idx, dtype="int64"),
+                    "energy": pd.Series(en, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(extract, FRAME_ENERGY_SCHEMA)

@@ -1,0 +1,195 @@
+"""Distributed total-order primitives: row numbers, prefix sums, gaps.
+
+A global ``Window.orderBy(...)`` with no partition funnels every row
+through ONE reducer — the single shape that cannot survive a 100 TB
+corpus. These helpers produce the SAME totals with the classic
+two-pass parallel-prefix decomposition:
+
+1. ``repartitionByRange`` on the order key — each task owns one
+   contiguous key range (Spark's RangePartitioner samples boundaries;
+   contiguity is what makes per-partition results stitchable);
+2. a per-partition pass (local row_number / running sum — bounded by
+   one partition's rows, fully parallel);
+3. per-partition totals (a tiny ``groupBy`` of ``num_partitions``
+   rows) turned into exclusive offsets with a window over THAT
+   aggregate — the only unpartitioned window left, over input bounded
+   by the partition count, never by the data;
+4. a broadcast join adds each partition's offset back.
+
+The result is bit-identical to the single-reducer window (callers
+must pass a tie-free ``order_cols`` set — a trailing unique id — so
+the total order is well-defined), which is why the oracles of the
+queries built on these (dp05, mm05) keep their plain
+``ROW_NUMBER() OVER (ORDER BY ...)`` SQL.
+
+``lsn_gap_audit`` applies the same decomposition to ordered
+adjacent-row comparison (lag): gaps WITHIN a fixed-width id block are
+found per block, gaps ACROSS blocks from the per-block min/max
+aggregate — one data shuffle, no global sort. Reference parity: the
+audit monitors the dense-LSN invariant the reference's single
+replication slot guarantees by construction (main.go:61-74 keeps one
+monotone confirmed-LSN cursor); any fan-out transport must check it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__ord_pid"
+_MID = "__ord_mid"
+_LOCAL = "__ord_local"
+_CNT = "__ord_cnt"
+_OFF = "__ord_off"
+
+
+def _offsets(counts: DataFrame, total_col: str) -> DataFrame:
+    """Exclusive running offsets over the tiny per-partition totals.
+
+    The window here is unpartitioned BY DESIGN: its input is the
+    grouped aggregate of partition totals (``num_partitions`` rows),
+    so the 'single reducer' holds partition-count rows, not data.
+    """
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        _PID,
+        F.coalesce(F.sum(total_col).over(w), F.lit(0))
+        .cast("long")
+        .alias(_OFF),
+    )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    *,
+    out_col: str = "position",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global 1-based row number by ``order_cols`` without a global
+    window.
+
+    One data shuffle: after ``repartitionByRange`` + per-partition
+    sort, ``monotonically_increasing_id`` is ``(pid << 33) + local
+    index`` — the local rank falls out arithmetically, no second
+    window pass over the data at all. Offsets come from the
+    per-partition counts (step 3 above).
+    """
+    ranged = df.repartitionByRange(
+        num_partitions, *order_cols
+    ).sortWithinPartitions(*order_cols)
+    local = ranged.select(
+        "*",
+        F.spark_partition_id().alias(_PID),
+        F.monotonically_increasing_id().alias(_MID),
+    ).withColumn(
+        _LOCAL,
+        (F.col(_MID) - F.shiftleft(F.col(_PID).cast("long"), 33) + 1).cast(
+            "long"
+        ),
+    )
+    counts = local.groupBy(_PID).agg(F.count("*").alias(_CNT))
+    out = local.join(F.broadcast(_offsets(counts, _CNT)), _PID)
+    return out.withColumn(
+        out_col, (F.col(_LOCAL) + F.col(_OFF)).cast("long")
+    ).drop(_PID, _MID, _LOCAL, _OFF)
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    *,
+    out_col: str = "prefix_sum",
+    inclusive: bool = True,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global running sum of ``value_col`` by ``order_cols`` without a
+    global window: per-range-partition cumsum + broadcast partition
+    offsets (the textbook distributed prefix sum)."""
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        _LOCAL, F.sum(value_col).over(w_local).cast("long")
+    )
+    totals = local.groupBy(_PID).agg(
+        F.sum(value_col).cast("long").alias(_CNT)
+    )
+    out = local.join(F.broadcast(_offsets(totals, _CNT)), _PID)
+    prefix = F.col(_LOCAL) + F.col(_OFF)
+    if not inclusive:
+        prefix = prefix - F.col(value_col)
+    return out.withColumn(out_col, prefix.cast("long")).drop(
+        _PID, _LOCAL, _OFF
+    )
+
+
+def lsn_gap_audit(
+    df: DataFrame,
+    lsn_col: str,
+    *,
+    partition_col: str | None = None,
+    block_size: int = 8192,
+) -> DataFrame:
+    """Holes in a dense id sequence, found without a global sort.
+
+    With ``partition_col`` (a Kafka-partition / slot-shard id whose
+    offsets are independently dense — the multi-source deployment),
+    the lag simply runs per source partition. Without it, the id
+    space is cut into fixed ``block_size`` blocks: adjacent-row gaps
+    are found WITHIN each block (partitioned window), and gaps that
+    span block boundaries — including wholly missing blocks — fall
+    out of the per-block min/max aggregate, whose unpartitioned lag
+    window runs over id_range/block_size rows, not data rows.
+
+    Returns one row per gap: ``gap_after`` (last id seen), resume id,
+    and the count of missing ids between them.
+    """
+    lsn = F.col(lsn_col)
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(lsn_col)
+        return (
+            df.withColumn("__prev", F.lag(lsn_col).over(w))
+            .where(lsn - F.col("__prev") > 1)
+            .select(
+                F.col(partition_col),
+                F.col("__prev").alias("gap_after"),
+                lsn.alias("resume_at"),
+                (lsn - F.col("__prev") - 1).alias("n_missing"),
+            )
+        )
+
+    blk = df.withColumn("__blk", F.floor(lsn / block_size))
+    w_in = Window.partitionBy("__blk").orderBy(lsn_col)
+    within = (
+        blk.withColumn("__prev", F.lag(lsn_col).over(w_in))
+        .where(lsn - F.col("__prev") > 1)
+        .select(
+            F.col("__prev").alias("gap_after"),
+            lsn.alias("resume_at"),
+            (lsn - F.col("__prev") - 1).alias("n_missing"),
+        )
+    )
+    bounds = blk.groupBy("__blk").agg(
+        F.min(lsn_col).alias("__lo"), F.max(lsn_col).alias("__hi")
+    )
+    # unpartitioned lag over the per-block AGGREGATE (tiny), not data
+    w_blk = Window.orderBy("__blk")
+    across = (
+        bounds.withColumn("__prev_hi", F.lag("__hi").over(w_blk))
+        .where(F.col("__lo") - F.col("__prev_hi") > 1)
+        .select(
+            F.col("__prev_hi").alias("gap_after"),
+            F.col("__lo").alias("resume_at"),
+            (F.col("__lo") - F.col("__prev_hi") - 1).alias("n_missing"),
+        )
+    )
+    return within.unionByName(across)

@@ -1836,29 +1836,22 @@ def cdc25_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence (a transport that silently skipped WAL records — the "
     "failure the reference's single-slot total order makes "
     "impossible but any Kafka-hop deployment must monitor). Every "
-    "97th position is deterministically dropped to simulate loss; "
-    "one ordered lag pass finds each gap's position and width. At "
-    "scale the lag runs per source partition (each partition's "
-    "offsets are independently dense)",
+    "97th position is deterministically dropped to simulate loss. "
+    "No global sort: operators/ordering.py lsn_gap_audit finds "
+    "adjacent-row gaps within fixed id blocks (partitioned lag) and "
+    "block-spanning gaps from the per-block min/max aggregate; a "
+    "partition_col variant covers multi-source deployments whose "
+    "offsets are independently dense",
     tags=("cdc", "audit", "integrity"),
 )
 def cdc26_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cdc_spark.operators.ordering import lsn_gap_audit
 
     events = load_table(spark, sf_dir, "events")
     seq = events.where(F.col("event_id") % 97 != 13).select(
         F.col("event_id").alias("lsn")
     )
-    w = Window.orderBy("lsn")
-    gaps = (
-        seq.withColumn("prev_lsn", F.lag("lsn").over(w))
-        .where(F.col("lsn") - F.col("prev_lsn") > 1)
-        .select(
-            F.col("prev_lsn").alias("gap_after"),
-            F.col("lsn").alias("resume_at"),
-            (F.col("lsn") - F.col("prev_lsn") - 1).alias("n_missing"),
-        )
-    )
+    gaps = lsn_gap_audit(seq, "lsn")
     return gaps.agg(
         F.count("*").cast("long").alias("n_gaps"),
         F.sum("n_missing").cast("long").alias("total_missing"),

@@ -293,13 +293,15 @@ def mm04_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assigns each item's start offset, and items bin into 512-token "
     "context windows by start (boundary spans allowed, dp03's "
     "convention). Per-window modality accounting is exact integers. "
-    "Same single-pass cumsum caveat as dp03: at scale the order key "
-    "range-partitions and the cumsum becomes a two-pass prefix sum",
+    "The cumsum is the distributed two-pass prefix sum "
+    "(range-partition on the order key, per-partition running sum, "
+    "broadcast partition offsets; operators/ordering.py) — no "
+    "single-reducer global window; the oracle's plain SUM OVER is "
+    "bit-identical",
     tags=("multimodal", "packing", "interleave"),
 )
 def mm05_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from cdc_spark.operators.ordering import distributed_prefix_sum
     from cdc_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -316,12 +318,12 @@ def mm05_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = text_items.unionByName(image_items).withColumn(
         "ord_key", F.md5(F.col("item_id").cast("string"))
     )
-    w = (
-        Window.orderBy("ord_key", "item_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = items.withColumn(
-        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    placed = distributed_prefix_sum(
+        items,
+        ["ord_key", "item_id"],
+        "n_tokens",
+        out_col="start_off",
+        inclusive=False,
     )
     t, i = F.col("modality") == "text", F.col("modality") == "image"
     return placed.groupBy(
@@ -333,4 +335,97 @@ def mm05_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(i, F.col("n_tokens"))), F.lit(0))
         .cast("long")
         .alias("image_tokens"),
+    )
+
+
+@register(
+    "mm06_scene_segmentation",
+    oracle="""
+    WITH ascii_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) = strlen(text) AND length(text) >= 64
+    ),
+    w AS (
+        SELECT doc_id, wi,
+               list_sum(list_transform(
+                   generate_series(wi * 64 + 1, wi * 64 + 64),
+                   i -> (ascii(text[i]) - 128) * (ascii(text[i]) - 128)
+               )) AS energy
+        FROM ascii_docs,
+             LATERAL unnest(generate_series(
+                 0, length(text) // 64 - 1)) t(wi)
+    ),
+    d AS (
+        SELECT doc_id, wi, energy,
+               energy - LAG(energy) OVER (
+                   PARTITION BY doc_id ORDER BY wi) AS diff
+        FROM w
+    ),
+    b AS (
+        SELECT doc_id, wi,
+               CASE WHEN diff IS NOT NULL AND abs(diff) > 1500
+                    THEN 1 ELSE 0 END AS is_b
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, wi,
+               SUM(is_b) OVER (PARTITION BY doc_id ORDER BY wi
+                               ROWS UNBOUNDED PRECEDING) AS scene_id
+        FROM b
+    ),
+    sl AS (
+        SELECT doc_id, scene_id, COUNT(*) AS len
+        FROM s GROUP BY doc_id, scene_id
+    )
+    SELECT doc_id AS item_id,
+           CAST(SUM(len) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_scenes,
+           CAST(MAX(len) AS BIGINT) AS longest_scene
+    FROM sl GROUP BY doc_id
+    """,
+    note="video/audio scene segmentation over the fake-decode seam: "
+    "per-frame energies (mm04's exact int64 framing, fan-out "
+    "mapInPandas — per-FRAME rows this time) cut into scenes where "
+    "the energy jumps by > 1500 between adjacent frames; "
+    "islands-trick running sum of boundary flags assigns scene ids. "
+    "Every window is partitioned by item (a video's frames, never "
+    "the corpus), so the shape scales with the longest clip, not "
+    "the archive; frame energies, boundaries and scene lengths are "
+    "all exact integers — hash-checked end to end",
+    tags=("multimodal", "video", "segmentation"),
+)
+def mm06_scene_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.multimodal import frame_energies
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") == F.octet_length("text"))
+        & (F.length("text") >= 64)
+    )
+    binary = attach_binary(docs, "text", "doc_id", modality="video")
+    frames = frame_energies(binary, window=64)
+    w = Window.partitionBy("item_id").orderBy("frame_idx")
+    flagged = frames.withColumn(
+        "is_b",
+        F.when(
+            F.abs(
+                F.col("energy") - F.lag("energy").over(w)
+            ) > 1500,
+            1,
+        ).otherwise(0),
+    )
+    scened = flagged.withColumn(
+        "scene_id",
+        F.sum("is_b").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    lengths = scened.groupBy("item_id", "scene_id").agg(
+        F.count("*").alias("len")
+    )
+    return lengths.groupBy("item_id").agg(
+        F.sum("len").cast("long").alias("n_frames"),
+        F.count("*").cast("long").alias("n_scenes"),
+        F.max("len").cast("long").alias("longest_scene"),
     )

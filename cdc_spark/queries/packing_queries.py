@@ -175,14 +175,15 @@ def dp04_length_bucket_batching(
     "highest band first, deterministically shuffled WITHIN each band "
     "by an md5 key (seeded-shuffle reproducibility across engines "
     "and runs — tx15's trick applied to curriculum learning). The "
-    "global position is a total order any trainer can replay; at "
-    "scale the same (band DESC, md5, id) sort key drives a "
-    "repartitionByRange write so shard files are curriculum-ordered",
+    "global position is a total order any trainer can replay — "
+    "computed as a distributed two-pass row number (range-partition "
+    "on the sort key, per-partition rank, broadcast partition "
+    "offsets; operators/ordering.py), never a single-reducer global "
+    "window; the oracle's plain ROW_NUMBER is bit-identical",
     tags=("packing", "curriculum", "ordering"),
 )
 def dp05_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from cdc_spark.operators.ordering import distributed_row_number
     from cdc_spark.operators.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -192,12 +193,12 @@ def dp05_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(q * 10), F.lit(9)).cast("long").alias("band"),
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
     )
-    w = Window.orderBy(
-        F.desc("band"), F.asc("shuffle_key"), F.asc("doc_id")
+    ordered = distributed_row_number(
+        banded,
+        [F.desc("band"), F.asc("shuffle_key"), F.asc("doc_id")],
+        out_col="position",
     )
-    return banded.select(
-        "doc_id", "band", F.row_number().over(w).cast("long").alias("position")
-    )
+    return ordered.select("doc_id", "band", "position")
 
 
 @register(
@@ -250,4 +251,87 @@ def dp06_epoch_shuffles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("position") <= 10)
         .select("epoch", "doc_id", "position")
+    )
+
+
+@register(
+    "dp07_curriculum_shard_write",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               ROUND(least(len(string_split(text, ' ')) / 64.0, 1.0)
+                     * (len(list_distinct(string_split(text, ' '))) * 1.0
+                        / len(string_split(text, ' ')))
+                     * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        * 1.0 / length(text)), 4) AS q
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id,
+               CAST(least(floor(q * 10), 9) AS BIGINT) AS band,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM scored
+    ),
+    positioned AS (
+        SELECT doc_id, band,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY band DESC, shuffle_key, doc_id
+               ) AS BIGINT) AS position
+        FROM banded
+    )
+    SELECT CAST(floor((position - 1) / 1024) AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(position) AS BIGINT) AS min_pos,
+           CAST(MAX(position) AS BIGINT) AS max_pos,
+           CAST(MIN(band) AS BIGINT) AS min_band,
+           CAST(MAX(band) AS BIGINT) AS max_band
+    FROM positioned GROUP BY 1
+    """,
+    note="curriculum-ordered shard MATERIALIZATION — the write path "
+    "dp05's note promises, actually executed: positions from the "
+    "distributed two-pass row number (operators/ordering.py), docs "
+    "written to parquet PARTITIONED BY 1024-doc shard, read back, "
+    "per-shard accounting gated. min/max position per shard prove "
+    "the shards tile the total order contiguously and min/max band "
+    "prove the curriculum (band never increases across shard "
+    "boundaries); hash equality through the write→read round-trip "
+    "proves the materialized layout preserves the order a trainer "
+    "replays",
+    tags=("packing", "curriculum", "ordering", "sink"),
+)
+def dp07_curriculum_shard_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.operators.ordering import distributed_row_number
+    from cdc_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_score("text"), 4)
+    banded = docs.select(
+        "doc_id",
+        F.least(F.floor(q * 10), F.lit(9)).cast("long").alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    ordered = distributed_row_number(
+        banded,
+        [F.desc("band"), F.asc("shuffle_key"), F.asc("doc_id")],
+        out_col="position",
+    )
+    sharded = ordered.select(
+        "doc_id",
+        "band",
+        "position",
+        F.floor((F.col("position") - 1) / 1024).cast("long").alias("shard"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="dp07_shards_")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("position").cast("long").alias("min_pos"),
+        F.max("position").cast("long").alias("max_pos"),
+        F.min("band").cast("long").alias("min_band"),
+        F.max("band").cast("long").alias("max_band"),
     )

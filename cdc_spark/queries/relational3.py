@@ -1272,15 +1272,22 @@ def q84_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 4).alias(f"{c}__max"),
         ]
     wide = li.agg(*aggs)
-    rows = None
+    # unpivot the single wide row with one stack(): the aggregate
+    # subtree (and its lineitem scan) appears ONCE in the plan — a
+    # 3-branch unionByName would re-reference it three times and rely
+    # on exchange reuse to dedupe the scans
+    stack_args: list = [F.lit(len(cols))]
     for c in cols:
-        r = wide.select(
-            F.lit(c).alias("col"),
-            F.col(f"{c}__n").alias("n"),
-            F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__ndv").alias("ndv"),
-            F.col(f"{c}__min").alias("min_v"),
-            F.col(f"{c}__max").alias("max_v"),
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__n"),
+            F.col(f"{c}__nulls"),
+            F.col(f"{c}__ndv"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return wide.select(
+        F.stack(*stack_args).alias(
+            "col", "n", "n_nulls", "ndv", "min_v", "max_v"
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    )

@@ -105,24 +105,77 @@ def ss02_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, "embedding", "vec_id", q, k=10)
 
 
+def _ivf_det_oracle(
+    *, k_centroids: int = 16, scale: int = 64, n_probe: int = 4, k: int = 10
+) -> str:
+    """DuckDB twin of the deterministic-codebook IVF path: centroids
+    are the first ``k_centroids`` corpus vectors integer-quantized
+    (half-up at ``scale``), so assignment argmax, probe pruning AND
+    the final exact-cosine ranking are all recomputed in SQL — the
+    integer dot products are exact in every engine, which is what
+    upgrades the IVF entries from rows-only to hash-checked."""
+    return f"""
+    WITH iq AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * {scale} + 0.5)) AS e
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT vec_id AS cid, e AS c FROM iq WHERE vec_id < {k_centroids}
+    ),
+    qv AS (SELECT e AS qe, embedding AS qemb FROM iq WHERE vec_id = 0),
+    probes AS (
+        SELECT cid FROM (
+            SELECT cb.cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(cb.c, qv.qe) DESC, cb.cid
+                   ) AS rn
+            FROM cb, qv
+        ) WHERE rn <= {n_probe}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT iq.vec_id, iq.embedding, cb.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY iq.vec_id
+                       ORDER BY list_dot_product(iq.e, cb.c) DESC, cb.cid
+                   ) AS rn
+            FROM iq, cb
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        qv.qemb::DOUBLE[]), 4) AS cosine_sim
+    FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN qv
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
 @register(
     "ss03_ivf_topk",
-    oracle=None,  # ANN with trained codebook: recall measured in tests
-    note="IVF ANN top-10: k-means(16) coarse quantizer (Lloyd, "
-    "deterministic seeded init), scan only the 4 nearest clusters — "
-    "at scale the corpus is partitioned by cluster id",
+    oracle=_ivf_det_oracle(),
+    note="IVF ANN top-10 with a deterministic integer-quantized "
+    "coarse quantizer (first-16-by-id seed centroids, half-up codes "
+    "at scale 64 — ss04's trick): assignment and probe pruning are "
+    "exact integer argmaxes, so the WHOLE ANN path is hash-checked "
+    "in SQL (the k-means trainer remains for learned codebooks; its "
+    "float iterations are measured by recall tests instead). Scans "
+    "only the 4 nearest clusters — at scale the corpus is "
+    "partitioned by cluster id",
     tags=("similarity", "ann", "ivf"),
 )
 def ss03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_spark.operators.ivf import ivf_topk, train_codebook
+    from cdc_spark.operators.ivf import deterministic_codebook, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    codebook = train_codebook(
-        emb, "embedding", "vec_id", k=16, iterations=2
+    codebook = deterministic_codebook(
+        emb, "embedding", "vec_id", k=16, scale=64
     )
     return ivf_topk(
-        emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4
+        emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4, scale=64
     )
 
 
@@ -208,30 +261,34 @@ def ss05_batch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ss06_ivf_persisted_index",
-    oracle=None,  # ANN over an engine-internal persisted index layout
+    oracle=_ivf_det_oracle(),
     note="persisted IVF index (the serving shape): corpus parquet "
     "partitioned by cluster id + sidecar codebook; a probe query "
     "prunes to n_probe cluster DIRECTORIES at planning time "
     "(PartitionFilters), never opening the rest — and incremental "
-    "adds append to their cluster partitions only. Answers match the "
-    "in-memory ivf_topk twin (asserted in tests) and recall vs exact "
-    "is measured there too",
+    "adds append to their cluster partitions only. Uses the "
+    "deterministic integer-quantized codebook, so the oracle "
+    "recomputes the on-disk partitioning AND the probe pruning "
+    "bit-for-bit — the index LAYOUT itself is hash-checked",
     tags=("similarity", "ann", "ivf", "index"),
 )
 def ss06_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from cdc_spark.operators.ivf import IvfIndex
+    from cdc_spark.operators.ivf import IvfIndex, deterministic_codebook
 
     emb = load_table(spark, sf_dir, "embeddings")
+    codebook = deterministic_codebook(
+        emb, "embedding", "vec_id", k=16, scale=64
+    )
     idx = IvfIndex.build(
         spark,
         tempfile.mkdtemp(prefix="ss06_ivf_"),
         emb,
         "embedding",
         "vec_id",
-        k=16,
-        iterations=2,
+        codebook=codebook,
+        scale=64,
     )
     q = _query_vector(spark, sf_dir, 0)
     return idx.topk(q, k=10, n_probe=4)
@@ -966,4 +1023,84 @@ def ss14_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("dot") / (F.sqrt(F.col("nl")) * F.sqrt(F.col("ng"))), 4
         ).alias("drift_cosine"),
+    )
+
+
+def _pq_adc_oracle(
+    *, m: int = 8, d_sub: int = 8, k_cent: int = 16, scale: int = 64,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of the PQ/ADC path: codebook (first-16-by-id
+    subvectors, half-up integer codes), per-subspace encoding argmin,
+    the query's m x k distance LUT, and the ADC fold are ALL
+    recomputed in SQL — squared distances via the integer-dot identity
+    ||x-c||^2 = x.x - 2 x.c + c.c, exact in any summation order."""
+    lo, hi = f"1+{d_sub}*", f"{d_sub}+{d_sub}*"
+    return f"""
+    WITH iq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * {scale} + 0.5)) AS e
+        FROM embeddings
+    ),
+    sp AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+    cb AS (
+        SELECT sp.s, iq.vec_id AS cid,
+               iq.e[{lo}sp.s : {hi}sp.s] AS c
+        FROM iq, sp WHERE iq.vec_id < {k_cent}
+    ),
+    codes AS (
+        SELECT vec_id, s, cid AS code FROM (
+            SELECT iq.vec_id, cb.s, cb.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY iq.vec_id, cb.s
+                       ORDER BY list_inner_product(cb.c, cb.c)
+                                - 2 * list_inner_product(
+                                      iq.e[{lo}cb.s : {hi}cb.s], cb.c),
+                                cb.cid
+                   ) AS rn
+            FROM iq, cb
+        ) WHERE rn = 1
+    ),
+    qv AS (SELECT e AS qe FROM iq WHERE vec_id = 0),
+    lut AS (
+        SELECT cb.s, cb.cid,
+               list_inner_product(qv.qe[{lo}cb.s : {hi}cb.s],
+                                  qv.qe[{lo}cb.s : {hi}cb.s])
+               - 2 * list_inner_product(qv.qe[{lo}cb.s : {hi}cb.s], cb.c)
+               + list_inner_product(cb.c, cb.c) AS d
+        FROM cb, qv
+    )
+    SELECT vec_id, adc_dist FROM (
+        SELECT codes.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc_dist
+        FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.cid
+        GROUP BY codes.vec_id
+    ) ORDER BY adc_dist, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "ss15_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    note="product-quantization ANN (the billion-scale memory shape): "
+    "8 subspaces x 16 deterministic integer centroids encode each "
+    "vector as 8 one-byte codes (16x compression vs float32); the "
+    "query precomputes one 8x16 integer distance LUT and every "
+    "corpus row scores as 8 table lookups over its codes — a "
+    "compressed-domain scan with no float math and no full-vector "
+    "read. Codebook, encoding argmin, LUT and ADC fold are all "
+    "exact integers, so the ENTIRE PQ path is hash-checked in SQL "
+    "(the ss03/ss06 technique extended to subspace quantization)",
+    tags=("similarity", "ann", "pq", "quantization"),
+)
+def ss15_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ivf import pq_adc_topk, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    codebook = pq_codebook(
+        emb, "embedding", "vec_id", dim=_EMB_DIM, m=8, k=16, scale=64
+    )
+    return pq_adc_topk(
+        emb, "embedding", "vec_id", q, codebook, k=10, scale=64
     )

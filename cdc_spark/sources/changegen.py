@@ -101,6 +101,16 @@ class ChangeGenStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["lsn"]), int(end["lsn"])
+        # Restart recovery: a fresh reader's _pos starts at 0, but the
+        # checkpointed start Spark hands us here is authoritative. Jump
+        # _pos forward so subsequent latestOffset calls never plan an
+        # end below the committed position (offset regression would
+        # replay already-applied LSN slices); the one batch planned
+        # before we learned the start degenerates to an empty range.
+        if self._pos < s:
+            self._pos = s
+        if e < s:
+            e = s
         n = max(1, self.n_parts)
         step = max(1, (e - s + n - 1) // n)
         return [
@@ -113,7 +123,8 @@ class ChangeGenStreamReader(DataSourceStreamReader):
             yield gen_row(lsn)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean up — the generator is stateless
+        # committed end is a floor for future offset planning too
+        self._pos = max(self._pos, int(end["lsn"]))
 
     def stop(self) -> None:
         pass

@@ -171,38 +171,71 @@ class CdcStreamPipeline:
         # micro-batch (crash between sink commit and checkpoint commit)
         # is recognized and skipped: exactly-once apply over the
         # at-least-once stream
-        v_prev = self.state.current_version() if self.cdf_path else None
         if self.aggregate is not None:
             self.aggregate.apply(typed, self.payload, batch_id=epoch_id)
         else:
             self.state.apply(typed, self.payload, batch_id=epoch_id)
         if self.cdf_path:
-            self._publish_cdf(v_prev)
+            self._publish_cdf()
 
-    def _publish_cdf(self, v_prev: int | None) -> None:
+    def _published_versions(self) -> set[int]:
+        """Versions already durably published: ``version=N`` partition
+        dirs carrying a ``_SUCCESS`` marker (a torn tail write lacks
+        the marker and is overwritten by the idempotent re-publish)."""
+        out = set()
+        try:
+            names = os.listdir(self.cdf_path)
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n.startswith("version=") and n[8:].isdigit():
+                if os.path.exists(
+                    os.path.join(self.cdf_path, n, "_SUCCESS")
+                ):
+                    out.add(int(n[8:]))
+        return out
+
+    def _publish_cdf(self) -> None:
+        """Publish every state version not yet durably in the feed.
+
+        Publication is NOT atomic with the state commit, so a crash
+        can land between them; deriving the work list from what is
+        actually on disk (rather than a remembered v_prev) makes the
+        feed self-healing: on the next batch — or a restart whose
+        replayed batch is an apply no-op — the missing versions are
+        backfilled. Each version writes to its own ``version=N``
+        partition directory with mode=overwrite, so a re-publish after
+        a torn write is idempotent (no duplicate feed rows), and plain
+        ``spark.read.parquet(cdf_path)`` still yields the ``version``
+        column via partition discovery. Retention contract: the state
+        versions needed for the diffs must not have been vacuumed past
+        the publication lag (``vacuum(keep_last=...)`` ≥ the gap).
+        """
         v_new = self.state.current_version()
-        if v_new is None or v_new == v_prev:
-            return  # empty / replayed batch: nothing committed
-        if v_prev is None:
-            # first version: the whole snapshot is a create feed (old
-            # images all null — nothing preceded it)
-            snap = self.state.read(version=v_new)
-            feed = snap.select(
-                F.lit("c").alias("op"),
-                *self.keys,
-                *self.payload,
-                *[
-                    F.lit(None)
-                    .cast(snap.schema[c].dataType)
-                    .alias(f"old_{c}")
-                    for c in self.payload
-                ],
+        if v_new is None:
+            return  # nothing committed yet
+        last_pub = max(self._published_versions(), default=0)
+        for v in range(last_pub + 1, v_new + 1):
+            if v == 1:
+                # first version: the whole snapshot is a create feed
+                # (old images all null — nothing preceded it)
+                snap = self.state.read(version=v)
+                feed = snap.select(
+                    F.lit("c").alias("op"),
+                    *self.keys,
+                    *self.payload,
+                    *[
+                        F.lit(None)
+                        .cast(snap.schema[c].dataType)
+                        .alias(f"old_{c}")
+                        for c in self.payload
+                    ],
+                )
+            else:
+                feed = self.state.version_diff(v - 1, v, include_old=True)
+            feed.write.mode("overwrite").parquet(
+                os.path.join(self.cdf_path, f"version={v}")
             )
-        else:
-            feed = self.state.version_diff(v_prev, v_new, include_old=True)
-        feed.withColumn("version", F.lit(v_new)).write.mode(
-            "append"
-        ).parquet(self.cdf_path)
 
     def start(
         self,

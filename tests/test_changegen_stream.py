@@ -48,3 +48,26 @@ def test_stream_rows_equal_batch_formula():
         for row in r.read(p)
     ]
     assert sorted(got) == [gen_row(i) for i in range(100)]
+
+
+def test_restart_recovers_committed_position():
+    """A fresh reader (post-restart) whose first planned batch carries
+    a checkpointed start ahead of its in-memory position must not
+    regress offsets below the committed start (that would replay
+    already-applied LSN slices)."""
+    r = _reader()
+    # restart: Spark hands the checkpointed start (60) with the stale
+    # end the fresh reader planned (30) -> empty range, position jumps
+    parts = r.partitions({"lsn": 60}, {"lsn": 30})
+    assert all(p.hi <= p.lo for p in parts)
+    # subsequent planning resumes FROM the committed position
+    assert r.latestOffset()["lsn"] == 90
+    parts = r.partitions({"lsn": 60}, {"lsn": 90})
+    spans = sorted((p.lo, p.hi) for p in parts)
+    assert spans[0][0] == 60 and spans[-1][1] == 90
+
+
+def test_commit_floors_future_offsets():
+    r = _reader()
+    r.commit({"lsn": 60})
+    assert r.latestOffset()["lsn"] == 90  # 60 + batch, not 0 + batch

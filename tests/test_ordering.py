@@ -1,0 +1,129 @@
+"""Distributed total-order primitives vs their single-reducer twins.
+
+operators/ordering.py exists so no corpus-sized input ever flows
+through an unpartitioned window (the guardrail in
+test_plan_guardrails.py bans that shape); these tests pin the
+bit-equality claim: the two-pass decompositions produce EXACTLY the
+rows a global window would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdc_spark.operators.ordering import (
+    distributed_prefix_sum,
+    distributed_row_number,
+    lsn_gap_audit,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+        )
+    )
+
+
+def test_row_number_matches_global_window(spark):
+    docs = _docs(spark)
+    got = {
+        (r.doc_id, r.position)
+        for r in distributed_row_number(
+            docs, [F.asc("k"), F.asc("doc_id")], num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("k", "doc_id")
+    want = {
+        (r.doc_id, r.position)
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("position")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_matches_global_window(spark):
+    docs = _docs(spark).withColumn(
+        "n", (F.col("doc_id") % 13 + 1).cast("long")
+    )
+    got = {
+        (r.doc_id, r.ps)
+        for r in distributed_prefix_sum(
+            docs,
+            ["k", "doc_id"],
+            "n",
+            out_col="ps",
+            inclusive=False,
+            num_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.doc_id, r.ps)
+        for r in docs.select(
+            "doc_id",
+            (F.sum("n").over(w) - F.col("n")).cast("long").alias("ps"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_row_number_is_dense_and_total(spark):
+    docs = _docs(spark)
+    out = distributed_row_number(
+        docs, [F.asc("k"), F.asc("doc_id")], num_partitions=5
+    )
+    n = out.count()
+    stats = out.agg(
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+        F.countDistinct("position").alias("d"),
+    ).first()
+    assert (stats.lo, stats.hi, stats.d) == (1, n, n)
+
+
+def _gaps(df):
+    return {
+        (r.gap_after, r.resume_at, r.n_missing) for r in df.collect()
+    }
+
+
+def test_gap_audit_within_and_across_blocks(spark):
+    present = [
+        i
+        for i in range(100)
+        if i not in {10, 55, 56} and not (48 <= i < 64)
+    ]
+    df = spark.createDataFrame([(i,) for i in present], "lsn long")
+    # block_size=16: block 3 (48..63) vanishes ENTIRELY (the
+    # wholly-missing-block case only the per-block min/max aggregate
+    # can see); 10 is interior; 55/56 are gone with their block
+    got = _gaps(lsn_gap_audit(df, "lsn", block_size=16))
+    want = set()
+    for prev, cur in zip(present, present[1:]):
+        if cur - prev > 1:
+            want.add((prev, cur, cur - prev - 1))
+    assert got == want
+
+
+def test_gap_audit_per_partition_col(spark):
+    rows = [("a", i) for i in range(20) if i != 7] + [
+        ("b", i) for i in range(20) if i not in {3, 4}
+    ]
+    df = spark.createDataFrame(rows, "src string, lsn long")
+    got = {
+        (r.src, r.gap_after, r.resume_at, r.n_missing)
+        for r in lsn_gap_audit(
+            df, "lsn", partition_col="src"
+        ).collect()
+    }
+    assert got == {("a", 6, 8, 1), ("b", 2, 5, 2)}

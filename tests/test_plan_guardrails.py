@@ -16,7 +16,13 @@ be provably bounded:
 - every ``BroadcastNestedLoopJoinExec`` is one of the deliberate
   1-row cross joins (build side holds an ungrouped aggregate — the
   ``merge.py`` t_agg / ``text_queries.py`` corpus-scalar pattern), so
-  it degenerates to a map-side scalar attach, never an O(n·m) loop.
+  it degenerates to a map-side scalar attach, never an O(n·m) loop;
+- no unpartitioned window over raw data: every ``WindowExec`` /
+  ``WindowGroupLimitExec`` with an empty partitionSpec must sit over
+  an aggregate (the two-pass prefix-sum offsets pattern of
+  ``operators/ordering.py`` — input bounded by partition/block/group
+  count, not by data) — a global window straight over a table scan is
+  THE single-reducer shape that cannot survive 100 TB.
 
 Streaming-tagged queries are skipped: their returned frame is a
 memory-sink scan; their per-batch plans exercise the same operators
@@ -69,11 +75,44 @@ def _has_ungrouped_agg(subtree) -> bool:
     return False
 
 
+def _has_any_agg(subtree) -> bool:
+    """Any aggregate (grouped or not) below: a global window over an
+    aggregate's output is bounded by group count, not data rows."""
+    return any("AggregateExec" in _cls(n) for n in _walk(subtree))
+
+
+def _has_partition_id_agg(subtree) -> bool:
+    """Aggregate grouped solely by SPARK_PARTITION_ID-derived keys:
+    output rows ≤ partition count (the operators/ordering.py offsets
+    pattern), bounded at any data scale."""
+    for n in _walk(subtree):
+        if "AggregateExec" in _cls(n):
+            ge = n.groupingExpressions()
+            if ge.isEmpty():
+                continue
+            names = [ge.apply(i).name() for i in range(ge.size())]
+            below = n.child().toString()
+            if all(
+                f"SPARK_PARTITION_ID() AS {name}#" in below
+                for name in names
+            ):
+                return True
+    return False
+
+
 def _broadcast_subtree_bounded(exchange) -> bool:
-    if _has_ungrouped_agg(exchange):
+    if _has_ungrouped_agg(exchange) or _has_partition_id_agg(exchange):
         return True
     scans = _scan_files(exchange)
     return all(s in BOUNDED_DIMS for s in scans)
+
+
+# Documented single-reducer exceptions: queries whose GLOBAL window is
+# the semantics, not an accident. cdc10 decodes ONE replication slot's
+# binary stream — a total order by definition; parse_pgoutput_binary
+# itself raises/warns on multi-partition input and takes a
+# partition_col for fan-out transports (cdc/pgoutput_wire.py).
+_GLOBAL_WINDOW_OK = {"cdc10_pgoutput_binary"}
 
 
 _BATCH_QUERIES = sorted(
@@ -122,5 +161,16 @@ def test_plan_guardrails(guard_spark, name):
                 problems.append(
                     "forced broadcast of an unbounded subtree (scans: "
                     f"{_scan_files(node)})"
+                )
+        elif cls in ("WindowExec", "WindowGroupLimitExec"):
+            if (
+                name not in _GLOBAL_WINDOW_OK
+                and node.partitionSpec().isEmpty()
+                and not _has_any_agg(node.children().apply(0))
+            ):
+                problems.append(
+                    f"unpartitioned {cls} over non-aggregated input "
+                    "(single-reducer global window — use "
+                    "operators/ordering.py's two-pass decomposition)"
                 )
     assert not problems, f"{name}: {'; '.join(problems)}"

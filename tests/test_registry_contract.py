@@ -19,8 +19,8 @@ ROWS_ONLY_WHITELIST = {
     "q31_approx_stats",          # HLL / approx-percentile sketches
     "dp01_sequence_packing",     # sequential next-fit fold
     "dp02_packing_efficiency",   # derived from dp01's fold
-    "ss03_ivf_topk",             # trained k-means codebook
-    "ss06_ivf_persisted_index",  # same codebook, persisted layout
+    # ss03/ss06 left this set in round 6: the deterministic
+    # integer-quantized codebook made the IVF path hash-checkable
 }
 
 

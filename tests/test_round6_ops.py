@@ -1,0 +1,139 @@
+"""Round-6 operators: PQ/ADC, curriculum shard write, scene
+segmentation, Z-order layout — structural/scale properties beyond the
+oracle hash checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_pq_codes_bounded_and_self_distance_zero(spark):
+    from cdc_spark.operators.ivf import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _emb(spark)
+    cb = pq_codebook(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    assert len(cb) == 8 and all(len(s) == 16 for s in cb)
+    assert all(len(c) == 8 for s in cb for c in s)
+
+    coded = pq_encode(emb, "embedding", cb)
+    bounds = coded.agg(
+        *[F.min(f"pq{s}").alias(f"lo{s}") for s in range(8)],
+        *[F.max(f"pq{s}").alias(f"hi{s}") for s in range(8)],
+    ).first()
+    for s in range(8):
+        assert 0 <= bounds[f"lo{s}"] and bounds[f"hi{s}"] < 16
+
+    # vector 0 is itself the 0th seed centroid in every subspace: its
+    # codes reconstruct exactly, so its ADC distance to itself is 0
+    # and it ranks first
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = pq_adc_topk(emb, "embedding", "vec_id", q, cb, k=5).collect()
+    assert top[0].vec_id == 0 and top[0].adc_dist == 0
+    # distances are sorted ascending with id tiebreak
+    dists = [r.adc_dist for r in top]
+    assert dists == sorted(dists)
+
+
+def test_pq_adc_overlaps_exact_topk(spark):
+    """ADC is an approximation; sanity-floor its quality: the exact
+    cosine top-10 and the ADC top-10 for the same probe share
+    members (beyond the trivial self-match)."""
+    from cdc_spark.operators.ivf import pq_adc_topk, pq_codebook
+    from cdc_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cb = pq_codebook(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    adc = {
+        r.vec_id
+        for r in pq_adc_topk(
+            emb, "embedding", "vec_id", q, cb, k=10
+        ).collect()
+    }
+    exact = {
+        r.vec_id
+        for r in cosine_topk(emb, "embedding", "vec_id", q, 10).collect()
+    }
+    assert len(adc & exact) >= 2
+
+
+def test_curriculum_shards_tile_the_total_order(spark):
+    from cdc_spark.queries import REGISTRY
+
+    stats = sorted(
+        REGISTRY["dp07_curriculum_shard_write"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.shard,
+    )
+    # shards tile positions contiguously in 1024-doc capacity
+    for r in stats:
+        assert r.min_pos == r.shard * 1024 + 1
+        assert r.max_pos - r.min_pos + 1 == r.n_docs <= 1024
+    # curriculum: band never increases across shard boundaries
+    for cur, nxt in zip(stats, stats[1:]):
+        assert nxt.max_band <= cur.min_band
+
+
+def test_frame_energies_known_boundary(spark):
+    from cdc_spark.operators.multimodal import frame_energies
+
+    payload = bytes([128] * 64 + [178] * 64)
+    df = spark.createDataFrame(
+        [(0, payload)], "item_id long, payload binary"
+    )
+    rows = sorted(
+        frame_energies(df, window=64).collect(), key=lambda r: r.frame_idx
+    )
+    assert [(r.frame_idx, r.energy) for r in rows] == [
+        (0, 0),
+        (1, 50 * 50 * 64),
+    ]
+
+
+def test_zorder_layout_skips_files_on_second_dimension(spark, tmp_path):
+    """The point of Z-order: a predicate on the SECOND dimension prunes
+    files, where a layout sorted by the first dimension scatters that
+    dimension across every file."""
+    from cdc_spark.queries.io_queries import morton2
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("a"),
+        (F.col("event_id") % 1024).alias("b"),
+    )
+    z_dir, a_dir = str(tmp_path / "z"), str(tmp_path / "a")
+    (
+        events.withColumn("z", morton2(F.col("a"), F.col("b")))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.parquet(z_dir)
+    )
+    (
+        events.repartitionByRange(8, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(a_dir)
+    )
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where(F.col("b").between(200, 231))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    z_files, a_files = files_touched(z_dir), files_touched(a_dir)
+    # b in [200,231] fixes b9=b8=0 — two of the three top Morton bits
+    # that bound 8 range-partitioned files -> at most ~2 files carry
+    # matches; the a-sorted layout spreads them everywhere
+    assert z_files < a_files

@@ -496,3 +496,65 @@ def test_running_totals_tws_requires_protobuf(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_cdf_publication_backfills_after_crash(spark, dirs):
+    """Publication is not atomic with the state commit: a crash after
+    state.apply() but before the feed append must not lose that
+    version's feed forever. _publish_cdf derives its work list from
+    the version=N dirs on disk, so the NEXT publish backfills the
+    hole and replaying the feed still reproduces the state (the
+    st14/st16 closure)."""
+    from cdc_spark.cdc.merge import apply_changes
+
+    os.makedirs(dirs["src"], exist_ok=True)
+    cdf = os.path.join(os.path.dirname(dirs["state"]), "cdf")
+    pipe = CdcStreamPipeline(
+        spark,
+        _users_registry(),
+        "public",
+        "users",
+        keys=["id"],
+        payload=["firstname", "lastname"],
+        state_path=dirs["state"],
+        cdf_path=cdf,
+    )
+
+    def batch(*docs):
+        return spark.createDataFrame(
+            [(d,) for d in docs], "value string"
+        )
+
+    pipe.apply_batch(batch(_wal_doc("insert", [1, "A", "B"])), 0)
+    assert pipe._published_versions() == {1}
+
+    # crash window: v2 commits to state, publication never runs
+    saved = pipe.cdf_path
+    pipe.cdf_path = None
+    pipe.apply_batch(
+        batch(_wal_doc("update", [1, "A2", "B"], keys=[1])), 1
+    )
+    pipe.cdf_path = saved
+    assert pipe._published_versions() == {1}  # v2 is the hole
+
+    # next batch publishes v3 AND backfills v2
+    pipe.apply_batch(batch(_wal_doc("insert", [2, "C", "D"])), 2)
+    assert pipe._published_versions() == {1, 2, 3}
+
+    # the closure: replaying the published feed == the state
+    feed = spark.read.parquet(cdf)
+    replayed = apply_changes(
+        None,
+        feed,
+        ["id"],
+        ["firstname", "lastname"],
+        lsn_col="version",
+        op_col="op",
+        may_truncate=False,
+    )
+    got = {(r.id, r.firstname, r.lastname) for r in replayed.collect()}
+    want = {
+        (r.id, r.firstname, r.lastname)
+        for r in pipe.state.read().collect()
+    }
+    assert got == want == {(1, "A2", "B"), (2, "C", "D")}
