@@ -104,6 +104,8 @@ _R7_NEXT = (
     "dp07_curriculum_shard_write",
     "mm06_scene_segmentation",
     "io15_zorder_layout",
+    "dp08_striped_packing",
+    "pu06_map_in_arrow",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

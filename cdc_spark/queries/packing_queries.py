@@ -335,3 +335,55 @@ def dp07_curriculum_shard_write(
         F.min("band").cast("long").alias("min_band"),
         F.max("band").cast("long").alias("max_band"),
     )
+
+
+@register(
+    "dp08_striped_packing",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM sized
+    )
+    SELECT CAST((rn - 1) % 64 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens
+    FROM ranked GROUP BY 1
+    """,
+    note="striped (longest-processing-time-ish) packing into 64 "
+    "balanced worker bins: docs ranked by token count descending via "
+    "the distributed two-pass row number (operators/ordering.py), "
+    "bin = rank mod 64 — round-robin over the sorted order bounds "
+    "every bin's total within one max-doc of the mean, the classic "
+    "deterministic alternative to sequential first-fit (dp01) that "
+    "IS SQL-expressible, so the balanced assignment itself is "
+    "hash-checked. The shape data-parallel tokenization/training "
+    "jobs use to keep stragglers bounded",
+    tags=("packing", "balancing", "ordering"),
+)
+def dp08_striped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ordering import distributed_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    ranked = distributed_row_number(
+        sized, [F.desc("n_tokens"), F.asc("doc_id")], out_col="rn"
+    )
+    return ranked.groupBy(
+        ((F.col("rn") - 1) % 64).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+    )

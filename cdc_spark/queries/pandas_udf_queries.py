@@ -251,3 +251,46 @@ def pu05_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("last_event_id").cast("long").alias("n_matched"),
         F.max("last_event_id").cast("long").alias("max_event_id"),
     )
+
+
+@register(
+    "pu06_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    note="mapInArrow: the zero-copy Python surface below mapInPandas "
+    "— the function consumes and yields pyarrow RecordBatches "
+    "directly (no pandas materialization, no index/dtype "
+    "round-trip), all columnar work done by Arrow compute kernels "
+    "(binary_length, split_pattern list lengths). The right seam "
+    "for byte-level media/tokenizer integrations where pandas "
+    "object-boxing would dominate; per-doc byte and token counts "
+    "are exact integers, hash-checked",
+    tags=("udf", "arrow", "mapinarrow"),
+)
+def pu06_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for b in batches:
+            text = b.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.binary_length(text).cast(pa.int64()),
+                    pc.list_value_length(
+                        pc.split_pattern(text, " ")
+                    ).cast(pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_tokens"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id long, n_bytes long, n_tokens long"
+    )

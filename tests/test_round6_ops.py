@@ -137,3 +137,25 @@ def test_zorder_layout_skips_files_on_second_dimension(spark, tmp_path):
     # that bound 8 range-partitioned files -> at most ~2 files carry
     # matches; the a-sorted layout spreads them everywhere
     assert z_files < a_files
+
+
+def test_striped_packing_bins_balanced(spark):
+    from cdc_spark.queries import REGISTRY
+
+    bins = REGISTRY["dp08_striped_packing"].fn(spark, SF_SMOKE).collect()
+    assert len(bins) == 64
+    totals = [r.total_tokens for r in bins]
+    max_doc = max(r.max_tokens for r in bins)
+    # striping bounds every bin within one max-doc of the mean
+    mean = sum(totals) / len(totals)
+    assert max(totals) - min(totals) <= 2 * max_doc
+    assert all(abs(t - mean) <= max_doc for t in totals)
+
+
+def test_map_in_arrow_plan_is_arrow_side(spark):
+    from cdc_spark.queries import REGISTRY
+
+    df = REGISTRY["pu06_map_in_arrow"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "BatchEvalPython" not in plan
