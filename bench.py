@@ -55,6 +55,7 @@ HEADLINE = [
     "q74_series_similarity",     # aligned-bucket Pearson correlation top-k
     "dp05_curriculum_order",     # distributed two-pass global row number
     "mm05_interleaved_packing",  # distributed two-pass prefix-sum packing
+    "ss15_pq_adc_topk",          # PQ compressed-domain ADC scan
 ]
 
 

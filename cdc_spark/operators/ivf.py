@@ -270,21 +270,42 @@ def pq_encode(
     """
     m = len(codebook)
     d_sub = len(codebook[0][0])
-    qe = quantize_expr(F.col(embedding_col), scale)
-    out = df
+    dim = m * d_sub
+    base = list(df.columns)
+    # Built as SQL STRINGS, not Column trees: composing the ~10k-node
+    # scoring expression object-by-object costs ~5 s of py4j round
+    # trips PER PLAN BUILD (measured; execution itself is <1 s at
+    # sf0.1) — one selectExpr string per stage hands the whole tree
+    # to the JVM parser in a single call. Staged projections:
+    # 1) quantize each element once,
+    q_stage = df.selectExpr(
+        "*",
+        *[
+            f"CAST(floor(CAST(element_at({embedding_col}, {i + 1}) AS"
+            f" DOUBLE) * {scale} + 0.5) AS BIGINT) AS __pqq{i}"
+            for i in range(dim)
+        ],
+    )
+    # 2) per-subspace score arrays as flat integer polynomials
+    #    (whole-stage-codegen'd multiply-adds; no interpreted HOFs),
+    score_exprs = []
     for s in range(m):
-        sub = F.slice(qe, s * d_sub + 1, d_sub)
-        scores = F.array(
-            *[
-                F.lit(_sq_norm(c)) - 2 * dot(sub, F.array(*[F.lit(x) for x in c]))
-                for c in codebook[s]
-            ]
-        )
-        code = (F.array_position(scores, F.array_min(scores)) - 1).cast(
-            "int"
-        )
-        out = out.withColumn(f"{code_prefix}{s}", code)
-    return out
+        cells = []
+        for c in codebook[s]:
+            terms = " + ".join(
+                f"(__pqq{s * d_sub + i} * {-2 * int(c[i])})"
+                for i in range(d_sub)
+            )
+            cells.append(f"({_sq_norm(c)} + {terms})")
+        score_exprs.append(f"array({', '.join(cells)}) AS __pqs{s}")
+    s_stage = q_stage.selectExpr(*base, *score_exprs)
+    # 3) argmin -> code (first max of array_position: lowest id ties)
+    code_exprs = [
+        f"CAST(array_position(__pqs{s}, array_min(__pqs{s})) - 1"
+        f" AS INT) AS {code_prefix}{s}"
+        for s in range(m)
+    ]
+    return s_stage.selectExpr(*base, *code_exprs)
 
 
 def pq_adc_topk(
@@ -316,16 +337,14 @@ def pq_adc_topk(
             ]
         )
     coded = pq_encode(df, embedding_col, codebook, scale=scale)
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in luts[s]]),
-            F.col(f"pq{s}") + 1,
-        )
-        adc = term if adc is None else adc + term
+    adc_sql = " + ".join(
+        f"element_at(array({', '.join(str(v) for v in luts[s])}),"
+        f" pq{s} + 1)"
+        for s in range(m)
+    )
     return (
-        coded.select(
-            F.col(id_col), adc.cast("long").alias("adc_dist")
+        coded.selectExpr(
+            id_col, f"CAST({adc_sql} AS BIGINT) AS adc_dist"
         )
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
