@@ -106,6 +106,7 @@ _R7_NEXT = (
     "io15_zorder_layout",
     "dp08_striped_packing",
     "pu06_map_in_arrow",
+    "q85_pivot_matrix",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

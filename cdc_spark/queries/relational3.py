@@ -1291,3 +1291,51 @@ def q84_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "col", "n", "n_nulls", "ndv", "min_v", "max_v"
         )
     )
+
+
+@register(
+    "q85_pivot_matrix",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+               AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+               AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+               AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+               AS view,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY 1
+    """,
+    note="PIVOT surface: per-day event-type activity matrix via "
+    "groupBy().pivot() with an EXPLICIT value list — the explicit "
+    "list matters at scale (without it Spark runs an eager distinct "
+    "scan to discover columns before planning) and makes the output "
+    "schema deterministic for the oracle, which spells the same "
+    "matrix as conditional-count columns. One hash aggregate, "
+    "map-side partials, no shuffle beyond the groupBy key",
+    tags=("relational", "pivot", "matrix"),
+)
+def q85_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    pivoted = (
+        events.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    totals = (
+        events.select(day)
+        .groupBy("day")
+        .agg(F.count("*").alias("total"))
+    )
+    out = pivoted.join(totals, "day")
+    return out.select(
+        "day", *[F.col(t).cast("long").alias(t) for t in types], "total"
+    )

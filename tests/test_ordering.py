@@ -127,3 +127,84 @@ def test_gap_audit_per_partition_col(spark):
         ).collect()
     }
     assert got == {("a", 6, 8, 1), ("b", 2, 5, 2)}
+
+
+# --- property tests: the two-pass decompositions vs the single-window
+# truth on arbitrary (possibly skewed, duplicate-laden) inputs -------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_vals = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),  # sort key (dups ok)
+        st.integers(min_value=0, max_value=50),        # value
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_vals)
+def test_prefix_sum_property(spark, rows):
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, k long, v long")
+    got = {
+        r.uid: r.ps
+        for r in distributed_prefix_sum(
+            df, ["k", "uid"], "v", out_col="ps", num_partitions=4
+        ).collect()
+    }
+    ordered = sorted(data, key=lambda t: (t[1], t[0]))
+    run, want = 0, {}
+    for uid, _, v in ordered:
+        run += v
+        want[uid] = run
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_vals)
+def test_row_number_property(spark, rows):
+    data = [(i, k) for i, (k, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, k long")
+    got = {
+        r.uid: r.position
+        for r in distributed_row_number(
+            df, [F.desc("k"), F.asc("uid")], num_partitions=4
+        ).collect()
+    }
+    ordered = sorted(data, key=lambda t: (-t[1], t[0]))
+    want = {uid: i + 1 for i, (uid, _) in enumerate(ordered)}
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    present=st.sets(
+        st.integers(min_value=0, max_value=400), min_size=2, max_size=120
+    )
+)
+def test_gap_audit_property(spark, present):
+    df = spark.createDataFrame([(i,) for i in sorted(present)], "lsn long")
+    got = _gaps(lsn_gap_audit(df, "lsn", block_size=16))
+    seq = sorted(present)
+    want = {
+        (a, b, b - a - 1)
+        for a, b in zip(seq, seq[1:])
+        if b - a > 1
+    }
+    assert got == want
