@@ -107,6 +107,7 @@ _R7_NEXT = (
     "dp08_striped_packing",
     "pu06_map_in_arrow",
     "q85_pivot_matrix",
+    "ss16_pq_persisted_index",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -480,3 +480,118 @@ class IvfIndex:
             k,
             round_digits=round_digits,
         )
+
+
+class PqIndex:
+    """Persisted PQ code index: the serving/storage shape of the
+    compressed-domain scan.
+
+    ``pq_adc_topk`` re-encodes the corpus per query; the index instead
+    stores ONLY the m one-byte codes per vector (plus the id) — at
+    m=8 over 64 float32 dims that is a 16x smaller scan — with the
+    frozen integer codebook in a sidecar JSON. Queries never touch the
+    embedding column at all: the ADC LUT folds over the code columns.
+    New vectors encode against the frozen codebook and append
+    (codebook drift handled by rebuild, the standard PQ practice —
+    same contract as :class:`IvfIndex`). Pairs with IvfIndex at scale:
+    cluster-partitioned directories of code files give IVF-PQ."""
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "CODEBOOK.json")) as fh:
+            meta = json.load(fh)
+        self.codebook = meta["codebook"]
+        self.embedding_col = meta["embedding_col"]
+        self.id_col = meta["id_col"]
+        self.scale = meta["scale"]
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        path: str,
+        df: DataFrame,
+        embedding_col: str,
+        id_col: str,
+        *,
+        codebook: list[list[list[int]]],
+        scale: int = 64,
+    ) -> "PqIndex":
+        import json
+        import os
+
+        coded = pq_encode(df, embedding_col, codebook, scale=scale)
+        m = len(codebook)
+        coded.select(id_col, *[f"pq{s}" for s in range(m)]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "codes"))
+        payload = json.dumps(
+            {
+                "codebook": codebook,
+                "embedding_col": embedding_col,
+                "id_col": id_col,
+                "scale": scale,
+            }
+        )
+        tmp = os.path.join(path, "CODEBOOK.json.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, "CODEBOOK.json"))
+        return cls(spark, path)
+
+    def add(self, df: DataFrame) -> None:
+        """Encode new vectors against the FROZEN codebook, append
+        their codes — O(batch), the existing code files are never
+        rewritten or read."""
+        import os
+
+        coded = pq_encode(
+            df, self.embedding_col, self.codebook, scale=self.scale
+        )
+        m = len(self.codebook)
+        coded.select(
+            self.id_col, *[f"pq{s}" for s in range(m)]
+        ).write.mode("append").parquet(os.path.join(self.path, "codes"))
+
+    def codes(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.path, "codes"))
+
+    def topk(self, query_vec: Sequence[float], *, k: int = 10) -> DataFrame:
+        """ADC top-k over the code table alone — the scan reads
+        m+1 small integer columns, never an embedding byte."""
+        m = len(self.codebook)
+        d_sub = len(self.codebook[0][0])
+        qq = quantize_vec(query_vec, self.scale)
+        adc_sql = " + ".join(
+            "element_at(array({}), pq{} + 1)".format(
+                ", ".join(
+                    str(
+                        _sq_norm(
+                            [
+                                a - b
+                                for a, b in zip(
+                                    qq[s * d_sub : (s + 1) * d_sub], c
+                                )
+                            ]
+                        )
+                    )
+                    for c in self.codebook[s]
+                ),
+                s,
+            )
+            for s in range(m)
+        )
+        return (
+            self.codes()
+            .selectExpr(
+                self.id_col, f"CAST({adc_sql} AS BIGINT) AS adc_dist"
+            )
+            .orderBy(F.asc("adc_dist"), F.asc(self.id_col))
+            .limit(k)
+        )

@@ -1104,3 +1104,44 @@ def ss15_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, "embedding", "vec_id", q, codebook, k=10, scale=64
     )
+
+
+@register(
+    "ss16_pq_persisted_index",
+    oracle=_pq_adc_oracle(),
+    note="persisted PQ code index (the storage half of IVF-PQ "
+    "serving): the corpus stores ONLY id + 8 one-byte codes (16x "
+    "smaller scan than the float vectors) with the frozen integer "
+    "codebook in a sidecar; queries fold the ADC LUT over the code "
+    "columns and never read an embedding byte. Built from the first "
+    "half of the corpus then INCREMENTALLY extended with the second "
+    "half (append-only against the frozen codebook — O(batch), "
+    "existing code files untouched); the probe result hash-matches "
+    "ss15's one-shot encoding of the full corpus, proving the "
+    "incremental build converges to the same index",
+    tags=("similarity", "ann", "pq", "index", "incremental"),
+)
+def ss16_pq_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.operators.ivf import PqIndex, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.agg(
+        F.percentile_approx("vec_id", 0.5, 1).cast("long")
+    ).first()[0]
+    codebook = pq_codebook(
+        emb, "embedding", "vec_id", dim=_EMB_DIM, m=8, k=16, scale=64
+    )
+    idx = PqIndex.build(
+        spark,
+        tempfile.mkdtemp(prefix="ss16_pq_"),
+        emb.where(F.col("vec_id") <= mid),
+        "embedding",
+        "vec_id",
+        codebook=codebook,
+        scale=64,
+    )
+    idx.add(emb.where(F.col("vec_id") > mid))
+    q = _query_vector(spark, sf_dir, 0)
+    return idx.topk(q, k=10)

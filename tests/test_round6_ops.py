@@ -159,3 +159,42 @@ def test_map_in_arrow_plan_is_arrow_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_index_scan_never_reads_embeddings(spark, tmp_path):
+    """The compressed-domain contract: the persisted code table holds
+    no embedding column, and a probe's scan schema is id + codes
+    only."""
+    from cdc_spark.operators.ivf import PqIndex, pq_codebook
+
+    emb = _emb(spark)
+    cb = pq_codebook(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    idx = PqIndex.build(
+        spark, str(tmp_path / "pq"), emb, "embedding", "vec_id",
+        codebook=cb,
+    )
+    assert "embedding" not in idx.codes().columns
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    plan = idx.topk(q)._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan
+
+
+def test_pq_index_incremental_equals_one_shot(spark, tmp_path):
+    from cdc_spark.operators.ivf import PqIndex, pq_adc_topk, pq_codebook
+
+    emb = _emb(spark)
+    cb = pq_codebook(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    idx = PqIndex.build(
+        spark, str(tmp_path / "pq"), emb.where(F.col("vec_id") < 100),
+        "embedding", "vec_id", codebook=cb,
+    )
+    idx.add(emb.where(F.col("vec_id") >= 100))
+    q = emb.where(F.col("vec_id") == 7).first()["embedding"]
+    got = [(r.vec_id, r.adc_dist) for r in idx.topk(q, k=8).collect()]
+    want = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_adc_topk(
+            emb, "embedding", "vec_id", q, cb, k=8
+        ).collect()
+    ]
+    assert got == want
