@@ -108,6 +108,7 @@ _R7_NEXT = (
     "pu06_map_in_arrow",
     "q85_pivot_matrix",
     "ss16_pq_persisted_index",
+    "ss17_ivfpq_index",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

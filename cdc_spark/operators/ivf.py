@@ -595,3 +595,119 @@ class PqIndex:
             .orderBy(F.asc("adc_dist"), F.asc(self.id_col))
             .limit(k)
         )
+
+
+class IvfPqIndex:
+    """IVF-PQ: the combined production ANN layout (the public FAISS
+    IVFPQ shape re-expressed as a lake layout).
+
+    Codes parquet is PARTITIONED BY the coarse cluster id: a probe
+    prunes to ``n_probe`` cluster DIRECTORIES at planning time (the
+    IvfIndex property) and inside them scans only id + m one-byte
+    codes (the PqIndex property) — ~(n_probe/k) x (1/16) of the
+    corpus bytes. Both quantizers are the deterministic integer
+    kind, so the full path (coarse assignment, partition pruning, PQ
+    encoding, ADC ranking) is recomputable by a SQL oracle."""
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "INDEX.json")) as fh:
+            meta = json.load(fh)
+        self.coarse = meta["coarse"]
+        self.codebook = meta["codebook"]
+        self.embedding_col = meta["embedding_col"]
+        self.id_col = meta["id_col"]
+        self.scale = meta["scale"]
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        path: str,
+        df: DataFrame,
+        embedding_col: str,
+        id_col: str,
+        *,
+        coarse: list[list[int]],
+        codebook: list[list[list[int]]],
+        scale: int = 64,
+    ) -> "IvfPqIndex":
+        import json
+        import os
+
+        assigned = ivf_assign(df, embedding_col, coarse, scale=scale)
+        coded = pq_encode(assigned, embedding_col, codebook, scale=scale)
+        m = len(codebook)
+        (
+            coded.select(
+                id_col, "cluster", *[f"pq{s}" for s in range(m)]
+            )
+            .repartition(len(coarse), F.col("cluster"))
+            .write.partitionBy("cluster")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "codes"))
+        )
+        payload = json.dumps(
+            {
+                "coarse": coarse,
+                "codebook": codebook,
+                "embedding_col": embedding_col,
+                "id_col": id_col,
+                "scale": scale,
+            }
+        )
+        tmp = os.path.join(path, "INDEX.json.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, "INDEX.json"))
+        return cls(spark, path)
+
+    def topk(
+        self,
+        query_vec: Sequence[float],
+        *,
+        k: int = 10,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        import os
+
+        probes = probe_order(query_vec, self.coarse, scale=self.scale)[
+            :n_probe
+        ]
+        m = len(self.codebook)
+        d_sub = len(self.codebook[0][0])
+        qq = quantize_vec(query_vec, self.scale)
+        adc_sql = " + ".join(
+            "element_at(array({}), pq{} + 1)".format(
+                ", ".join(
+                    str(
+                        _sq_norm(
+                            [
+                                a - b
+                                for a, b in zip(
+                                    qq[s * d_sub : (s + 1) * d_sub], c
+                                )
+                            ]
+                        )
+                    )
+                    for c in self.codebook[s]
+                ),
+                s,
+            )
+            for s in range(m)
+        )
+        codes = self.spark.read.parquet(
+            os.path.join(self.path, "codes")
+        )
+        return (
+            codes.where(F.col("cluster").isin(probes))
+            .selectExpr(
+                self.id_col, f"CAST({adc_sql} AS BIGINT) AS adc_dist"
+            )
+            .orderBy(F.asc("adc_dist"), F.asc(self.id_col))
+            .limit(k)
+        )

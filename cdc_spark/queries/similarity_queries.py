@@ -1145,3 +1145,133 @@ def ss16_pq_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.add(emb.where(F.col("vec_id") > mid))
     q = _query_vector(spark, sf_dir, 0)
     return idx.topk(q, k=10)
+
+
+def _ivfpq_oracle(
+    *,
+    k_coarse: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    d_sub: int = 8,
+    k_cent: int = 16,
+    scale: int = 64,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of the combined IVF-PQ layout: coarse assignment +
+    probe pruning (ss03's integer argmax) restrict the candidate set,
+    then PQ encoding + ADC ranking (ss15's integer identity) order
+    it — the whole two-quantizer pipeline recomputed in SQL."""
+    lo, hi = f"1+{d_sub}*", f"{d_sub}+{d_sub}*"
+    return f"""
+    WITH iq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * {scale} + 0.5)) AS e
+        FROM embeddings
+    ),
+    coarse AS (
+        SELECT vec_id AS ccid, e AS c FROM iq WHERE vec_id < {k_coarse}
+    ),
+    qv AS (SELECT e AS qe FROM iq WHERE vec_id = 0),
+    probes AS (
+        SELECT ccid FROM (
+            SELECT coarse.ccid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(coarse.c, qv.qe) DESC,
+                                coarse.ccid
+                   ) AS rn
+            FROM coarse, qv
+        ) WHERE rn <= {n_probe}
+    ),
+    assigned AS (
+        SELECT vec_id, ccid FROM (
+            SELECT iq.vec_id, coarse.ccid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY iq.vec_id
+                       ORDER BY list_dot_product(iq.e, coarse.c) DESC,
+                                coarse.ccid
+                   ) AS rn
+            FROM iq, coarse
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT iq.vec_id, iq.e FROM iq
+        JOIN assigned a ON iq.vec_id = a.vec_id
+        JOIN probes p ON a.ccid = p.ccid
+    ),
+    sp AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+    cb AS (
+        SELECT sp.s, iq.vec_id AS cid,
+               iq.e[{lo}sp.s : {hi}sp.s] AS c
+        FROM iq, sp WHERE iq.vec_id < {k_cent}
+    ),
+    codes AS (
+        SELECT vec_id, s, cid AS code FROM (
+            SELECT cand.vec_id, cb.s, cb.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.vec_id, cb.s
+                       ORDER BY list_inner_product(cb.c, cb.c)
+                                - 2 * list_inner_product(
+                                      cand.e[{lo}cb.s : {hi}cb.s], cb.c),
+                                cb.cid
+                   ) AS rn
+            FROM cand, cb
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT cb.s, cb.cid,
+               list_inner_product(qv.qe[{lo}cb.s : {hi}cb.s],
+                                  qv.qe[{lo}cb.s : {hi}cb.s])
+               - 2 * list_inner_product(qv.qe[{lo}cb.s : {hi}cb.s], cb.c)
+               + list_inner_product(cb.c, cb.c) AS d
+        FROM cb, qv
+    )
+    SELECT vec_id, adc_dist FROM (
+        SELECT codes.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc_dist
+        FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.cid
+        GROUP BY codes.vec_id
+    ) ORDER BY adc_dist, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "ss17_ivfpq_index",
+    oracle=_ivfpq_oracle(),
+    note="IVF-PQ — the production billion-scale ANN layout (public "
+    "FAISS IVFPQ shape as a lake layout): code files PARTITIONED BY "
+    "coarse cluster, so a probe prunes to 4 of 16 cluster "
+    "directories at planning time AND scans only id + 8 one-byte "
+    "codes inside them — (n_probe/k) x (1/16) of the corpus bytes, "
+    "no embedding read. Both quantizers deterministic integers, so "
+    "coarse assignment, partition pruning, PQ encoding and ADC "
+    "ranking are ALL recomputed by the oracle",
+    tags=("similarity", "ann", "ivf", "pq", "index"),
+)
+def ss17_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.operators.ivf import (
+        IvfPqIndex,
+        deterministic_codebook,
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = deterministic_codebook(
+        emb, "embedding", "vec_id", k=16, scale=64
+    )
+    codebook = pq_codebook(
+        emb, "embedding", "vec_id", dim=_EMB_DIM, m=8, k=16, scale=64
+    )
+    idx = IvfPqIndex.build(
+        spark,
+        tempfile.mkdtemp(prefix="ss17_ivfpq_"),
+        emb,
+        "embedding",
+        "vec_id",
+        coarse=coarse,
+        codebook=codebook,
+        scale=64,
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    return idx.topk(q, k=10, n_probe=4)

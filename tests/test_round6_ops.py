@@ -198,3 +198,28 @@ def test_pq_index_incremental_equals_one_shot(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_ivfpq_prunes_partitions_and_reads_codes_only(spark, tmp_path):
+    """The combined layout's two claims at once: the probe plan holds
+    a cluster PartitionFilter (directory pruning) and never touches
+    the embedding column."""
+    from cdc_spark.operators.ivf import (
+        IvfPqIndex,
+        deterministic_codebook,
+        pq_codebook,
+    )
+
+    emb = _emb(spark)
+    coarse = deterministic_codebook(emb, "embedding", "vec_id", k=16)
+    cb = pq_codebook(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    idx = IvfPqIndex.build(
+        spark, str(tmp_path / "ivfpq"), emb, "embedding", "vec_id",
+        coarse=coarse, codebook=cb,
+    )
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    df = idx.topk(q, k=10, n_probe=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "embedding" not in plan
+    assert df.count() == 10
