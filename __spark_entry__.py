@@ -109,6 +109,8 @@ _R7_NEXT = (
     "q85_pivot_matrix",
     "ss16_pq_persisted_index",
     "ss17_ivfpq_index",
+    "cdc27_overlap_replay_dedup",
+    "q86_sql_scalar_udf",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -1858,3 +1858,82 @@ def cdc26_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_after").cast("long").alias("first_gap_after"),
         F.max("resume_at").cast("long").alias("last_resume_at"),
     )
+
+
+@register(
+    "cdc27_overlap_replay_dedup",
+    oracle="""
+    WITH ch AS (
+        SELECT event_id AS lsn, user_id, event_type, value FROM events
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS last_type,
+           ROUND(arg_max(value, lsn), 4) AS last_value,
+           CAST(COUNT(*) AS BIGINT) AS n_applied
+    FROM ch GROUP BY user_id
+    """,
+    note="at-least-once transport, exactly-once accounting: phase 1 "
+    "applies the log up to W and records the applied-LSN watermark; "
+    "the resume REPLAYS an overlapping window (the Kafka "
+    "offset-behind-watermark shape the reference's standby ack "
+    "avoids, main.go:61-74, but every fan-out deployment faces), and "
+    "the apply filters the replayed batch to lsn > watermark before "
+    "folding — the per-user applied-change COUNT is the canary: "
+    "latest-wins values survive double-apply, counters do not, and "
+    "the oracle's single-pass counts catch any double-fold. The "
+    "watermark travels as a broadcast 1-row aggregate (the "
+    "guardrail-sanctioned scalar-attach), never a driver constant "
+    "baked into the plan",
+    tags=("cdc", "exactly-once", "watermark", "replay"),
+)
+def cdc27_overlap_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ch = events.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    # phase-1 horizon: 60% of the log (driver-side bounded collect of
+    # one scalar, only to CONSTRUCT the two phases of the scenario)
+    max_lsn = ch.agg(F.max("lsn")).first()[0]
+    w = max_lsn * 6 // 10
+    phase1 = ch.where(F.col("lsn") <= w).groupBy("user_id").agg(
+        F.expr("max_by(event_type, lsn)").alias("last_type"),
+        F.expr("max_by(value, lsn)").alias("last_value"),
+        F.max("lsn").alias("last_lsn"),
+        F.count("*").alias("n_applied"),
+    )
+    # the recorded applied-LSN watermark, read back FROM the state
+    watermark = phase1.agg(F.max("last_lsn").alias("__applied_w"))
+    # at-least-once resume: replays an overlapping slice of the log
+    replay = ch.where(F.col("lsn") > w - max_lsn // 5)
+    fresh = replay.join(F.broadcast(watermark)).where(
+        F.col("lsn") > F.col("__applied_w")
+    )
+    delta = fresh.groupBy("user_id").agg(
+        F.expr("max_by(event_type, lsn)").alias("d_type"),
+        F.expr("max_by(value, lsn)").alias("d_value"),
+        F.max("lsn").alias("d_lsn"),
+        F.count("*").alias("d_n"),
+    )
+    merged = phase1.join(delta, "user_id", "full_outer")
+    newer = F.col("d_lsn").isNotNull() & (
+        F.col("last_lsn").isNull() | (F.col("d_lsn") > F.col("last_lsn"))
+    )
+    return merged.select(
+        "user_id",
+        F.when(newer, F.col("d_type"))
+        .otherwise(F.col("last_type"))
+        .alias("last_type"),
+        F.round(
+            F.when(newer, F.col("d_value")).otherwise(F.col("last_value")),
+            4,
+        ).alias("last_value"),
+        (
+            F.coalesce(F.col("n_applied"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_applied"),
+    )

@@ -1339,3 +1339,44 @@ def q85_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.col(t).cast("long").alias(t) for t in types], "total"
     )
+
+
+@register(
+    "q86_sql_scalar_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+    note="SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN): the "
+    "reusable-expression surface that, unlike every Python UDF "
+    "family, INLINES into the plan — the function body participates "
+    "in whole-stage codegen, constant folding and predicate pushdown "
+    "exactly as if written in place (verified: a literal call "
+    "constant-folds at plan time). The oracle spells the inlined "
+    "expression; matching hashes prove the function is pure "
+    "substitution",
+    tags=("relational", "udf", "sql-function"),
+)
+def q86_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cdc_disc_price"
+        "(p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q86_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(cdc_disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM __q86_lineitem
+        WHERE l_quantity < 25
+        GROUP BY l_returnflag
+        """
+    )
