@@ -111,6 +111,7 @@ _R7_NEXT = (
     "ss17_ivfpq_index",
     "cdc27_overlap_replay_dedup",
     "q86_sql_scalar_udf",
+    "st20_stream_vector_index_ingest",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

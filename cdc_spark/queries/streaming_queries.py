@@ -1564,3 +1564,68 @@ def st19_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n")
     )
     return out.unionByName(tail)
+
+
+from cdc_spark.queries.similarity_queries import _pq_adc_oracle as __pq_oracle
+
+
+@register(
+    "st20_stream_vector_index_ingest",
+    oracle=__pq_oracle(),
+    note="vector index maintained BY A STREAM (the embedding-pipeline "
+    "serving loop): the corpus arrives as a file stream in rate-"
+    "limited micro-batches; each batch encodes against the frozen "
+    "integer PQ codebook inside foreachBatch and APPENDS its codes "
+    "to the persisted index — O(batch) per trigger, existing code "
+    "files never touched, file-source checkpointing gives "
+    "exactly-once batch admission. After the stream drains, a probe "
+    "against the stream-built index hash-matches the one-shot "
+    "encoding of the whole corpus (ss15's oracle)",
+    tags=("streaming", "similarity", "pq", "index", "incremental"),
+)
+def st20_stream_vector_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.ivf import PqIndex, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = pq_codebook(
+        emb, "embedding", "vec_id", dim=64, m=8, k=16, scale=64
+    )
+    # seed an EMPTY index carrying only the frozen codebook
+    idx = PqIndex.build(
+        spark,
+        tempfile.mkdtemp(prefix="st20_pqidx_"),
+        emb.limit(0),
+        "embedding",
+        "vec_id",
+        codebook=codebook,
+        scale=64,
+    )
+    # the streaming file source requires a directory (testdata is a
+    # single read-only file): expose it through a temp-dir symlink
+    stream_dir = tempfile.mkdtemp(prefix="st20_src_")
+    os.symlink(
+        table_path(sf_dir, "embeddings"),
+        os.path.join(stream_dir, "embeddings.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch_id: idx.add(batch)
+        )
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st20_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    probe = (
+        emb.where(F.col("vec_id") == 0).first()["embedding"]
+    )
+    return idx.topk(probe, k=10)
