@@ -112,6 +112,7 @@ _R7_NEXT = (
     "cdc27_overlap_replay_dedup",
     "q86_sql_scalar_udf",
     "st20_stream_vector_index_ingest",
+    "dd15_fuzzy_decontamination",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

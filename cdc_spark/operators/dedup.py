@@ -559,3 +559,48 @@ def containment_pairs(
             .alias("contained"),
         )
     )
+
+
+def lsh_cross_candidates(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    id_col: str,
+    *,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-SET banded LSH: candidates are (a, b) pairs with a from
+    ``sigs_a`` and b from ``sigs_b`` sharing any band bucket — the
+    decontamination / incremental-probe shape, where the two sides
+    are different corpora (train vs benchmark, index vs batch) and a
+    self-join would waste both sides' intra-set collisions. Same
+    banding as :func:`lsh_candidate_pairs`; output columns
+    ``id_a`` (from a) / ``id_b`` (from b), distinct."""
+
+    def band_key(b):
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return key if portable else F.xxhash64(key)
+
+    def banded(sigs, out):
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)), band_key
+                )
+            ).alias("band", "bucket"),
+        )
+
+    return (
+        banded(sigs_a, "id_a")
+        .join(banded(sigs_b, "id_b"), ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )

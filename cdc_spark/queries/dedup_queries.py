@@ -1081,3 +1081,126 @@ def dd14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("est_jaccard") >= 0.5)
     )
+
+
+def _fuzzy_decon_oracle(
+    *,
+    num_hashes: int = 32,
+    seed: int = 7,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    min_match: int = 16,
+) -> str:
+    """DuckDB twin of the fuzzy decontamination pipeline: portable
+    MinHash signatures, cross-set band join, and the signature-
+    component match count (an exact integer) as the Jaccard
+    estimator."""
+    params = _minhash_params(num_hashes, seed)
+    p = _MERSENNE
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"m{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    h AS (
+        SELECT doc_id, {_PHASH60.format(s='s')} % {p} AS h FROM shm
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM h GROUP BY doc_id
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id AS id_a, pr.doc_id AS id_b
+        FROM banded t JOIN banded pr
+          ON t.band = pr.band AND t.bucket = pr.bucket
+        WHERE t.doc_id % 17 <> 0 AND pr.doc_id % 17 = 0
+    ),
+    est AS (
+        SELECT cand.id_a, cand.id_b, ({match_terms}) AS c
+        FROM cand
+        JOIN sig a ON cand.id_a = a.doc_id
+        JOIN sig b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+           ROUND(MAX(c) / {num_hashes}.0, 4) AS max_est_jaccard
+    FROM est WHERE c >= {min_match}
+    GROUP BY id_a
+    """
+
+
+@register(
+    "dd15_fuzzy_decontamination",
+    oracle=_fuzzy_decon_oracle(),
+    note="FUZZY benchmark decontamination (the GPT-3/Pile-style "
+    "near-match variant of tx11's exact n-gram overlap): portable "
+    "MinHash signatures for both splits, CROSS-set banded LSH "
+    "(train x probe only — a self-join would pay for both sides' "
+    "intra-set collisions), estimated Jaccard = signature-component "
+    "match count (exact integer, no float estimator drift), train "
+    "docs with >= 0.5 estimated overlap against any benchmark doc "
+    "flagged. One signature pass + one band equi-join — "
+    "O(collisions), never train x benchmark",
+    tags=("dedup", "decontamination", "minhash", "lsh"),
+)
+def dd15_fuzzy_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(
+        docs, "text", "doc_id", k_shingle=3, num_hashes=32, portable=True
+    )
+    probe = sigs.where(F.col("doc_id") % 17 == 0)
+    train = sigs.where(F.col("doc_id") % 17 != 0)
+    cand = lsh_cross_candidates(
+        train, probe, "doc_id", bands=8, rows_per_band=4, portable=True
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("sa"), F.col("sb"), lambda x, y: x == y
+                    ),
+                    lambda v: v,
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        est.where(F.col("c") >= 16)
+        .groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_contaminating"),
+            F.round(F.max("c") / 32.0, 4).alias("max_est_jaccard"),
+        )
+    )

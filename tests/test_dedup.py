@@ -249,3 +249,31 @@ def test_containment_pairs_embedded_doc(spark):
     assert (r.id_a, r.id_b) == (1, 2)
     assert r.containment == 1.0
     assert r.contained == 1
+
+
+def test_lsh_cross_candidates_only_cross_pairs(spark):
+    from cdc_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base + "alpha"),       # set A
+        (2, base + "alpha beta"),  # set A — near-dup of 1 (intra-A)
+        (10, base + "alpha"),      # set B — near-dup of 1 and 2
+        (11, "completely different text with no shared shingles at all"
+             " here nothing matches anything else whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signature(df, "text", "doc_id", k_shingle=3)
+    a = sigs.where(F.col("doc_id") < 10)
+    b = sigs.where(F.col("doc_id") >= 10)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_cross_candidates(a, b, "doc_id").collect()
+    }
+    # cross-set near-dups found; the intra-A pair (1,2) must NOT appear
+    assert (1, 10) in pairs and (2, 10) in pairs
+    assert all(ia < 10 <= ib for ia, ib in pairs)
+    assert not any(ib == 11 for _, ib in pairs)
