@@ -113,6 +113,7 @@ _R7_NEXT = (
     "q86_sql_scalar_udf",
     "st20_stream_vector_index_ingest",
     "dd15_fuzzy_decontamination",
+    "q87_variant_shred",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

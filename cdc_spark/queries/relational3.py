@@ -1380,3 +1380,55 @@ def q86_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "q87_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN event_id % 3 <> 0 THEN 1 END)
+                AS BIGINT) AS n_with_metric,
+           CAST(SUM(CASE WHEN event_id % 3 <> 0
+                         THEN CAST(floor(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS metric_sum
+    FROM events GROUP BY event_type
+    """,
+    note="Spark 4 VARIANT (the open-lakehouse semi-structured type): "
+    "heterogeneous JSON events — a third of them missing the metric "
+    "field — parse_json into VARIANT once, then typed "
+    "try_variant_get paths shred fields at read time (missing path "
+    "-> NULL, no schema declared up front). VARIANT stores a parsed "
+    "binary encoding, so repeated path extraction skips re-parsing "
+    "the JSON text — the scale argument vs q23's string-functions "
+    "path. Metrics emitted as integers, so the construct -> parse -> "
+    "shred -> aggregate round-trip is exact and the oracle computes "
+    "the same accounting straight from the base columns",
+    tags=("relational", "variant", "semi-structured"),
+)
+def q87_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    with_metric = F.format_string(
+        '{"u": %d, "t": "%s", "n": %d}',
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    without = F.format_string(
+        '{"u": %d, "t": "%s"}', F.col("user_id"), F.col("event_type")
+    )
+    doc = F.when(F.col("event_id") % 3 == 0, without).otherwise(
+        with_metric
+    )
+    v = events.select(F.parse_json(doc).alias("v"))
+    shredded = v.select(
+        F.try_variant_get(F.col("v"), "$.t", "string").alias("event_type"),
+        F.try_variant_get(F.col("v"), "$.n", "long").alias("metric"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("metric").cast("long").alias("n_with_metric"),
+        F.coalesce(F.sum("metric"), F.lit(0))
+        .cast("long")
+        .alias("metric_sum"),
+    )
