@@ -244,6 +244,13 @@ class CdcStreamPipeline:
         *,
         max_files_per_trigger: int | None = None,
     ):
+        if self.cdf_path:
+            # crash-then-idle recovery: if the last run committed state
+            # versions whose publication never ran AND the checkpoint
+            # already covers those batches (so no replay will retrigger
+            # a publish), the feed would stay holed until the next data
+            # batch — heal it up front
+            self._publish_cdf()
         reader = (
             self.spark.readStream.format("text")
             .schema("value string")

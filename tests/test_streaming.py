@@ -558,3 +558,39 @@ def test_cdf_publication_backfills_after_crash(spark, dirs):
         for r in pipe.state.read().collect()
     }
     assert got == want == {(1, "A2", "B"), (2, "C", "D")}
+
+
+def test_cdf_backfill_on_restart_with_no_new_data(spark, dirs):
+    """Crash-then-idle: versions committed but unpublished, checkpoint
+    already past those batches, NO new files arrive — pipeline start
+    itself must heal the feed."""
+    os.makedirs(dirs["src"], exist_ok=True)
+    cdf = os.path.join(os.path.dirname(dirs["state"]), "cdf2")
+
+    def make_pipe(cdf_path):
+        return CdcStreamPipeline(
+            spark,
+            _users_registry(),
+            "public",
+            "users",
+            keys=["id"],
+            payload=["firstname", "lastname"],
+            state_path=dirs["state"],
+            cdf_path=cdf_path,
+        )
+
+    # run 1 WITHOUT publication (simulates the crash window for every
+    # batch), checkpoint commits the batches
+    pipe1 = make_pipe(None)
+    _write_file(dirs["src"], "b1.json", [_wal_doc("insert", [1, "A", "B"])])
+    q = pipe1.start(dirs["src"], dirs["ckpt"])
+    q.awaitTermination(120)
+    assert pipe1.state.current_version() >= 1
+
+    # run 2 with publication enabled and nothing new to process
+    pipe2 = make_pipe(cdf)
+    q2 = pipe2.start(dirs["src"], dirs["ckpt"])
+    q2.awaitTermination(120)
+    assert pipe2._published_versions() == set(
+        range(1, pipe2.state.current_version() + 1)
+    )
