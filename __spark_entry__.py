@@ -114,6 +114,7 @@ _R7_NEXT = (
     "st20_stream_vector_index_ingest",
     "dd15_fuzzy_decontamination",
     "q87_variant_shred",
+    "io16_python_datasource_writer",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

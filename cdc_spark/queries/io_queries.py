@@ -850,3 +850,51 @@ def io15_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.where(
         F.col("a").between(100, 149) & F.col("b").between(200, 249)
     ).select("event_id", "a", "b", "zorder")
+
+
+@register(
+    "io16_python_datasource_writer",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+    note="custom Python DataSource WRITER (the write half of the "
+    "Spark 4 connector API, completing io08/io10's reader halves): "
+    "per-task staging files + driver-side atomic rename on commit — "
+    "the two-phase all-or-nothing barrier an external-system sink "
+    "needs under task retries and speculation (abort discards "
+    "staging). Rows round-trip through the sink as JSONL and are "
+    "read back with an explicit schema; integer accounting "
+    "hash-matches the oracle's direct aggregation, proving the "
+    "custom commit protocol lost and duplicated nothing",
+    tags=("io", "sink", "datasource"),
+)
+def io16_python_datasource_writer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.sources.jsonlines_sink import JsonLinesDataSource
+
+    spark.dataSource.register(JsonLinesDataSource)
+    events = load_table(spark, sf_dir, "events")
+    subset = events.where(F.col("event_id") % 5 == 0).select(
+        "event_id", "user_id", "event_type"
+    )
+    out_dir = tempfile.mkdtemp(prefix="io16_jsonl_")
+    (
+        subset.write.format("cdc_jsonlines")
+        .mode("append")
+        .option("path", out_dir)
+        .save()
+    )
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string"
+    ).json(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )

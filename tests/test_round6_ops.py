@@ -223,3 +223,27 @@ def test_ivfpq_prunes_partitions_and_reads_codes_only(spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan
     assert "embedding" not in plan
     assert df.count() == 10
+
+
+def test_jsonlines_sink_commit_is_atomic(spark, tmp_path):
+    """No staged (uncommitted) files survive a successful write, and
+    the committed files carry exactly the written rows."""
+    import os
+
+    from cdc_spark.sources.jsonlines_sink import JsonLinesDataSource
+
+    spark.dataSource.register(JsonLinesDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "'x' AS event_type"
+    )
+    df.write.format("cdc_jsonlines").mode("append").option(
+        "path", out
+    ).save()
+    names = os.listdir(out)
+    assert names and all(n.startswith("part-") for n in names)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string"
+    ).json(out)
+    assert back.count() == 100
+    assert back.agg(F.sum("event_id")).first()[0] == 4950
