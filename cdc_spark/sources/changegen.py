@@ -89,7 +89,39 @@ class ChangeGenStreamReader(DataSourceStreamReader):
         self.max_lsn = int(options.get("maxLsn", 10000))
         self.batch_lsns = int(options.get("batchLsns", 2500))
         self.n_parts = int(options.get("numPartitions", 4))
-        self._pos = 0
+        # Restart liveness: availableNow captures its end offset from
+        # the FIRST latestOffset call, so a fresh reader that restarts
+        # its cursor at 0 would never plan past the committed start
+        # within that run. A real transport asks the external system
+        # for its position (Kafka endOffsets do not depend on consumer
+        # state); the generator's optional ``positionDir`` cursor file
+        # stands in for that external position API.
+        self._pos_file = None
+        pdir = options.get("positionDir")
+        if pdir:
+            import os
+
+            os.makedirs(pdir, exist_ok=True)
+            self._pos_file = os.path.join(pdir, "POSITION")
+        self._pos = self._load_pos()
+
+    def _load_pos(self) -> int:
+        if self._pos_file:
+            try:
+                with open(self._pos_file) as fh:
+                    return int(fh.read().strip())
+            except (FileNotFoundError, ValueError):
+                pass
+        return 0
+
+    def _save_pos(self) -> None:
+        if self._pos_file:
+            import os
+
+            tmp = self._pos_file + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(self._pos))
+            os.replace(tmp, self._pos_file)
 
     def initialOffset(self) -> dict:
         return {"lsn": 0}
@@ -109,6 +141,7 @@ class ChangeGenStreamReader(DataSourceStreamReader):
         # before we learned the start degenerates to an empty range.
         if self._pos < s:
             self._pos = s
+            self._save_pos()
         if e < s:
             e = s
         n = max(1, self.n_parts)
@@ -125,6 +158,7 @@ class ChangeGenStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # committed end is a floor for future offset planning too
         self._pos = max(self._pos, int(end["lsn"]))
+        self._save_pos()
 
     def stop(self) -> None:
         pass

@@ -71,3 +71,56 @@ def test_commit_floors_future_offsets():
     r = _reader()
     r.commit({"lsn": 60})
     assert r.latestOffset()["lsn"] == 90  # 60 + batch, not 0 + batch
+
+
+def test_e2e_restart_does_not_replay_lsns(tmp_path):
+    """Real streaming restart: run 1 drains to maxLsn=5000, run 2
+    reuses the checkpoint with the log grown to 10000 and a FRESH
+    reader (in-memory cursor back at 0). The committed-start clamp
+    must prevent replaying applied LSN slices, and the optional
+    positionDir cursor (the generator's stand-in for a real
+    transport's external position API) must let the reader resume
+    without a dead first batch. Both recovery paths end with every
+    LSN delivered exactly once."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from cdc_spark.session import get_spark
+    from cdc_spark.sources.changegen import ChangeGenDataSource
+
+    spark = get_spark("cdc_spark_tests", shuffle_partitions=8)
+    try:
+        spark.dataSource.register(ChangeGenDataSource)
+    except Exception:
+        pass
+
+    def run(tag, max_lsn, with_pos_dir):
+        feed = (
+            spark.readStream.format("cdc_changegen")
+            .option("maxLsn", str(max_lsn))
+            .option("batchLsns", "2500")
+            .option("numPartitions", "4")
+        )
+        if with_pos_dir:
+            feed = feed.option("positionDir", str(tmp_path / f"{tag}_pos"))
+        q = (
+            feed.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"{tag}_out"))
+            .option("checkpointLocation", str(tmp_path / f"{tag}_ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    for tag, with_pos in (("clamp", False), ("cursor", True)):
+        run(tag, 5000, with_pos)
+        run(tag, 10000, with_pos)  # fresh reader, grown log, same ckpt
+        got = spark.read.parquet(str(tmp_path / f"{tag}_out"))
+        assert got.count() == 10000, tag       # nothing replayed
+        assert got.select("lsn").distinct().count() == 10000, tag
+        lo = got.agg({"lsn": "min"}).first()[0]
+        hi = got.agg({"lsn": "max"}).first()[0]
+        assert (lo, hi) == (0, 9999), tag      # no gap either
