@@ -115,6 +115,8 @@ _R7_NEXT = (
     "dd15_fuzzy_decontamination",
     "q87_variant_shred",
     "io16_python_datasource_writer",
+    "q88_recursive_cte",
+    "st21_state_store_inspection",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

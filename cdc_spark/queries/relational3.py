@@ -1432,3 +1432,46 @@ def q87_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("metric_sum"),
     )
+
+
+_Q88_SQL = """
+    WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS k,
+               CAST(c_custkey / 3 AS BIGINT) AS parent
+        FROM customer WHERE c_custkey < 200
+    ),
+    walk(node, depth) AS (
+        SELECT k, 0 FROM nodes WHERE k = 1
+        UNION ALL
+        SELECT n.k, w.depth + 1
+        FROM nodes n JOIN walk w ON n.parent = w.node
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_sum,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM walk GROUP BY depth
+"""
+
+
+@register(
+    "q88_recursive_cte",
+    oracle=_Q88_SQL.replace(
+        "CAST(c_custkey / 3 AS BIGINT)", "c_custkey // 3"
+    ),
+    note="WITH RECURSIVE (Spark 4 recursive CTE): transitive descent "
+    "of a deterministic hierarchy (node k's parent is k/3) from the "
+    "root, per-depth accounting — the org-chart/BOM traversal shape "
+    "that previously required a driver-side iteration loop "
+    "(tx20-style) and is now a single declarative statement; the "
+    "engine iterates to fixpoint internally, each round one join of "
+    "the frontier against the (tiny, broadcastable) edge table. "
+    "Integer-exact; DuckDB runs the same recursive SQL",
+    tags=("relational", "recursive", "hierarchy"),
+)
+def q88_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_Q88_SQL)

@@ -1629,3 +1629,43 @@ def st20_stream_vector_index_ingest(
         emb.where(F.col("vec_id") == 0).first()["embedding"]
     )
     return idx.topk(probe, k=10)
+
+
+@register(
+    "st21_state_store_inspection",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    note="streaming-state OBSERVABILITY (the Spark 4 State Data "
+    "Source): after a checkpointed streaming aggregation runs, the "
+    "checkpoint's state store is read back as a plain batch "
+    "DataFrame — per-key state rows straight from the operator's "
+    "RocksDB/HDFS store files, no query restart. The "
+    "debugging/repair surface a 100 TB streaming deployment needs "
+    "(inspect skewed keys, audit state size, validate upgrades); "
+    "gated by the state itself hash-matching the batch aggregation "
+    "of the same input",
+    tags=("streaming", "state", "observability"),
+)
+def st21_state_store_inspection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").count()
+    ckpt = tempfile.mkdtemp(prefix="st21_ckpt_")
+    name = f"st21_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n"),
+    )
