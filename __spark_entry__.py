@@ -117,6 +117,7 @@ _R7_NEXT = (
     "io16_python_datasource_writer",
     "q88_recursive_cte",
     "st21_state_store_inspection",
+    "mm07_pair_similarity_filter",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -429,3 +429,68 @@ def mm06_scene_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_scenes"),
         F.max("len").cast("long").alias("longest_scene"),
     )
+
+
+@register(
+    "mm07_pair_similarity_filter",
+    oracle="""
+    WITH img AS (
+        SELECT vec_id AS doc_id, embedding AS ie, label FROM embeddings
+    ),
+    cap AS (
+        SELECT vec_id, embedding AS ce FROM embeddings
+    ),
+    pairs AS (
+        SELECT img.doc_id, img.label,
+               ROUND(list_cosine_similarity(img.ie::DOUBLE[],
+                                            cap.ce::DOUBLE[]), 4) AS sim
+        FROM img JOIN cap ON cap.vec_id = (img.doc_id + 7)
+             % (SELECT COUNT(*) FROM embeddings)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN sim >= 0.1 THEN 1 END) AS BIGINT)
+               AS n_kept,
+           ROUND(MIN(sim), 4) AS min_sim,
+           ROUND(MAX(sim), 4) AS max_sim
+    FROM pairs GROUP BY label
+    """,
+    note="paired-embedding consistency filter — the LAION/CLIP-score "
+    "curation shape: every document's image embedding joins its "
+    "caption embedding (deterministic pairing (i+7) mod 500 stands "
+    "in for the real image/text column pair), cosine >= 0.1 keeps "
+    "the pair, per-label kept/dropped accounting. One equi-join + "
+    "one codegen'd zip_with cosine per pair — O(pairs), embarrassingly "
+    "parallel, the filter that decides what enters a multimodal "
+    "training mix at 100 TB. Rounded similarities are engine-exact "
+    "(ss01's precedent)",
+    tags=("multimodal", "curation", "similarity", "filter"),
+)
+def mm07_pair_similarity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # pairing modulus (tiny scalar; table row count)
+    img = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("ie"),
+        "label",
+    )
+    cap = emb.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    pairs = img.join(
+        cap, cap.vec_id == (img.doc_id + 7) % n
+    ).select(
+        "doc_id",
+        "label",
+        F.round(cosine(F.col("ie"), F.col("ce")), 4).alias("sim"),
+    )
+    return pairs.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("sim") >= 0.1, 1))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(F.min("sim"), 4).alias("min_sim"),
+        F.round(F.max("sim"), 4).alias("max_sim"),
+    )
