@@ -118,6 +118,9 @@ _R7_NEXT = (
     "q88_recursive_cte",
     "st21_state_store_inspection",
     "mm07_pair_similarity_filter",
+    "q89_unpivot_api",
+    "q90_null_safe_join",
+    "cdc28_as_of_lsn_read",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

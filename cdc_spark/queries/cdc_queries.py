@@ -1937,3 +1937,75 @@ def cdc27_overlap_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_applied"),
     )
+
+
+@register(
+    "cdc28_as_of_lsn_read",
+    oracle="""
+    WITH bounds AS (
+        SELECT max(event_id) * 2 // 4 AS cutoff
+        FROM events
+    ),
+    ch AS (
+        SELECT CASE WHEN event_type = 'signup' THEN 'c'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type, value
+        FROM events, bounds WHERE event_id <= bounds.cutoff
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS event_type,
+           ROUND(arg_max(value, lsn), 4) AS value
+    FROM live GROUP BY user_id
+    """,
+    note="AS-OF-LSN time travel gated end to end: the log applies in "
+    "FOUR micro-batches (watermarks at 25/50/75/100% of the LSN "
+    "range), then the state is read as of the 50% position — "
+    "read_as_of_lsn resolves the newest version whose applied-LSN "
+    "watermark is <= the target via a driver-side manifest scan (no "
+    "Spark job for resolution) and must return EXACTLY the "
+    "latest-wins merge of the log prefix, including rows later "
+    "batches overwrote or deleted. The replication/audit surface of "
+    "deck slide 50 (point-in-time reads against a replica), "
+    "previously pytest-only, now driver-gated",
+    tags=("cdc", "time-travel", "audit"),
+)
+def cdc28_as_of_lsn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events)
+    max_lsn = changes.agg(F.max("lsn")).first()[0]
+    quarters = [max_lsn * i // 4 for i in (1, 2, 3, 4)]
+
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc28_state_"),
+        ["user_id"],
+        n_buckets=16,
+    )
+    lo = -1
+    for hi in quarters:
+        batch = changes.where(
+            (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+        )
+        state.apply(batch, ["event_type", "value"])
+        lo = hi
+
+    asof = state.read_as_of_lsn(quarters[1])
+    return asof.select(
+        "user_id", "event_type", F.round("value", 4).alias("value")
+    )

@@ -1475,3 +1475,99 @@ def q88_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer"
     )
     return spark.sql(_Q88_SQL)
+
+
+@register(
+    "q89_unpivot_api",
+    oracle="""
+    SELECT l_returnflag, metric, CAST(total AS BIGINT) AS total
+    FROM (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT))
+                    AS BIGINT) AS price_floor,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (total FOR metric IN (qty, price_floor, n))
+    """,
+    note="DataFrame.unpivot (the dedicated melt API, a distinct "
+    "logical Unpivot node — not the stack() expression q37/q84 use): "
+    "wide per-flag aggregates melt to (flag, metric, total) rows. "
+    "ids/values/names declared structurally, so Catalyst sees the "
+    "unpivot as an operator it can push through rather than an "
+    "opaque generator expression. Integer-exact",
+    tags=("relational", "unpivot", "melt"),
+)
+def q89_unpivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(F.floor("l_extendedprice").cast("long")).alias(
+            "price_floor"
+        ),
+        F.count("*").alias("n"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price_floor", "n"],
+        variableColumnName="metric",
+        valueColumnName="total",
+    ).select("l_returnflag", "metric", F.col("total").cast("long"))
+
+
+@register(
+    "q90_null_safe_join",
+    oracle="""
+    WITH a AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE user_id % 50 END AS k,
+               value
+        FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+        SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+                    ELSE user_id % 50 END AS k,
+               CAST(COUNT(*) AS BIGINT) AS grp_n
+        FROM events WHERE event_id % 2 = 1
+        GROUP BY 1
+    )
+    SELECT a.k AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(grp_n) AS BIGINT) AS weight
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+    note="null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of silently dropping — the semantic "
+    "CDC pipelines need when a nullable column participates in a "
+    "merge identity. Still planned as a hash join (the null-safe "
+    "comparator is a join key, not a filter), so no fallback to "
+    "nested-loop; NULL-group accounting gated against the oracle's "
+    "IS NOT DISTINCT FROM twin",
+    tags=("relational", "join", "null-safe"),
+)
+def q90_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 50)
+        .alias("k"),
+        "value",
+    )
+    b = (
+        events.where(F.col("event_id") % 2 == 1)
+        .select(
+            F.when(F.col("user_id") % 11 == 0, F.lit(None))
+            .otherwise(F.col("user_id") % 50)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("grp_n"))
+    )
+    joined = a.join(b, a["k"].eqNullSafe(b["k"]))
+    return joined.groupBy(a["k"].alias("k")).agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.sum("grp_n").cast("long").alias("weight"),
+    )
