@@ -121,6 +121,8 @@ _R7_NEXT = (
     "q89_unpivot_api",
     "q90_null_safe_join",
     "cdc28_as_of_lsn_read",
+    "dp09_token_budget_mixture",
+    "q91_year_over_year",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -666,6 +666,27 @@ class IvfPqIndex:
         os.replace(tmp, os.path.join(path, "INDEX.json"))
         return cls(spark, path)
 
+    def add(self, df: DataFrame) -> None:
+        """Incrementally index new vectors: coarse-assign + PQ-encode
+        against the FROZEN quantizers, append into their cluster
+        partitions only — O(batch), untouched cluster directories are
+        never read or rewritten (the IvfIndex/PqIndex contract
+        combined)."""
+        import os
+
+        assigned = ivf_assign(
+            df, self.embedding_col, self.coarse, scale=self.scale
+        )
+        coded = pq_encode(
+            assigned, self.embedding_col, self.codebook, scale=self.scale
+        )
+        m = len(self.codebook)
+        coded.select(
+            self.id_col, "cluster", *[f"pq{s}" for s in range(m)]
+        ).write.partitionBy("cluster").mode("append").parquet(
+            os.path.join(self.path, "codes")
+        )
+
     def topk(
         self,
         query_vec: Sequence[float],

@@ -387,3 +387,70 @@ def dp08_striped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.min("n_tokens").cast("long").alias("min_tokens"),
     )
+
+
+@register(
+    "dp09_token_budget_mixture",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    placed AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY k, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS start_off
+        FROM sized
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN start_off < 3000 THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN start_off < 3000 THEN n_tokens
+                         ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM placed GROUP BY source
+    """,
+    note="token-budget-capped source mixture (the Llama-style 'take N "
+    "tokens per source' data-mix op): within each source, docs order "
+    "by the deterministic md5 shuffle key (tx15's engine-portable "
+    "seeded shuffle) and accumulate a running token count; a doc is "
+    "kept iff its START offset is inside the 3000-token budget, so "
+    "selection is reproducible across engines and runs and every "
+    "source contributes a near-exact token quota. The running sum is "
+    "partitioned BY SOURCE — parallelism = source count here, and at "
+    "scale each source's cumsum range-partitions further via "
+    "operators/ordering.py's two-pass prefix sum",
+    tags=("packing", "mixture", "budget", "sampling"),
+)
+def dp09_token_budget_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    kept = F.col("start_off") < 3000
+    return placed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )

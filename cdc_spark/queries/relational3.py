@@ -1571,3 +1571,63 @@ def q90_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_matched"),
         F.sum("grp_n").cast("long").alias("weight"),
     )
+
+
+@register(
+    "q91_year_over_year",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               {dsum_sql('o_totalprice')} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mo,
+           cur.revenue, cur.n_orders,
+           prev.revenue AS prev_revenue,
+           ROUND(cur.revenue / prev.revenue - 1, 6) AS yoy_growth
+    FROM monthly cur
+    JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    """,
+    note="year-over-year comparison (the TPC-DS-style periodic "
+    "self-join the TPC-H closure lacks): monthly revenue joined to "
+    "the SAME month one year earlier, growth ratio per month. One "
+    "aggregate feeding both join sides — the monthly rollup is tiny "
+    "(months x years), so the self-join is a broadcast of an "
+    "aggregate, never a second fact scan (exchange reuse dedupes the "
+    "subtree); decimal-summed revenue keeps the ratio engine-exact "
+    "at 6 digits",
+    tags=("relational", "temporal", "self-join", "yoy"),
+)
+def q91_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("p_yr"),
+        F.col("mo").alias("p_mo"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    cur = monthly
+    return (
+        cur.join(
+            prev,
+            (cur.yr == prev.p_yr) & (cur.mo == prev.p_mo),
+        )
+        .select(
+            "yr",
+            "mo",
+            "revenue",
+            "n_orders",
+            "prev_revenue",
+            F.round(
+                F.col("revenue") / F.col("prev_revenue") - 1, 6
+            ).alias("yoy_growth"),
+        )
+    )

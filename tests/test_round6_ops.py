@@ -247,3 +247,30 @@ def test_jsonlines_sink_commit_is_atomic(spark, tmp_path):
     ).json(out)
     assert back.count() == 100
     assert back.agg(F.sum("event_id")).first()[0] == 4950
+
+
+def test_ivfpq_incremental_add_equals_one_shot(spark, tmp_path):
+    from cdc_spark.operators.ivf import (
+        IvfPqIndex,
+        deterministic_codebook,
+        pq_codebook,
+    )
+
+    emb = _emb(spark)
+    coarse = deterministic_codebook(emb, "embedding", "vec_id", k=16)
+    cb = pq_codebook(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+
+    full = IvfPqIndex.build(
+        spark, str(tmp_path / "full"), emb, "embedding", "vec_id",
+        coarse=coarse, codebook=cb,
+    )
+    inc = IvfPqIndex.build(
+        spark, str(tmp_path / "inc"), emb.where(F.col("vec_id") < 60),
+        "embedding", "vec_id", coarse=coarse, codebook=cb,
+    )
+    inc.add(emb.where(F.col("vec_id") >= 60))
+
+    q = emb.where(F.col("vec_id") == 3).first()["embedding"]
+    got = [(r.vec_id, r.adc_dist) for r in inc.topk(q, k=8).collect()]
+    want = [(r.vec_id, r.adc_dist) for r in full.topk(q, k=8).collect()]
+    assert got == want
