@@ -123,6 +123,7 @@ _R7_NEXT = (
     "cdc28_as_of_lsn_read",
     "dp09_token_budget_mixture",
     "q91_year_over_year",
+    "ss18_binary_quantization",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -1275,3 +1275,97 @@ def ss17_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vector(spark, sf_dir, 0)
     return idx.topk(q, k=10, n_probe=4)
+
+
+def _bq_oracle(*, dim: int = 64, coarse_k: int = 64, k: int = 10) -> str:
+    """DuckDB twin of binary quantization: sign-bit pack each vector
+    into ONE BIGINT (bit 63 via the signed min-long literal, the mm03
+    trick), Hamming = popcount(xor), exact-cosine rerank of the
+    Hamming top-``coarse_k``."""
+    min_long = "(-9223372036854775807 - 1)"
+    bits = " + ".join(
+        (
+            f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN "
+            + (min_long if i == 63 else str(1 << i))
+            + " ELSE 0 END)"
+        )
+        for i in range(dim)
+    )
+    return f"""
+    WITH bq AS (
+        SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS code
+        FROM embeddings
+    ),
+    qv AS (SELECT code AS qc, embedding AS qe FROM bq WHERE vec_id = 0),
+    coarse AS (
+        SELECT bq.vec_id, bq.embedding,
+               bit_count(xor(bq.code, qv.qc)) AS hamming
+        FROM bq, qv
+        ORDER BY hamming, bq.vec_id
+        LIMIT {coarse_k}
+    )
+    SELECT c.vec_id,
+           CAST(c.hamming AS INT) AS hamming,
+           ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                        qv.qe::DOUBLE[]), 4) AS cosine_sim
+    FROM coarse c, qv
+    ORDER BY cosine_sim DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ss18_binary_quantization",
+    oracle=_bq_oracle(),
+    note="binary quantization — the third compression tier beside "
+    "int8 (ss04) and PQ (ss15): each 64-dim float vector packs to "
+    "ONE sign-bit BIGINT (32x smaller than float32), coarse search "
+    "is popcount(xor) Hamming distance — pure register arithmetic, "
+    "the fastest possible scan over a compressed corpus — and the "
+    "Hamming top-64 rerank exactly by full-precision cosine (the "
+    "two-stage shape every modern vector store uses for BQ). "
+    "Bit-packing, Hamming and the rerank are all recomputed by the "
+    "oracle",
+    tags=("similarity", "quantization", "binary", "rerank"),
+)
+def ss18_binary_quantization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    code = F.lit(0).cast("long")
+    for i in range(_EMB_DIM):
+        code = code + F.when(
+            F.element_at(F.col("embedding"), i + 1).cast("double") >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    bq = emb.select("vec_id", "embedding", code.alias("code"))
+    q = bq.where(F.col("vec_id") == 0).first()
+    qc, qe = q["code"], q["embedding"]
+    coarse = (
+        bq.select(
+            "vec_id",
+            "embedding",
+            F.bit_count(F.col("code").bitwiseXOR(F.lit(qc))).alias(
+                "hamming"
+            ),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(64)
+    )
+    return (
+        coarse.select(
+            "vec_id",
+            F.col("hamming").cast("int"),
+            F.round(
+                cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in qe]),
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
