@@ -274,3 +274,43 @@ def test_ivfpq_incremental_add_equals_one_shot(spark, tmp_path):
     got = [(r.vec_id, r.adc_dist) for r in inc.topk(q, k=8).collect()]
     want = [(r.vec_id, r.adc_dist) for r in full.topk(q, k=8).collect()]
     assert got == want
+
+
+def test_state_metadata_and_statestore_agree(spark, tmp_path):
+    """The State Data Source's two formats: state-metadata names the
+    operator + store and bounds its batch range; statestore returns
+    the per-key rows that must equal the sink's complete output."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as fh:
+        fh.write("x\ny\nx\nz\nx\ny\n")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("text")
+        .load(src)
+        .groupBy("value")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_ssmeta")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert any("stateStoreName" in r.asDict() for r in meta)
+    assert meta[0].operatorName  # an aggregation operator is recorded
+
+    state = {
+        (r["key"]["value"], r["value"]["count"])
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    sink = {
+        (r["value"], r["count"])
+        for r in spark.table("t_ssmeta").collect()
+    }
+    assert state == sink == {("x", 3), ("y", 2), ("z", 1)}
