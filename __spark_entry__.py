@@ -124,6 +124,7 @@ _R7_NEXT = (
     "dp09_token_budget_mixture",
     "q91_year_over_year",
     "ss18_binary_quantization",
+    "cdc29_vacuum_survivor_state",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

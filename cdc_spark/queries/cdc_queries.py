@@ -2009,3 +2009,74 @@ def cdc28_as_of_lsn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.select(
         "user_id", "event_type", F.round("value", 4).alias("value")
     )
+
+
+@register(
+    "cdc29_vacuum_survivor_state",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE WHEN event_type = 'signup' THEN 'c'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    )
+    SELECT user_id,
+           arg_max(event_type, lsn) AS event_type,
+           ROUND(arg_max(value, lsn), 4) AS value
+    FROM live GROUP BY user_id
+    """,
+    note="version GC gated end to end: the log applies in four "
+    "micro-batches, vacuum(keep_last=2) drops history — bucket "
+    "inheritance means a retained manifest may still reference files "
+    "under a dropped version NUMBER, so deletion must be "
+    "reference-pinned, not count-based — and the CURRENT state read "
+    "after GC must still equal the latest-wins merge of the FULL "
+    "log. History removal itself (old versions gone, pinned files "
+    "intact, time-travel horizon shrunk) is asserted in "
+    "tests/test_bucketed_state.py; this gate pins the invariant that "
+    "GC never corrupts the live table",
+    tags=("cdc", "vacuum", "gc", "maintenance"),
+)
+def cdc29_vacuum_survivor_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events)
+    max_lsn = changes.agg(F.max("lsn")).first()[0]
+
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc29_state_"),
+        ["user_id"],
+        n_buckets=16,
+    )
+    lo = -1
+    for i in (1, 2, 3, 4):
+        hi = max_lsn * i // 4
+        state.apply(
+            changes.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)),
+            ["event_type", "value"],
+        )
+        lo = hi
+    gc = state.vacuum(keep_last=2)
+    if not gc["removed"]:
+        raise AssertionError("vacuum removed nothing — GC path untested")
+    return state.read().select(
+        "user_id", "event_type", F.round("value", 4).alias("value")
+    )
