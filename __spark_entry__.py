@@ -125,6 +125,7 @@ _R7_NEXT = (
     "q91_year_over_year",
     "ss18_binary_quantization",
     "cdc29_vacuum_survivor_state",
+    "q92_multiset_set_ops",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -1631,3 +1631,53 @@ def q91_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_growth"),
         )
     )
+
+
+@register(
+    "q92_multiset_set_ops",
+    oracle="""
+    WITH a AS (
+        SELECT user_id % 40 AS k FROM events WHERE event_id % 3 = 0
+    ),
+    b AS (
+        SELECT user_id % 40 AS k FROM events WHERE event_id % 3 = 1
+    ),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM i GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, CAST(COUNT(*) AS BIGINT) FROM e GROUP BY k
+    """,
+    note="multiset set operations (INTERSECT ALL / EXCEPT ALL — "
+    "intersectAll/exceptAll on the DataFrame API): per-key "
+    "MULTIPLICITIES min(a,b) and max(a-b,0), not the distinct "
+    "semantics q18/q19 gate. Planned as one hash aggregate per side "
+    "plus a join on the counts — no row-by-row bag subtraction; the "
+    "duplicate-count accounting is exactly what log-replay "
+    "reconciliation (did every change arrive the right NUMBER of "
+    "times?) needs, where plain EXCEPT would mask duplicate "
+    "deliveries",
+    tags=("relational", "set-ops", "multiset"),
+)
+def q92_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_id") % 3 == 0).select(
+        (F.col("user_id") % 40).alias("k")
+    )
+    b = events.where(F.col("event_id") % 3 == 1).select(
+        (F.col("user_id") % 40).alias("k")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return i.unionByName(e)

@@ -165,3 +165,55 @@ def test_filtered_vector_search_pushes_label_filter(spark):
     assert "PushedFilters" in plan
     assert "In(label" in plan
     assert out.count() > 0
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew resilience via AQE: a join whose build of one hot key
+    dwarfs the median partition must get split at runtime
+    (OptimizeSkewedJoin) instead of serializing on one reducer —
+    the safety net under every non-salted join in the engine."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # shrink thresholds so local-scale skew triggers the optimizer
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        # 300k rows, 95% on key 1; the right side is too big to
+        # broadcast (forced), so the join must shuffle on the hot key
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(1))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") % 97).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("x"), F.col("id")).alias("name"),
+        )
+        # global agg downstream: a groupBy on the join key would pin
+        # the join's output partitioning and make AQE skip the split
+        joined = fact.join(dim, "k").agg(
+            F.sum("payload").alias("s"), F.count("*").alias("n")
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
