@@ -126,6 +126,7 @@ _R7_NEXT = (
     "ss18_binary_quantization",
     "cdc29_vacuum_survivor_state",
     "q92_multiset_set_ops",
+    "io17_type_widening_read",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

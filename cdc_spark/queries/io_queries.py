@@ -898,3 +898,52 @@ def io16_python_datasource_writer(
         F.sum("user_id").cast("long").alias("user_sum"),
         F.max("event_id").cast("long").alias("max_id"),
     )
+
+
+@register(
+    "io17_type_widening_read",
+    oracle="""
+    WITH unioned AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS uid
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, CAST(user_id AS BIGINT) + 1000000 AS uid
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT CAST(uid % 32 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(uid) AS BIGINT) AS uid_sum
+    FROM unioned GROUP BY 1
+    """,
+    note="type-widening migration read: generation 1 wrote the id as "
+    "INT32, generation 2 (post-migration) as INT64 — mergeSchema "
+    "REFUSES the int/long conflict outright (CANNOT_MERGE_SCHEMAS, "
+    "asserted in tests), so the recipe is an EXPLICIT widened read "
+    "schema: the parquet reader up-casts the old files' int32 values "
+    "losslessly. The read-side twin of the catalog's widest-schema "
+    "decode (cdc06), covering the numeric-widening case io07's "
+    "added-column evolution does not; accounting over both "
+    "generations hash-checked",
+    tags=("io", "schema-evolution", "widening"),
+)
+def io17_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="io17_gen_")
+    # generation 1: narrow int ids
+    events.where(F.col("event_id") % 2 == 0).select(
+        "event_id", F.col("user_id").cast("int").alias("uid")
+    ).write.parquet(os.path.join(d, "gen1"))
+    # generation 2: widened long ids (values beyond int range soon)
+    events.where(F.col("event_id") % 2 == 1).select(
+        "event_id", (F.col("user_id") + 1000000).cast("long").alias("uid")
+    ).write.parquet(os.path.join(d, "gen2"))
+
+    both = spark.read.schema("event_id long, uid long").parquet(
+        os.path.join(d, "gen1"), os.path.join(d, "gen2")
+    )
+    return both.groupBy(
+        (F.col("uid") % 32).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("uid").cast("long").alias("uid_sum"),
+    )

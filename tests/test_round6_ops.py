@@ -314,3 +314,20 @@ def test_state_metadata_and_statestore_agree(spark, tmp_path):
         for r in spark.table("t_ssmeta").collect()
     }
     assert state == sink == {("x", 3), ("y", 2), ("z", 1)}
+
+
+def test_merge_schema_refuses_int_long_conflict(spark, tmp_path):
+    """Pin the failure io17's explicit-schema recipe works around:
+    mergeSchema does NOT widen int->long, it refuses."""
+    import pytest
+
+    spark.range(3).selectExpr("CAST(id AS INT) AS v").write.parquet(
+        str(tmp_path / "p1")
+    )
+    spark.range(3).selectExpr("CAST(id AS LONG) AS v").write.parquet(
+        str(tmp_path / "p2")
+    )
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS|merg"):
+        spark.read.option("mergeSchema", "true").parquet(
+            str(tmp_path / "p1"), str(tmp_path / "p2")
+        ).collect()
