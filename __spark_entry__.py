@@ -127,6 +127,7 @@ _R7_NEXT = (
     "cdc29_vacuum_survivor_state",
     "q92_multiset_set_ops",
     "io17_type_widening_read",
+    "tx25_paragraph_dedup",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -1204,3 +1204,74 @@ def tx24_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_neg").cast("long").alias("total_neg"),
         davg(polarity, scale=6, ndigits=4).alias("avg_polarity"),
     )
+
+
+@register(
+    "tx25_paragraph_dedup",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, string_split(text, '.') AS parts FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, u.i AS para_idx, trim(parts[u.i]) AS para
+        FROM split, UNNEST(generate_series(1, len(parts))) AS u(i)
+        WHERE length(trim(parts[u.i])) >= 20
+    ),
+    keeper AS (
+        SELECT md5(para) AS h,
+               MIN(doc_id * 100000 + para_idx) AS first_slot
+        FROM paras GROUP BY md5(para)
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(CASE WHEN p.doc_id * 100000 + p.para_idx
+                                = k.first_slot THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN p.doc_id * 100000 + p.para_idx
+                              <> k.first_slot
+                         THEN length(p.para) ELSE 0 END)
+                AS BIGINT) AS dropped_chars
+    FROM paras p JOIN keeper k ON md5(p.para) = k.h
+    GROUP BY p.doc_id
+    """,
+    note="cross-document paragraph dedup (the CCNet preprocessing "
+    "shape — dedup at PARAGRAPH granularity across the whole corpus, "
+    "not whole-document dd01 nor within-document tx23): sentences "
+    "split on '.', short fragments dropped, each distinct paragraph "
+    "hash keeps only its first occurrence corpus-wide (min "
+    "(doc,position) slot — deterministic keeper). One explode + one "
+    "hash-agg + one equi-join on the md5 — the shuffle key is the "
+    "16-byte hash, never paragraph text; per-doc kept/dropped "
+    "accounting gated",
+    tags=("text", "dedup", "paragraph", "ccnet"),
+)
+def tx25_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\\.")).alias(
+                "idx", "raw"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).alias("para_idx"),
+            F.trim(F.col("raw")).alias("para"),
+        )
+        .where(F.length("para") >= 20)
+    )
+    slot = F.col("doc_id") * 100000 + F.col("para_idx")
+    hashed = paras.select(
+        "doc_id", "para_idx", "para", F.md5("para").alias("h"), slot.alias("slot")
+    )
+    keeper = hashed.groupBy("h").agg(F.min("slot").alias("first_slot"))
+    joined = hashed.join(keeper, "h")
+    kept = F.col("slot") == F.col("first_slot")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.sum(F.when(~kept, F.length("para")).otherwise(0))
+        .cast("long")
+        .alias("dropped_chars"),
+    )
