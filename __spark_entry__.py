@@ -128,6 +128,7 @@ _R7_NEXT = (
     "q92_multiset_set_ops",
     "io17_type_widening_read",
     "tx25_paragraph_dedup",
+    "st22_stream_scd2_build",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

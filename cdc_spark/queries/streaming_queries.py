@@ -1669,3 +1669,168 @@ def st21_state_store_inspection(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n"),
     )
+
+
+@register(
+    "st22_stream_scd2_build",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE WHEN event_type = 'signup' THEN 'c'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               event_id AS lsn, user_id, event_type, value
+        FROM events
+    ),
+    v AS (
+        SELECT *,
+               LEAD(lsn) OVER (PARTITION BY user_id ORDER BY lsn)
+                   AS valid_to
+        FROM ch
+    )
+    SELECT user_id, event_type,
+           ROUND(value, 4) AS value,
+           lsn AS valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v WHERE op IN ('c', 'u')
+    """,
+    note="SCD2 history built INCREMENTALLY by a stream (cdc12 is the "
+    "one-shot batch reconstruction; this is the warehouse-dimension "
+    "maintenance loop): the log arrives in four lsn-ordered "
+    "micro-batches; each batch bucket-prunes the CURRENT open "
+    "intervals of only its touched users (dd13's probe discipline), "
+    "unions them with the batch as pseudo-changes, closes intervals "
+    "via one per-user lead window over that O(batch) frame, APPENDS "
+    "closed versions to an immutable per-epoch directory "
+    "(overwrite-idempotent under replay) and latest-wins-applies the "
+    "new open intervals. Closed ∪ current after the stream drains "
+    "must equal cdc12's whole-log reconstruction",
+    tags=("streaming", "cdc", "scd2", "state"),
+)
+def st22_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    changes = events.select(
+        op.alias("op"),
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    max_lsn = changes.agg(F.max("lsn")).first()[0]
+
+    # four lsn-quartile files with strictly increasing mtimes: the
+    # file source replays them as four ordered micro-batches, so a
+    # user's history SPANS batches (the case that exercises the
+    # incremental close/open fold)
+    src_dir = tempfile.mkdtemp(prefix="st22_src_")
+    doc = F.to_json(F.struct("op", "lsn", "user_id", "event_type", "value"))
+    lo = -1
+    for i in (1, 2, 3, 4):
+        hi = max_lsn * i // 4
+        part = changes.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        # Spark-written, ONE file per quartile (no driver-side row
+        # collect): a quartile split across files could split a
+        # user's changes into unordered micro-batches — at scale the
+        # slicing would be per KEY partition (st14's construction)
+        # instead of per time slice
+        stage = tempfile.mkdtemp(prefix="st22_stage_")
+        part.select(doc.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(stage)
+        (src_file,) = [
+            n for n in os.listdir(stage) if n.startswith("part-")
+        ]
+        dst = os.path.join(src_dir, f"b{i}.json")
+        os.replace(os.path.join(stage, src_file), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        lo = hi
+
+    n_buckets = 16
+    state = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="st22_cur_"),
+        ["user_id"],
+        n_buckets=n_buckets,
+    )
+    closed_dir = tempfile.mkdtemp(prefix="st22_closed_")
+    batch_schema = (
+        "op string, lsn bigint, user_id bigint, event_type string,"
+        " value double"
+    )
+
+    def fold(raw, epoch_id):
+        batch = raw.select(
+            F.from_json(F.col("value"), batch_schema).alias("c")
+        ).select("c.*")
+        touched_row = batch.select(
+            F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+        ).agg(F.collect_set("b")).first()
+        touched = touched_row[0] if touched_row else []
+        cur = state.read_buckets(touched) if touched else None
+        if cur is not None:
+            # open intervals of touched users re-enter as pseudo-changes
+            pseudo = cur.join(
+                batch.select("user_id").distinct(), "user_id", "left_semi"
+            ).select(
+                F.lit("u").alias("op"),
+                F.col("valid_from").alias("lsn"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            frame = batch.unionByName(pseudo)
+        else:
+            frame = batch
+        w = Window.partitionBy("user_id").orderBy("lsn")
+        timed = frame.withColumn("valid_to", F.lead("lsn").over(w))
+        closed = timed.where(
+            F.col("valid_to").isNotNull() & F.col("op").isin("c", "u")
+        ).select(
+            "user_id", "event_type", "value",
+            F.col("lsn").alias("valid_from"), "valid_to",
+        )
+        closed.write.mode("overwrite").parquet(
+            os.path.join(closed_dir, f"epoch={epoch_id}")
+        )
+        tail = timed.where(F.col("valid_to").isNull()).select(
+            "op", "lsn", "user_id", "event_type", "value",
+            F.col("lsn").alias("valid_from"),
+        )
+        state.apply(
+            tail, ["event_type", "value", "valid_from"], batch_id=epoch_id
+        )
+
+    q = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st22_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    closed = spark.read.parquet(closed_dir).select(
+        "user_id", "event_type", "value", "valid_from", "valid_to"
+    )
+    current = state.read().select(
+        "user_id", "event_type", "value", "valid_from",
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    hist = closed.unionByName(current)
+    return hist.select(
+        "user_id", "event_type", "value", "valid_from", "valid_to",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    )
