@@ -594,3 +594,64 @@ def test_cdf_backfill_on_restart_with_no_new_data(spark, dirs):
     assert pipe2._published_versions() == set(
         range(1, pipe2.state.current_version() + 1)
     )
+
+
+def test_rocksdb_state_store_provider(spark, dirs):
+    """Production state-store backend: the same windowed aggregation
+    runs with the RocksDB provider (bounded-memory state at scale,
+    changelog checkpointing ecosystem) and must produce identical
+    results to the default HDFS-backed store."""
+    os.makedirs(dirs["src"], exist_ok=True)
+    with open(os.path.join(dirs["src"], "a.txt"), "w") as fh:
+        fh.write("x\ny\nx\nz\nx\n")
+
+    def run(tag, provider):
+        reader = (
+            spark.readStream.format("text")
+            .load(dirs["src"])
+            .groupBy("value")
+            .count()
+        )
+        name = f"t_rocks_{tag}_{uuid.uuid4().hex[:6]}"
+        w = (
+            reader.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(dirs["ckpt"], tag),
+            )
+        )
+        saved = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination(120)
+        finally:
+            if provider:
+                if saved:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass",
+                        saved,
+                    )
+                else:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+        return {
+            (r["value"], r["count"])
+            for r in spark.table(name).collect()
+        }
+
+    base = run("hdfs", None)
+    rocks = run(
+        "rocks",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    assert base == rocks == {("x", 3), ("y", 1), ("z", 1)}
