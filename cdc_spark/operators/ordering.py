@@ -75,7 +75,11 @@ def distributed_row_number(
     sort, ``monotonically_increasing_id`` is ``(pid << 33) + local
     index`` — the local rank falls out arithmetically, no second
     window pass over the data at all. Offsets come from the
-    per-partition counts (step 3 above).
+    per-partition counts (step 3 above). The id layout bounds a
+    single partition at 2^33 (~8.6 B) rows — size ``num_partitions``
+    so no range partition approaches that (at 100 TB that is ~40
+    bytes/row/partition at the minimum legal partition count; any
+    sane sizing is orders of magnitude below the bound).
     """
     ranged = df.repartitionByRange(
         num_partitions, *order_cols
