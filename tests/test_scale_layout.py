@@ -217,3 +217,54 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three join-strategy knobs a large job reaches for when the
+    optimizer's stats-based choice is wrong: each hint must actually
+    flip the physical operator."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(50_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(997).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "SortMergeJoin" in physical(
+            big.join(small.hint("merge"), "k")
+        )
+        assert "ShuffledHashJoin" in physical(
+            big.join(small.hint("shuffle_hash"), "k")
+        )
+        assert "BroadcastHashJoin" in physical(
+            big.join(F.broadcast(small), "k")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_rebalance_hint_plans_aqe_rebalance(spark):
+    """`/*+ REBALANCE */` (the skew-safe pre-write repartition): the
+    plan must carry the AQE rebalance shuffle origin rather than a
+    plain round-robin exchange."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    df.createOrReplaceTempView("t_rebal")
+    plan = (
+        spark.sql("SELECT /*+ REBALANCE(k) */ k, v FROM t_rebal")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RebalancePartitions" in plan or "REBALANCE" in plan
