@@ -129,6 +129,8 @@ _R7_NEXT = (
     "io17_type_widening_read",
     "tx25_paragraph_dedup",
     "st22_stream_scd2_build",
+    "ss19_radius_search",
+    "io18_write_audit_publish",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

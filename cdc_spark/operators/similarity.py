@@ -123,6 +123,44 @@ def ann_lsh_topk(
     )
 
 
+def lsh_radius_search(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    *,
+    threshold: float,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 11,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ALL vectors within cosine >= threshold of the probe — the
+    radius/range twin of ``ann_lsh_topk``. Same multi-table bucket
+    prefilter, then a plain threshold FILTER on the rounded cosine:
+    no orderBy, no limit — a radius query's cardinality is
+    data-dependent, and funnelling it through top-k with a huge k
+    preallocates a k-sized selector per task (an OOM under modest
+    heaps, found by the driver-conditions smoke)."""
+    dim = len(query_vec)
+    cond = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        q_bucket = 0
+        for i, plane in enumerate(planes):
+            if math.fsum(x * y for x, y in zip(query_vec, plane)) >= 0:
+                q_bucket |= 1 << i
+        eq = lsh_bucket(F.col(embedding_col), planes) == q_bucket
+        cond = eq if cond is None else (cond | eq)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(embedding_col), q), round_digits)
+    return (
+        df.where(cond)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     embedding_col: str,

@@ -947,3 +947,88 @@ def io17_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("uid").cast("long").alias("uid_sum"),
     )
+
+
+@register(
+    "io18_write_audit_publish",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS total_price
+    FROM orders WHERE o_orderkey % 3 <> 0
+    GROUP BY o_orderstatus
+    """,
+    note="write-audit-publish (the Iceberg/dbt WAP pattern on the "
+    "engine's own pointer machinery): new snapshots STAGE into an "
+    "unpublished version directory, an audit (null keys, duplicate "
+    "keys, row-count floor) runs against the staged files, and only "
+    "a passing audit swaps the fsync'd CURRENT pointer — readers "
+    "never see unaudited data. The gated run stages a CORRUPT "
+    "snapshot (null + duplicate keys) whose audit must fail leaving "
+    "the pointer untouched (asserted), then a clean snapshot that "
+    "publishes; the read-through-pointer result hash-matches the "
+    "clean snapshot's aggregation",
+    tags=("io", "wap", "audit", "publish"),
+)
+def io18_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.streaming.pipeline import VersionedStateTable
+    from cdc_spark.streaming.state import _fsync_replace
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="io18_wap_")
+    vt = VersionedStateTable(spark, d)
+    # baseline publish
+    vt.write(orders.where(F.col("o_orderkey") % 7 == 0))
+    v_before = vt.current_version()
+
+    def stage_and_audit(df, v):
+        target = os.path.join(d, f"v{v}")
+        df.write.mode("overwrite").parquet(target)
+        staged = spark.read.parquet(target)
+        checks = staged.agg(
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
+                "null_keys"
+            ),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias(
+                "dup_keys"
+            ),
+            F.count("*").alias("n"),
+        ).first()
+        ok = (
+            checks.null_keys == 0
+            and checks.dup_keys == 0
+            and checks.n > 0
+        )
+        if ok:
+            _fsync_replace(
+                os.path.join(d, "CURRENT.tmp"),
+                os.path.join(d, "CURRENT"),
+                str(v),
+            )
+        return ok
+
+    # corrupt snapshot: a null key and a duplicated key sneak in
+    base = orders.where(F.col("o_orderkey") % 3 != 0)
+    corrupt = base.unionByName(
+        base.limit(1).select(
+            F.lit(None).cast("long").alias("o_orderkey"),
+            *[c for c in base.columns if c != "o_orderkey"],
+        )
+    ).unionByName(base.limit(1))
+    if stage_and_audit(corrupt, v_before + 1):
+        raise AssertionError("audit passed a corrupt snapshot")
+    if vt.current_version() != v_before:
+        raise AssertionError("failed audit moved the published pointer")
+
+    # clean snapshot publishes
+    if not stage_and_audit(base, v_before + 2):
+        raise AssertionError("audit rejected a clean snapshot")
+
+    published = vt.read()
+    return published.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )

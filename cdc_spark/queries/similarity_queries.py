@@ -1369,3 +1369,70 @@ def ss18_binary_quantization(
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _lsh_radius_oracle(
+    *,
+    dim: int = _EMB_DIM,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 11,
+    threshold: float = 0.15,
+) -> str:
+    """DuckDB twin of the LSH radius search: same seeded planes and
+    bucket filter as ss02, the threshold applied to the ROUNDED
+    cosine (matching the operator's rounded output exactly)."""
+
+    def bucket_expr(t: int, col: str) -> str:
+        terms = []
+        for i, plane in enumerate(
+            hyperplanes(dim, n_planes, seed + 1000 * t)
+        ):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr})"
+                f" >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    any_table = "\n           OR ".join(
+        f"{bucket_expr(t, 'e.embedding')} = {bucket_expr(t, 'q.qe')}"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.qe::DOUBLE[]), 4) AS cosine_sim
+    FROM embeddings e, q
+    WHERE ({any_table})
+      AND ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                       q.qe::DOUBLE[]), 4) >= {threshold}
+    """
+
+
+@register(
+    "ss19_radius_search",
+    oracle=_lsh_radius_oracle(),
+    note="radius (range) vector search — the serving twin of top-k: "
+    "ALL corpus vectors within cosine >= 0.15 of the probe, not a "
+    "fixed k (the 'find every near-duplicate of this item' query "
+    "dedup review tools issue). Candidates come from the same "
+    "multi-table hyperplane LSH filter as ss02 (bucket collisions, "
+    "never a full scan at the index layout), then the exact rounded "
+    "cosine threshold verifies; the oracle re-derives planes, "
+    "buckets and the threshold filter. Result cardinality is "
+    "data-dependent — exactly why radius search needs the LSH "
+    "prefilter at scale where top-k could at least bound its scan",
+    tags=("similarity", "radius", "lsh"),
+)
+def ss19_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import lsh_radius_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return lsh_radius_search(
+        emb, "embedding", "vec_id", q, threshold=0.15
+    )
