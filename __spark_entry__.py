@@ -131,6 +131,8 @@ _R7_NEXT = (
     "st22_stream_scd2_build",
     "ss19_radius_search",
     "io18_write_audit_publish",
+    "q93_trailing_window_features",
+    "st23_stream_watchlist_alerts",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -1681,3 +1681,67 @@ def q92_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "k", "n")
     )
     return i.unionByName(e)
+
+
+@register(
+    "q93_trailing_window_features",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch(ts) AS sec,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    feats AS (
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_1h,
+               SUM(cents) OVER w AS cents_1h
+        FROM e
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id,
+           CAST(MAX(n_1h) AS BIGINT) AS max_events_1h,
+           CAST(MAX(cents_1h) AS BIGINT) AS max_cents_1h,
+           CAST(SUM(n_1h) AS BIGINT) AS feature_mass
+    FROM feats GROUP BY user_id
+    """,
+    note="trailing event-time feature windows — the per-EVENT sliding "
+    "aggregate ML feature pipelines need ('activity in the hour "
+    "before this event'), which bucketed windows (q28/q29) cannot "
+    "express because every event anchors its own frame: a RANGE "
+    "frame over epoch seconds, partitioned per user so frames never "
+    "cross entities (no global sort). Value cents are exact "
+    "integers; per-user maxima and total feature mass gated",
+    tags=("relational", "window", "features", "event-time"),
+)
+def q93_trailing_window_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    feats = e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("cents_1h"),
+    )
+    return feats.groupBy("user_id").agg(
+        F.max("n_1h").cast("long").alias("max_events_1h"),
+        F.max("cents_1h").cast("long").alias("max_cents_1h"),
+        F.sum("n_1h").cast("long").alias("feature_mass"),
+    )

@@ -1834,3 +1834,85 @@ def st22_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+@register(
+    "st23_stream_watchlist_alerts",
+    oracle="""
+    WITH wl AS (
+        SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+        WHERE vec_id IN (0, 7, 13)
+    )
+    SELECT wl.probe_id, e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        wl.pe::DOUBLE[]), 4) AS sim
+    FROM embeddings e, wl
+    WHERE ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                       wl.pe::DOUBLE[]), 4) >= 0.15
+    """,
+    note="near-duplicate ALERTING on ingest (the content-moderation / "
+    "canary shape): vectors arrive as a stream; every micro-batch "
+    "scores each item against a 3-probe WATCHLIST embedded as "
+    "literals (bounded collect, broadcast by constant folding — no "
+    "join node, ss05's trick) and emits (probe, item, sim) alerts "
+    "above the radius threshold. Stateless per-batch transform — "
+    "append-mode output, no state store, scales as O(batch x "
+    "watchlist); the drained alert set hash-matches the batch "
+    "cross-score",
+    tags=("streaming", "similarity", "alerting", "radius"),
+)
+def st23_stream_watchlist_alerts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    watch = [
+        (r.vec_id, r.embedding)
+        for r in emb.where(F.col("vec_id").isin(0, 7, 13))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    stream_dir = tempfile.mkdtemp(prefix="st23_src_")
+    os.symlink(
+        table_path(sf_dir, "embeddings"),
+        os.path.join(stream_dir, "embeddings.parquet"),
+    )
+    stream = spark.readStream.schema(emb.schema).parquet(stream_dir)
+
+    alerts = stream.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pid).alias("probe_id"),
+                        F.round(
+                            cosine(
+                                F.col("embedding"),
+                                F.array(*[F.lit(float(x)) for x in pe]),
+                            ),
+                            4,
+                        ).alias("sim"),
+                    )
+                    for pid, pe in watch
+                ]
+            )
+        ).alias("a"),
+    ).select("a.probe_id", "vec_id", "a.sim").where(
+        F.col("sim") >= 0.15
+    )
+    name = f"st23_{uuid.uuid4().hex[:8]}"
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st23_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
