@@ -133,6 +133,7 @@ _R7_NEXT = (
     "io18_write_audit_publish",
     "q93_trailing_window_features",
     "st23_stream_watchlist_alerts",
+    "io19_python_stream_sink",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -1032,3 +1032,71 @@ def io18_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "io19_python_stream_sink",
+    oracle="""
+    WITH gen AS (
+        SELECT r AS lsn,
+               CASE WHEN r % 10 = 9 THEN 'd' ELSE 'u' END AS op,
+               r % 97 AS key,
+               CAST((r * 31) % 1000 AS DOUBLE) AS value
+        FROM range(0, 6000) t(r)
+    )
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(lsn) AS BIGINT) AS lsn_sum,
+           CAST(SUM(key) AS BIGINT) AS key_sum
+    FROM gen GROUP BY op
+    """,
+    note="custom Python STREAMING sink (DataSourceStreamWriter) — the "
+    "fourth quadrant of the connector API (io08 batch read, io10 "
+    "stream read, io16 batch write): the change-generator STREAM "
+    "flows through writeStream.format into per-micro-batch staged "
+    "files, committed with the batch id woven into the published "
+    "names so a replayed batch overwrites itself instead of "
+    "duplicating rows (sink-side idempotence beneath checkpoint "
+    "replay). The sunk feed reads back and hash-matches the "
+    "generator formula — connector source AND sink verified in one "
+    "pipeline with zero built-in formats in the middle",
+    tags=("io", "sink", "datasource", "streaming"),
+)
+def io19_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.sources.changegen import ChangeGenDataSource
+    from cdc_spark.sources.jsonlines_sink import JsonLinesDataSource
+
+    for ds in (ChangeGenDataSource, JsonLinesDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+    out_dir = tempfile.mkdtemp(prefix="io19_sink_")
+    feed = (
+        spark.readStream.format("cdc_changegen")
+        .option("maxLsn", "6000")
+        .option("batchLsns", "1500")
+        .option("numPartitions", "4")
+        .load()
+    )
+    q = (
+        feed.writeStream.format("cdc_jsonlines")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="io19_ck_")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    back = spark.read.schema(
+        "lsn long, op string, key long, value double"
+    ).json(out_dir)
+    return back.groupBy("op").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lsn").cast("long").alias("lsn_sum"),
+        F.sum("key").cast("long").alias("key_sum"),
+    )

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -77,3 +78,57 @@ class JsonLinesWriter(DataSourceWriter):
         for m in messages:
             if m and m.tmp and os.path.exists(m.tmp):
                 os.remove(m.tmp)
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the sink (``DataSourceStreamWriter``),
+    completing the connector API's fourth quadrant beside the batch
+    reader (io08), stream reader (io10) and batch writer (io16).
+
+    Same staging discipline per micro-batch, with the batch id woven
+    into the COMMITTED file names: ``commit(messages, batch_id)``
+    publishes ``batch-<id>-*.jsonl`` atomically, so a replayed batch
+    (crash between sink commit and checkpoint commit) overwrites its
+    own files instead of duplicating rows — idempotent, exactly-once
+    for downstream file readers."""
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cdc_jsonlines sink requires option 'path'")
+
+    def write(self, iterator):  # noqa: ANN001
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        token = _uuid.uuid4().hex
+        tmp = os.path.join(self.path, f"._stage-{token}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return FileStaged(tmp="", final="")
+        return FileStaged(tmp=tmp, final="")
+
+    def commit(self, messages, batch_id) -> None:  # noqa: ANN001
+        for i, m in enumerate(messages):
+            if m and m.tmp:
+                final = os.path.join(
+                    self.path, f"batch-{batch_id}-{i}.jsonl"
+                )
+                os.replace(m.tmp, final)
+
+    def abort(self, messages, batch_id) -> None:  # noqa: ANN001
+        for m in messages:
+            if m and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+def _stream_writer(self, schema, overwrite):  # noqa: ANN001
+    return JsonLinesStreamWriter(self.options)
+
+
+JsonLinesDataSource.streamWriter = _stream_writer
