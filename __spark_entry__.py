@@ -134,6 +134,7 @@ _R7_NEXT = (
     "q93_trailing_window_features",
     "st23_stream_watchlist_alerts",
     "io19_python_stream_sink",
+    "dd16_quality_keeper_dedup",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -1204,3 +1204,111 @@ def dd15_fuzzy_decontamination(
             F.round(F.max("c") / 32.0, 4).alias("max_est_jaccard"),
         )
     )
+
+
+@register(
+    "dd16_quality_keeper_dedup",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT id_a AS a, id_b AS b FROM (
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(l) - 2, 0)),
+                           i -> array_to_string(l[i:i+2], ' '))) AS s
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        )
+        UNION
+        SELECT b, a FROM e
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    members AS (
+        SELECT n.a AS doc_id, LEAST(n.a, MIN(r.b)) AS cluster_id
+        FROM (SELECT DISTINCT a FROM e) n
+        LEFT JOIN reach r ON r.a = n.a
+        GROUP BY n.a
+    ),
+    scored AS (
+        SELECT m.doc_id, m.cluster_id,
+               ROUND(least(len(string_split(d.text, ' ')) / 64.0, 1.0)
+                     * (len(list_distinct(string_split(d.text, ' ')))
+                        * 1.0 / len(string_split(d.text, ' ')))
+                     * (length(regexp_replace(d.text, '[^a-zA-Z]', '',
+                                              'g'))
+                        * 1.0 / length(d.text)), 4) AS q
+        FROM members m JOIN documents d ON m.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY q DESC, doc_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT cluster_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS keep_id,
+           MAX(CASE WHEN rn = 1 THEN q END) AS keep_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ranked GROUP BY cluster_id
+    """,
+    note="keeper-policy dedup — what production dedup actually ships "
+    "(keep the BEST copy, not the first): dd06's connected-component "
+    "near-dup clusters, but the survivor per cluster is the "
+    "highest-QUALITY member (dp05's engine-exact quality score, "
+    "min-id tiebreak) instead of min-id. One quality join + one "
+    "per-cluster rank window (frames bounded by cluster size); the "
+    "oracle extends dd06's recursive closure with the same scoring "
+    "and rank",
+    tags=("dedup", "cluster", "quality", "keeper"),
+)
+def dd16_quality_keeper_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.cluster import connected_components
+    from cdc_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", k_shingle=3, threshold=0.8
+    )
+    members = connected_components(pairs.select("id_a", "id_b"))
+    scored = members.join(
+        docs.select(
+            "doc_id", F.round(quality_score("text"), 4).alias("q")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("keep_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("q"))).alias(
+            "keep_quality"
+        ),
+        F.count("*").cast("long").alias("n_members"),
+    )
