@@ -135,6 +135,7 @@ _R7_NEXT = (
     "st23_stream_watchlist_alerts",
     "io19_python_stream_sink",
     "dd16_quality_keeper_dedup",
+    "cdc30_idempotent_consumer",
     "q75_funnel_conversion",
     "q76_cohort_retention",
     "q78_anomaly_zscore",

@@ -2080,3 +2080,90 @@ def cdc29_vacuum_survivor_state(
     return state.read().select(
         "user_id", "event_type", F.round("value", 4).alias("value")
     )
+
+
+@register(
+    "cdc30_idempotent_consumer",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events GROUP BY event_type
+    """,
+    note="stateful idempotent consumer — the production at-least-once "
+    "pattern when offsets cannot be trusted (broker failover, "
+    "multi-producer topics): two delivery batches OVERLAP by a "
+    "quarter of the log; each batch probes a persisted "
+    "processed-keys table for ONLY the buckets its keys hash into "
+    "(dd13's O(batch) discipline, never a table scan), drops "
+    "already-seen keys via anti join, and applies the fresh "
+    "remainder. The fresh-row accounting is asserted in-query "
+    "(fresh1 + fresh2 == distinct deliveries — a failed dedup "
+    "inflates it); final state hash-matches the distinct-event "
+    "aggregation. cdc07 is the stateless single-batch collapse; "
+    "cdc27 the watermark variant — this is the key-set variant that "
+    "works when deliveries are not LSN-contiguous",
+    tags=("cdc", "exactly-once", "idempotency", "state"),
+)
+def cdc30_idempotent_consumer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.col("event_id"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    max_id = base.agg(F.max("event_id")).first()[0]
+    cut_hi, cut_lo = max_id * 6 // 10, max_id * 45 // 100
+    batch1 = base.where(F.col("event_id") <= cut_hi)
+    batch2 = base.where(F.col("event_id") > cut_lo)  # overlaps batch1
+
+    n_buckets = 16
+    seen = BucketedStateTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc30_seen_"),
+        ["event_id"],
+        n_buckets=n_buckets,
+    )
+
+    def consume(batch):
+        touched = batch.select(
+            F.pmod(F.xxhash64("event_id"), F.lit(n_buckets)).alias("b")
+        ).agg(F.collect_set("b")).first()[0]
+        prior = seen.read_buckets(touched) if touched else None
+        fresh = (
+            batch
+            if prior is None
+            else batch.join(prior, "event_id", "left_anti")
+        )
+        fresh = fresh.localCheckpoint(eager=False)
+        seen.apply(
+            fresh.select(
+                "event_id",
+                "event_type",
+                "cents",
+                F.lit("c").alias("op"),
+                F.col("event_id").alias("lsn"),
+            ),
+            ["event_type", "cents"],
+        )
+        return fresh.count()
+
+    n1 = consume(batch1)
+    n2 = consume(batch2)
+    n_distinct = base.count()
+    if n1 + n2 != n_distinct:
+        raise AssertionError(
+            f"idempotent consume leaked duplicates: {n1}+{n2} != "
+            f"{n_distinct}"
+        )
+    return seen.read().groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
