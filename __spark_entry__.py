@@ -23,18 +23,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 6: the driver samples a 50-row prefix, so the
-# ordering below IS the gate. Tier 0 is an explicit, deliberately
-# ordered list of exactly 50 entries drawn from the 62 that either
-# have never had a driver row (60, per rounds 1-5 CORRECTNESS files)
-# or changed semantics this round (ss03/ss06's new deterministic
-# hash-checkable codebook): entries fixed/changed in round 6 first,
-# then the streaming family (the riskiest never-gated code, st12-st19
-# including st14/st16 whose CDF publication layout changed), then the
-# remaining never-gated families. Tier 1 is the 12-entry remainder
-# that rolls to round 7 (q75-q83 relational shapes with gated
-# siblings, and q26/q28-q31 which DO have old r1 rows). Tier 2 is
-# everything already gated, most-recently-checked last.
+# Rotated for round 7: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 (_R7_PREFIX) is exactly 50
+# entries: the 47 never-gated entries that rolled out of round 6
+# (the 36 round-6 additions plus q26/q28-q30, q75/q76/q78, q80-q83 —
+# q31 deliberately EXCLUDED: it has no oracle by design, so a driver
+# slot would only record a guaranteed no_oracle row; it stays
+# test-validated), plus st06/dd03/dd04 whose latest driver rows are
+# stale r4 ``no_oracle`` rows from before their oracles existed.
+# After this round every registry entry has a green driver row no
+# older than its current semantics. Tier 1 is the previous round's
+# prefix (all D6-green), tier 2 everything else.
 _R6_PREFIX = (
     # changed or fixed in round 6 (distributed two-pass windows,
     # deterministic IVF codebook, single-scan profile)
@@ -98,8 +97,8 @@ _R6_PREFIX = (
     "q79_session_paths",
 )
 
-_R7_NEXT = (
-    # new in round 6 — never gated, first in line next round
+_R7_PREFIX = (
+    # new in round 6 — never gated, first in line
     "ss15_pq_adc_topk",
     "dp07_curriculum_shard_write",
     "mm06_scene_segmentation",
@@ -107,6 +106,10 @@ _R7_NEXT = (
     "dp08_striped_packing",
     "pu06_map_in_arrow",
     "q85_pivot_matrix",
+    # stale r4 no_oracle rows — oracles exist since r5; re-gate
+    "st06_stateful_running_counts",
+    "dd03_minhash_lsh",
+    "dd04_simhash",
     "ss16_pq_persisted_index",
     "ss17_ivfpq_index",
     "cdc27_overlap_replay_dedup",
@@ -147,18 +150,17 @@ _R7_NEXT = (
     "q28_tumbling_window",
     "q29_sliding_window",
     "q30_percentiles",
-    "q31_approx_stats",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}
-_R7_RANK = {n: i for i, n in enumerate(_R7_NEXT)}
+_R7_RANK = {n: i for i, n in enumerate(_R7_PREFIX)}
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R6_RANK:
-        return (0, _R6_RANK[name], name)
     if name in _R7_RANK:
-        return (1, _R7_RANK[name], name)
+        return (0, _R7_RANK[name], name)
+    if name in _R6_RANK:
+        return (1, _R6_RANK[name], name)
     return (2, 0, name)
 
 
