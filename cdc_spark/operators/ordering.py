@@ -94,7 +94,23 @@ def distributed_row_number(
             "long"
         ),
     )
-    counts = local.groupBy(_PID).agg(F.count("*").alias(_CNT))
+    # The id layout silently corrupts past 2^33 rows in ONE partition;
+    # fail loudly instead, inside the counts aggregate we already
+    # compute (raise_error evaluates lazily with the plan — no extra
+    # job, and _CNT is consumed so it cannot be pruned).
+    counts = local.groupBy(_PID).agg(F.count("*").alias(_CNT)).select(
+        _PID,
+        F.when(F.col(_CNT) < F.lit(1 << 33), F.col(_CNT))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "distributed_row_number: a range partition exceeds"
+                    " 2^33 rows; increase num_partitions"
+                )
+            )
+        )
+        .alias(_CNT),
+    )
     out = local.join(F.broadcast(_offsets(counts, _CNT)), _PID)
     return out.withColumn(
         out_col, (F.col(_LOCAL) + F.col(_OFF)).cast("long")
@@ -128,6 +144,78 @@ def distributed_prefix_sum(
         F.sum(value_col).cast("long").alias(_CNT)
     )
     out = local.join(F.broadcast(_offsets(totals, _CNT)), _PID)
+    prefix = F.col(_LOCAL) + F.col(_OFF)
+    if not inclusive:
+        prefix = prefix - F.col(value_col)
+    return out.withColumn(out_col, prefix.cast("long")).drop(
+        _PID, _LOCAL, _OFF
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    *,
+    out_col: str = "prefix_sum",
+    inclusive: bool = True,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Per-group running sum of ``value_col`` — the distributed twin of
+    ``Window.partitionBy(group).orderBy(...)`` cumsum — without ever
+    funneling a whole group through one reducer.
+
+    ``Window.partitionBy(group_col)`` bounds each task by the LARGEST
+    GROUP: a low-cardinality or skewed group column (one source = 99%
+    of a corpus) degenerates to the single-reducer shape. Here the
+    range partitioner keys on ``(group_col, *order_cols)`` instead, so
+    a dominant group simply spans several contiguous range partitions:
+
+    1. ``repartitionByRange(group_col, *order_cols)`` — group is the
+       LEADING range key, so each group occupies a contiguous run of
+       partitions and each partition holds a contiguous slice of at
+       most a handful of groups;
+    2. per ``(partition, group)`` local cumsum — bounded by one
+       partition's rows regardless of group skew;
+    3. per ``(partition, group)`` totals (a tiny aggregate: at most
+       ``num_partitions + num_groups − 1`` rows by contiguity) turned
+       into exclusive offsets with a window partitioned by group over
+       THAT aggregate;
+    4. broadcast join adds each slice's offset back.
+
+    Bit-identical to the per-group window when ``order_cols`` is
+    tie-free within a group, so oracles keep their plain
+    ``SUM() OVER (PARTITION BY g ORDER BY ...)`` SQL.
+    """
+    ranged = df.repartitionByRange(
+        num_partitions, group_col, *order_cols
+    ).withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(_PID, group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        _LOCAL, F.sum(value_col).over(w_local).cast("long")
+    )
+    totals = local.groupBy(_PID, group_col).agg(
+        F.sum(value_col).cast("long").alias(_CNT)
+    )
+    # exclusive offsets per group over the TINY (pid, group) aggregate
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _PID,
+        group_col,
+        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0))
+        .cast("long")
+        .alias(_OFF),
+    )
+    out = local.join(F.broadcast(offsets), [_PID, group_col])
     prefix = F.col(_LOCAL) + F.col(_OFF)
     if not inclusive:
         prefix = prefix - F.col(value_col)

@@ -420,16 +420,18 @@ def dp08_striped_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seeded shuffle) and accumulate a running token count; a doc is "
     "kept iff its START offset is inside the 3000-token budget, so "
     "selection is reproducible across engines and runs and every "
-    "source contributes a near-exact token quota. The running sum is "
-    "partitioned BY SOURCE — parallelism = source count here, and at "
-    "scale each source's cumsum range-partitions further via "
-    "operators/ordering.py's two-pass prefix sum",
+    "source contributes a near-exact token quota. The per-source "
+    "running sum rides operators/ordering.py's GROUPED two-pass "
+    "prefix sum (range-partitioned on (source, k, doc_id)), so a "
+    "dominant source spans many partitions instead of funneling "
+    "through one reducer — bit-identical to the per-source window, "
+    "so the oracle keeps its plain SUM OVER (PARTITION BY source)",
     tags=("packing", "mixture", "budget", "sampling"),
 )
 def dp09_token_budget_mixture(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
+    from cdc_spark.operators.ordering import grouped_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
@@ -438,13 +440,13 @@ def dp09_token_budget_mixture(
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("k"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("k", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = sized.withColumn(
-        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    placed = grouped_prefix_sum(
+        sized,
+        "source",
+        ["k", "doc_id"],
+        "n_tokens",
+        out_col="start_off",
+        inclusive=False,
     )
     kept = F.col("start_off") < 3000
     return placed.groupBy("source").agg(

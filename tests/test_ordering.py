@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cdc_spark.operators.ordering import (
     distributed_prefix_sum,
     distributed_row_number,
+    grouped_prefix_sum,
     lsn_gap_audit,
 )
 
@@ -65,6 +66,43 @@ def test_prefix_sum_matches_global_window(spark):
     }
     w = (
         Window.orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.doc_id, r.ps)
+        for r in docs.select(
+            "doc_id",
+            (F.sum("n").over(w) - F.col("n")).cast("long").alias("ps"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_prefix_sum_matches_per_group_window(spark):
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+            (F.col("doc_id") % 17 + 1).cast("long").alias("n"),
+        )
+    )
+    got = {
+        (r.doc_id, r.ps)
+        for r in grouped_prefix_sum(
+            docs,
+            "source",
+            ["k", "doc_id"],
+            "n",
+            out_col="ps",
+            inclusive=False,
+            num_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     want = {
@@ -185,6 +223,42 @@ def test_row_number_property(spark, rows):
     }
     ordered = sorted(data, key=lambda t: (-t[1], t[0]))
     want = {uid: i + 1 for i, (uid, _) in enumerate(ordered)}
+    assert got == want
+
+
+_grouped_vals = st.lists(
+    st.tuples(
+        # group id drawn so one group (0) dominates ~90% of rows —
+        # the adversarial-skew shape Window.partitionBy degenerates on
+        st.sampled_from([0] * 9 + [1, 2]),
+        st.integers(min_value=-1000, max_value=1000),  # sort key
+        st.integers(min_value=0, max_value=50),        # value
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_grouped_vals)
+def test_grouped_prefix_sum_property(spark, rows):
+    data = [(i, g, k, v) for i, (g, k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, g long, k long, v long")
+    got = {
+        r.uid: r.ps
+        for r in grouped_prefix_sum(
+            df, "g", ["k", "uid"], "v", out_col="ps", num_partitions=4
+        ).collect()
+    }
+    want = {}
+    run = {}
+    for uid, g, _, v in sorted(data, key=lambda t: (t[1], t[2], t[0])):
+        run[g] = run.get(g, 0) + v
+        want[uid] = run[g]
     assert got == want
 
 
