@@ -56,6 +56,7 @@ HEADLINE = [
     "dp05_curriculum_order",     # distributed two-pass global row number
     "mm05_interleaved_packing",  # distributed two-pass prefix-sum packing
     "ss15_pq_adc_topk",          # PQ compressed-domain ADC scan
+    "ss17_ivfpq_index",          # IVF-PQ partition-pruned compressed probe
 ]
 
 

@@ -270,42 +270,64 @@ def pq_encode(
     """
     m = len(codebook)
     d_sub = len(codebook[0][0])
-    dim = m * d_sub
     base = list(df.columns)
     # Built as SQL STRINGS, not Column trees: composing the ~10k-node
     # scoring expression object-by-object costs ~5 s of py4j round
     # trips PER PLAN BUILD (measured; execution itself is <1 s at
-    # sf0.1) — one selectExpr string per stage hands the whole tree
-    # to the JVM parser in a single call. Staged projections:
-    # 1) quantize each element once,
-    q_stage = df.selectExpr(
-        "*",
-        *[
-            f"CAST(floor(CAST(element_at({embedding_col}, {i + 1}) AS"
-            f" DOUBLE) * {scale} + 0.5) AS BIGINT) AS __pqq{i}"
-            for i in range(dim)
-        ],
-    )
-    # 2) per-subspace score arrays as flat integer polynomials
-    #    (whole-stage-codegen'd multiply-adds; no interpreted HOFs),
-    score_exprs = []
+    # sf0.1) — selectExpr strings hand each tree to the JVM parser in
+    # one call. Two codegen-size rules keep the fused stage UNDER the
+    # JVM's 64 KB processNext limit (pass-through projections all
+    # inline there — per-operator consume splitting can't fire when
+    # outputs are deferred single-use vars):
+    # - scores are DOUBLE polynomials, not BIGINT: under ANSI mode
+    #   every long *,+ expands to an overflow-checked MathUtils call
+    #   with an error-context reference (~8 lines/term × m·k·d_sub
+    #   terms blew the method); double arithmetic is one JIT-able op,
+    #   and every operand is a small integer so doubles are EXACT —
+    #   bit-identical scores, same argmin, oracle unchanged;
+    # - quantized values are COALESCE'd non-nullable, so the k cells
+    #   are straight-line arithmetic with no null-propagation
+    #   branches (a null/short embedding still surfaces in
+    #   element_at, exactly as before).
+    # Staged per subspace so each quantized slice is computed once
+    # (the repeated __pqq references also feed common-subexpression
+    # methods, which codegen splits out of processNext).
+    cur = df
     for s in range(m):
+        done = [f"{code_prefix}{t}" for t in range(s)]
+        # 1) quantize this subspace's slice once,
+        cur = cur.selectExpr(
+            *base,
+            *done,
+            *[
+                f"CAST(COALESCE(floor(CAST(element_at({embedding_col},"
+                f" {s * d_sub + i + 1}) AS DOUBLE) * {scale} + 0.5), 0)"
+                f" AS DOUBLE) AS __pqq{i}"
+                for i in range(d_sub)
+            ],
+        )
+        # 2) k-cell score array as flat double polynomials
+        #    (codegen'd multiply-adds; no interpreted HOFs),
         cells = []
         for c in codebook[s]:
             terms = " + ".join(
-                f"(__pqq{s * d_sub + i} * {-2 * int(c[i])})"
+                f"(__pqq{i} * {float(-2 * int(c[i]))!r}D)"
                 for i in range(d_sub)
             )
-            cells.append(f"({_sq_norm(c)} + {terms})")
-        score_exprs.append(f"array({', '.join(cells)}) AS __pqs{s}")
-    s_stage = q_stage.selectExpr(*base, *score_exprs)
-    # 3) argmin -> code (first max of array_position: lowest id ties)
-    code_exprs = [
-        f"CAST(array_position(__pqs{s}, array_min(__pqs{s})) - 1"
-        f" AS INT) AS {code_prefix}{s}"
-        for s in range(m)
-    ]
-    return s_stage.selectExpr(*base, *code_exprs)
+            cells.append(f"({float(_sq_norm(c))!r}D + {terms})")
+        cur = cur.selectExpr(
+            *base,
+            *done,
+            f"array({', '.join(cells)}) AS __pqs",
+        )
+        # 3) argmin -> code (first max of array_position: lowest ties)
+        cur = cur.selectExpr(
+            *base,
+            *done,
+            f"CAST(array_position(__pqs, array_min(__pqs)) - 1"
+            f" AS INT) AS {code_prefix}{s}",
+        )
+    return cur
 
 
 def pq_adc_topk(
