@@ -42,12 +42,13 @@ class JsonLinesDataSource(DataSource):
         return "cdc_jsonlines"
 
     def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":  # noqa: ANN001
-        return JsonLinesWriter(self.options)
+        return JsonLinesWriter(self.options, overwrite=overwrite)
 
 
 class JsonLinesWriter(DataSourceWriter):
-    def __init__(self, options) -> None:  # noqa: ANN001
+    def __init__(self, options, *, overwrite: bool = False) -> None:  # noqa: ANN001
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("cdc_jsonlines sink requires option 'path'")
 
@@ -69,7 +70,17 @@ class JsonLinesWriter(DataSourceWriter):
         return FileStaged(tmp=tmp, final=final)
 
     def commit(self, messages) -> None:  # noqa: ANN001
-        # all tasks succeeded: atomically expose every staged file
+        # all tasks succeeded: atomically expose every staged file.
+        # mode('overwrite') must actually replace the directory's
+        # contents — clear pre-existing published parts first (the
+        # staged set keeps distinct ._stage names, so only prior
+        # commits' files match), otherwise overwrite silently
+        # degrades to append.
+        if self.overwrite:
+            import glob
+
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
         for m in messages:
             if m.tmp:
                 os.replace(m.tmp, m.final)
@@ -114,6 +125,19 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
         return FileStaged(tmp=tmp, final="")
 
     def commit(self, messages, batch_id) -> None:  # noqa: ANN001
+        # A replayed micro-batch may stage FEWER files than the
+        # pre-crash attempt (different parallelism after restart, or
+        # a crash mid-commit): index-named renames alone would leave
+        # stale higher-index files duplicating rows. Clear every file
+        # this batch id ever published before renaming the staged
+        # set — that makes the publish idempotent as a SET, not just
+        # per index.
+        import glob
+
+        for old in glob.glob(
+            os.path.join(self.path, f"batch-{batch_id}-*.jsonl")
+        ):
+            os.remove(old)
         for i, m in enumerate(messages):
             if m and m.tmp:
                 final = os.path.join(

@@ -179,20 +179,38 @@ class CdcStreamPipeline:
             self._publish_cdf()
 
     def _published_versions(self) -> set[int]:
-        """Versions already durably published: ``version=N`` partition
-        dirs carrying a ``_SUCCESS`` marker (a torn tail write lacks
-        the marker and is overwritten by the idempotent re-publish)."""
+        """Versions already durably published.
+
+        Primary signal: a ``version=N`` dir carrying the committer's
+        ``_SUCCESS`` marker (a torn tail write lacks it and is
+        overwritten by the idempotent re-publish). Fallback when the
+        marker convention is disabled (``mapreduce.fileoutputcommitter
+        .marksuccessfuljobs=false``, common on object stores): a dir
+        with committed ``part-*`` files and no in-flight
+        ``_temporary`` staging counts as published — without the
+        fallback every version would look unpublished, the whole feed
+        history would rewrite each micro-batch, and the backfill
+        would eventually raise on a vacuumed version."""
         out = set()
         try:
             names = os.listdir(self.cdf_path)
         except FileNotFoundError:
             return out
         for n in names:
-            if n.startswith("version=") and n[8:].isdigit():
-                if os.path.exists(
-                    os.path.join(self.cdf_path, n, "_SUCCESS")
-                ):
-                    out.add(int(n[8:]))
+            if not (n.startswith("version=") and n[8:].isdigit()):
+                continue
+            vdir = os.path.join(self.cdf_path, n)
+            if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                out.add(int(n[8:]))
+                continue
+            try:
+                entries = os.listdir(vdir)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+            if "_temporary" not in entries and any(
+                e.startswith("part-") for e in entries
+            ):
+                out.add(int(n[8:]))
         return out
 
     def _publish_cdf(self) -> None:

@@ -1,0 +1,103 @@
+"""Round-7 hardening: sink idempotence/overwrite contracts and the
+CDF publication marker fallback (the ADVICE findings)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_jsonlines_sink_overwrite_replaces_contents(spark, tmp_path):
+    """mode('overwrite') through the Python DataSource writer must
+    replace the directory's published parts, not silently append."""
+    from cdc_spark.sources.jsonlines_sink import JsonLinesDataSource
+
+    spark.dataSource.register(JsonLinesDataSource)
+    out = str(tmp_path / "sink")
+    schema = "event_id long"
+    spark.range(50).selectExpr("id AS event_id").write.format(
+        "cdc_jsonlines"
+    ).mode("append").option("path", out).save()
+    assert spark.read.schema(schema).json(out).count() == 50
+
+    spark.range(7).selectExpr("id AS event_id").write.format(
+        "cdc_jsonlines"
+    ).mode("overwrite").option("path", out).save()
+    back = spark.read.schema(schema).json(out)
+    assert back.count() == 7
+    assert back.agg(F.sum("event_id")).first()[0] == 21
+
+    # and append still appends
+    spark.range(3).selectExpr("id AS event_id").write.format(
+        "cdc_jsonlines"
+    ).mode("append").option("path", out).save()
+    assert spark.read.schema(schema).json(out).count() == 10
+
+
+def test_stream_sink_replay_clears_stale_batch_files(tmp_path):
+    """A replayed micro-batch that stages FEWER files than the
+    pre-crash attempt must not leave stale higher-index files
+    duplicating rows: commit publishes the batch id as a SET."""
+    from cdc_spark.sources.jsonlines_sink import (
+        FileStaged,
+        JsonLinesStreamWriter,
+    )
+
+    out = tmp_path / "stream_sink"
+    out.mkdir()
+    w = JsonLinesStreamWriter({"path": str(out)})
+
+    def stage(rows):
+        p = out / f"._stage-{rows[0]['i']}.jsonl"
+        p.write_text("".join(json.dumps(r) + "\n" for r in rows))
+        return FileStaged(tmp=str(p), final="")
+
+    # pre-crash attempt: 3 tasks published for batch 7
+    w.commit([stage([{"i": k}]) for k in (1, 2, 3)], 7)
+    assert len(list(out.glob("batch-7-*.jsonl"))) == 3
+
+    # replay of batch 7 with different parallelism: only 1 task
+    w.commit([stage([{"i": 9}])], 7)
+    files = sorted(out.glob("batch-7-*.jsonl"))
+    assert [f.name for f in files] == ["batch-7-0.jsonl"]
+    assert json.loads(files[0].read_text()) == {"i": 9}
+
+
+def test_published_versions_fallback_without_success_marker(
+    spark, tmp_path
+):
+    """Object-store deployments often disable _SUCCESS markers; a
+    committed version=N dir (part files, no _temporary staging) must
+    still count as published, or every micro-batch would rewrite the
+    entire feed history."""
+    from cdc_spark.cdc.registry import SchemaRegistry
+    from cdc_spark.streaming.pipeline import CdcStreamPipeline
+
+    cdf = tmp_path / "cdf"
+    pipe = CdcStreamPipeline(
+        spark,
+        SchemaRegistry(),
+        "public",
+        "users",
+        keys=["id"],
+        payload=["name"],
+        state_path=str(tmp_path / "state"),
+        cdf_path=str(cdf),
+    )
+
+    def mk(version: int, *entries: str) -> None:
+        d = cdf / f"version={version}"
+        d.mkdir(parents=True)
+        for e in entries:
+            if e == "_temporary":
+                (d / e).mkdir()
+            else:
+                (d / e).write_text("")
+
+    mk(1, "part-00000.parquet", "_SUCCESS")  # marker convention
+    mk(2, "part-00000.parquet")              # marker disabled
+    mk(3, "part-00000.parquet", "_temporary")  # torn write in flight
+    mk(4)                                     # empty dir: torn start
+    assert pipe._published_versions() == {1, 2}
