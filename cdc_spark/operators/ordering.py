@@ -187,6 +187,12 @@ def grouped_prefix_sum(
     Bit-identical to the per-group window when ``order_cols`` is
     tie-free within a group, so oracles keep their plain
     ``SUM() OVER (PARTITION BY g ORDER BY ...)`` SQL.
+
+    The broadcast offsets table holds ≤ ``num_partitions + G − 1``
+    rows (G = distinct groups, by contiguity), so ``group_col``
+    cardinality must be broadcast-safe — the intended regime (data
+    mixtures, sources, shards: G ≪ rows). For a data-sized group
+    column a plain partitioned window is already parallel enough.
     """
     ranged = df.repartitionByRange(
         num_partitions, group_col, *order_cols

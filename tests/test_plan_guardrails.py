@@ -24,9 +24,14 @@ be provably bounded:
   count, not by data) — a global window straight over a table scan is
   THE single-reducer shape that cannot survive 100 TB.
 
-Streaming-tagged queries are skipped: their returned frame is a
-memory-sink scan; their per-batch plans exercise the same operators
-covered here.
+Streaming-tagged queries can't be linted through their returned frame
+(a memory-sink scan), so they get their own audit: every SQL execution
+a streaming entry triggers — micro-batch plans AND foreachBatch-body
+actions — lands in the UI status store with a formatted plan
+description, and ``test_streaming_plan_guardrails`` parses those for
+the same no-unpartitioned-window-over-data rule (an unpartitioned
+``Window`` detail has two top-level bracket groups, a partitioned one
+three; ``WindowGroupLimit`` leads with its partitionSpec group).
 """
 
 from __future__ import annotations
@@ -82,9 +87,12 @@ def _has_any_agg(subtree) -> bool:
 
 
 def _has_partition_id_agg(subtree) -> bool:
-    """Aggregate grouped solely by SPARK_PARTITION_ID-derived keys:
-    output rows ≤ partition count (the operators/ordering.py offsets
-    pattern), bounded at any data scale."""
+    """Aggregate whose grouping keys include a SPARK_PARTITION_ID-
+    derived key (the operators/ordering.py offsets pattern). Grouped
+    solely by pid the output is ≤ partition count; with extra group
+    keys (grouped_prefix_sum's (pid, group) offsets) range-partition
+    CONTIGUITY bounds distinct combos at partitions + groups − 1 —
+    offsets-table-sized, never data-sized."""
     for n in _walk(subtree):
         if "AggregateExec" in _cls(n):
             ge = n.groupingExpressions()
@@ -92,7 +100,7 @@ def _has_partition_id_agg(subtree) -> bool:
                 continue
             names = [ge.apply(i).name() for i in range(ge.size())]
             below = n.child().toString()
-            if all(
+            if any(
                 f"SPARK_PARTITION_ID() AS {name}#" in below
                 for name in names
             ):
@@ -137,6 +145,161 @@ def guard_spark(spark):
     yield spark
     for k, v in saved.items():
         spark.conf.set(k, v)
+
+
+# --- streaming audit ---------------------------------------------------
+
+import re
+
+_STREAMING_QUERIES = sorted(
+    name for name, spec in REGISTRY.items() if "streaming" in spec.tags
+)
+
+# cdc20 runs cdc10's single-replication-slot binary decode under
+# streaming: ONE slot's wire bytes are a total order by definition
+# (same documented contract as cdc10 above; parse_pgoutput_binary
+# takes a partition_col for fan-out transports).
+_STREAMING_GLOBAL_WINDOW_OK = {"cdc20_streaming_binary_wire"}
+
+_TREE_LINE = re.compile(
+    r"^[\s|:+*-]*([A-Za-z][A-Za-z0-9_]*)[^()]*\((\d+)\)\s*$"
+)
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a formatted Arguments line."""
+    out, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start + 1 : i])
+    return out
+
+
+def _audit_streaming_description(desc: str) -> list[str]:
+    """Unpartitioned-window-over-data findings in one formatted plan
+    description from the SQL status store."""
+    # tree: (depth, name, node id) from indentation
+    tree = []
+    for line in desc.splitlines():
+        m = _TREE_LINE.match(line)
+        if m:
+            tree.append((m.start(1), m.group(1), int(m.group(2))))
+    # detail sections: node id -> first Arguments line
+    args = {}
+    for m in re.finditer(
+        r"^\((\d+)\) ([A-Za-z][A-Za-z0-9_]*).*?^Arguments: (.*?)$",
+        desc,
+        re.S | re.M,
+    ):
+        args[int(m.group(1))] = (m.group(2), m.group(3))
+    problems = []
+    for i, (depth, name, nid) in enumerate(tree):
+        if name not in ("Window", "WindowGroupLimit"):
+            continue
+        detail = args.get(nid)
+        if detail is None:
+            continue
+        groups = _bracket_groups(detail[1])
+        if name == "Window":
+            # [exprs], [partitionSpec], [orderSpec] — but either spec
+            # may be absent: with two groups the second is the ORDER
+            # spec (ASC/DESC markers) only for an unpartitioned window
+            if len(groups) >= 3:
+                unpartitioned = False
+            elif len(groups) == 2:
+                unpartitioned = (
+                    " ASC" in groups[1] or " DESC" in groups[1]
+                )
+            else:
+                unpartitioned = True
+        else:  # WindowGroupLimit: leads with its partitionSpec group
+            unpartitioned = bool(groups) and groups[0].strip() == ""
+        if not unpartitioned:
+            continue
+        # bounded if ANY descendant in the tree is an aggregate (the
+        # ordering.py offsets pattern: input rows = group count);
+        # descendants end at the first node back at <= our depth
+        over_agg = False
+        for ddepth, dname, _ in tree[i + 1 :]:
+            if ddepth <= depth:
+                break
+            if "Aggregate" in dname:
+                over_agg = True
+        if not over_agg:
+            problems.append(
+                f"unpartitioned {name} over non-aggregated input "
+                "in a streaming execution (single-reducer shape)"
+            )
+    return problems
+
+
+def _run_and_collect_descriptions(spark, fn) -> list[str]:
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def _ids():
+        lst = store.executionsList()
+        return {
+            lst.apply(i).executionId(): lst.apply(i)
+            for i in range(lst.size())
+        }
+
+    before = set(_ids())
+    fn()
+    return [
+        e.physicalPlanDescription()
+        for eid, e in _ids().items()
+        if eid not in before
+    ]
+
+
+@pytest.mark.parametrize("name", _STREAMING_QUERIES)
+def test_streaming_plan_guardrails(guard_spark, name):
+    descs = _run_and_collect_descriptions(
+        guard_spark, lambda: REGISTRY[name].fn(guard_spark, SF).count()
+    )
+    assert descs, "streaming query produced no SQL executions to audit"
+    if name in _STREAMING_GLOBAL_WINDOW_OK:
+        pytest.skip("documented single-slot total-order exception")
+    problems = [p for d in descs for p in _audit_streaming_description(d)]
+    assert not problems, f"{name}: {'; '.join(problems)}"
+
+
+def test_streaming_audit_catches_global_window(guard_spark, tmp_path):
+    """The audit itself must go red on the shape it polices: a
+    foreachBatch body running an unpartitioned window over raw rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("1\n2\n3\n")
+
+    def body(bdf, _bid):
+        bdf.withColumn(
+            "rn", F.row_number().over(Window.orderBy("value"))
+        ).write.format("noop").mode("overwrite").save()
+
+    def run():
+        q = (
+            guard_spark.readStream.format("text")
+            .schema("value string")
+            .load(str(src))
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    descs = _run_and_collect_descriptions(guard_spark, run)
+    problems = [p for d in descs for p in _audit_streaming_description(d)]
+    assert problems, "audit failed to flag a global window in foreachBatch"
 
 
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
