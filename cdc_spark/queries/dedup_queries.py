@@ -1312,3 +1312,148 @@ def dd16_quality_keeper_dedup(
         ),
         F.count("*").cast("long").alias("n_members"),
     )
+
+
+def _minhash_accuracy_oracle(
+    *,
+    num_hashes: int = 32,
+    seed: int = 7,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> str:
+    """DuckDB twin of the estimator-accuracy harness: the dd03
+    signature/banding CTEs, per-pair matching-component counts, and
+    the exact Jaccard joined back — all integer/rational arithmetic
+    up to the final rounded error."""
+    from cdc_spark.queries.base import davg_sql
+
+    params = _minhash_params(num_hashes, seed)
+    p = _MERSENNE
+    mins = ",\n               ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"m{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    h AS (
+        SELECT doc_id, {_PHASH60.format(s='s')} % {p} AS h FROM shm
+    ),
+    sig AS (
+        SELECT doc_id, {mins}
+        FROM h GROUP BY doc_id
+    ),
+    banded AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, s FROM shm),
+    shh AS (SELECT doc_id, {_PHASH60.format(s='s')} AS hs FROM shd),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT cand.id_a, cand.id_b,
+               CAST({matches} AS BIGINT) AS m,
+               ROUND(cm.c * 1.0 / (sa2.n + sb2.n - cm.c), 4) AS jac
+        FROM cand
+        JOIN common cm ON cm.id_a = cand.id_a AND cm.id_b = cand.id_b
+        JOIN sizes sa2 ON cand.id_a = sa2.doc_id
+        JOIN sizes sb2 ON cand.id_b = sb2.doc_id
+        JOIN sig sa ON cand.id_a = sa.doc_id
+        JOIN sig sb ON cand.id_b = sb.doc_id
+    )
+    SELECT CAST(LEAST((m * 10) // 32, 9) AS BIGINT) AS est_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {davg_sql('ROUND(ABS(m / 32.0 - jac), 4)')} AS mean_abs_err,
+           CAST(MIN(m) AS BIGINT) AS min_match,
+           CAST(MAX(m) AS BIGINT) AS max_match
+    FROM pairs GROUP BY 1
+    """
+
+
+@register(
+    "dd17_minhash_accuracy_eval",
+    oracle=_minhash_accuracy_oracle(),
+    note="estimator-accuracy harness for the near-dup stack (ss12's "
+    "recall-eval idea applied to MinHash): for every LSH candidate "
+    "pair with shingle overlap, the signature-component match "
+    "fraction (the Jaccard ESTIMATE the banding decisions are based "
+    "on) is compared to the exact shingle Jaccard, and mean absolute "
+    "error reports per estimate decile — the number that tells an "
+    "operator whether 32 hashes suffice before a 100 TB dedup run "
+    "commits to thresholds. Matching counts and deciles are pure "
+    "integers; the only float is the final decimal-summed error, so "
+    "the whole harness hash-checks",
+    tags=("dedup", "minhash", "evaluation"),
+)
+def dd17_minhash_accuracy_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.queries.base import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(
+        docs, "text", "doc_id", k_shingle=3, num_hashes=32, portable=True
+    )
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", bands=8, rows_per_band=4, portable=True
+    ).localCheckpoint(eager=True)
+    exact = jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k_shingle=3,
+        threshold=0.0,
+        candidates=cands,
+        hash_shingles=True,
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    paired = (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "m",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+        )
+    )
+    err = F.round(F.abs(F.col("m") / 32.0 - F.col("jaccard")), 4)
+    return paired.groupBy(
+        F.least(F.floor(F.col("m") * 10 / 32), F.lit(9).cast("long"))
+        .cast("long")
+        .alias("est_decile")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        davg(err).alias("mean_abs_err"),
+        F.min("m").cast("long").alias("min_match"),
+        F.max("m").cast("long").alias("max_match"),
+    )

@@ -1100,3 +1100,110 @@ def io19_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lsn").cast("long").alias("lsn_sum"),
         F.sum("key").cast("long").alias("key_sum"),
     )
+
+
+@register(
+    "io20_max_records_per_file",
+    oracle="""
+    WITH src AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS total
+        FROM src
+    )
+    SELECT n_rows,
+           CAST(CEIL(n_rows / 5000.0) AS BIGINT) AS n_files,
+           total
+    FROM stats
+    """,
+    note="file-size targeting on write (the small-files knob): "
+    "maxRecordsPerFile caps every output file at 5000 rows, so one "
+    "fat task cannot emit a multi-GB file and a skewed partition "
+    "splits into right-sized files for downstream scan parallelism — "
+    "the write-side half of the small-file story whose read-side "
+    "compaction io09 gates. The query writes, re-reads, and reports "
+    "actual file count (asserted equal to ceil(rows/cap)) plus a "
+    "content checksum proving the split lost nothing",
+    tags=("io", "write", "small-files"),
+)
+def io20_max_records_per_file(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.where(F.col("o_orderkey") % 4 == 0)
+    path = os.path.join(tempfile.mkdtemp(prefix="io20_"), "capped")
+    (
+        src.repartition(1)  # worst case: ONE fat task, cap must split it
+        .write.option("maxRecordsPerFile", 5000)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    n_files = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "io21_codec_matrix_roundtrip",
+    oracle="""
+    WITH src AS (
+        SELECT * FROM lineitem WHERE l_orderkey % 8 = 0
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+                    AS DOUBLE) AS total
+        FROM src
+    )
+    SELECT codec, n_rows, total
+    FROM agg, (VALUES ('gzip'), ('snappy'), ('zstd')) AS c(codec)
+    ORDER BY codec
+    """,
+    note="compression codec matrix (the 100 TB storage-cost knob): "
+    "the same slice writes as snappy, zstd and gzip parquet, each "
+    "reads back to an identical decimal checksum — codec choice is "
+    "proven lossless and swappable per table. At scale zstd trades "
+    "~2x smaller files for decode CPU against snappy's scan speed; "
+    "the engine supports retuning that per dataset with no "
+    "correctness risk, which this entry pins",
+    tags=("io", "codec", "roundtrip"),
+)
+def io21_codec_matrix_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.where(F.col("l_orderkey") % 8 == 0)
+    base = tempfile.mkdtemp(prefix="io21_")
+    outs = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = os.path.join(base, codec)
+        src.write.option("compression", codec).mode(
+            "overwrite"
+        ).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("codec")

@@ -494,3 +494,85 @@ def mm07_pair_similarity_filter(
         F.round(F.min("sim"), 4).alias("min_sim"),
         F.round(F.max("sim"), 4).alias("max_sim"),
     )
+
+
+@register(
+    "mm08_aspect_bucket_batching",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               256 + (doc_id * 37) % 768 AS w,
+               256 + (doc_id * 53) % 768 AS h,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT *,
+               CASE WHEN w * 8 < h * 5 THEN '0.50'
+                    WHEN w * 8 < h * 7 THEN '0.75'
+                    WHEN w * 6 < h * 7 THEN '1.00'
+                    WHEN w * 3 < h * 5 THEN '1.33'
+                    ELSE '2.00' END AS bucket
+        FROM meta
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY k, doc_id
+               ) AS rn
+        FROM bucketed
+    )
+    SELECT bucket,
+           CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           ROUND(SUM(w) * 1.0 / SUM(h), 4) AS wh_ratio
+    FROM ranked GROUP BY bucket, batch_idx
+    """,
+    note="aspect-ratio bucket batching (the multimodal training "
+    "batcher: images batch only with near-same aspect so resize "
+    "cropping stays minimal — SDXL/NaViT-style). Deterministic "
+    "synthetic width/height metadata stands in for the stubbed "
+    "decoder; bucket assignment is integer cross-multiplication "
+    "(w*8 < h*5 etc.) so the thresholds are engine-exact, and the "
+    "within-bucket batch order is the md5-seeded shuffle ranked by "
+    "the GROUPED two-pass prefix sum (5 low-cardinality buckets "
+    "would single-reduce under a plain partitionBy window — the "
+    "dp09 lesson applied to batch assembly); batches of 8 via "
+    "rank div 8. The oracle keeps its plain ROW_NUMBER",
+    tags=("multimodal", "batching", "ordering"),
+)
+def mm08_aspect_bucket_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.ordering import grouped_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        (256 + (F.col("doc_id") * 37) % 768).alias("w"),
+        (256 + (F.col("doc_id") * 53) % 768).alias("h"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    w, h = F.col("w"), F.col("h")
+    bucketed = meta.withColumn(
+        "bucket",
+        F.when(w * 8 < h * 5, "0.50")
+        .when(w * 8 < h * 7, "0.75")
+        .when(w * 6 < h * 7, "1.00")
+        .when(w * 3 < h * 5, "1.33")
+        .otherwise("2.00"),
+    ).withColumn("one", F.lit(1).cast("long"))
+    ranked = grouped_prefix_sum(
+        bucketed, "bucket", ["k", "doc_id"], "one", out_col="rn"
+    )
+    return ranked.groupBy(
+        "bucket",
+        F.floor((F.col("rn") - 1) / 8).cast("long").alias("batch_idx"),
+    ).agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum("h").cast("long").alias("sum_h"),
+        F.round(F.sum("w") / F.sum("h"), 4).alias("wh_ratio"),
+    )

@@ -456,3 +456,63 @@ def dp09_token_budget_mixture(
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+@register(
+    "dp10_strided_chunking",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(start_tok / 96 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST(start_tok + 128, n_tokens) AS BIGINT) AS end_tok,
+           CAST(LEAST(start_tok + 128, n_tokens) - start_tok
+                AS BIGINT) AS chunk_tokens
+    FROM (
+        SELECT doc_id, n_tokens,
+               unnest(generate_series(0, n_tokens - 1, 96)) AS start_tok
+        FROM sized
+    )
+    """,
+    note="strided training-window chunking (context length 128, "
+    "stride 96 — the overlapping-window tokenizer-prep op every LM "
+    "data pipeline runs): each document explodes into windows "
+    "[start, min(start+128, n)) at 96-token strides so no token is "
+    "more than one window from a boundary. sequence()+explode is "
+    "pure JVM row expansion bounded by n/stride per doc — NO "
+    "shuffle at all; at 100 TB chunking stays embarrassingly "
+    "parallel and the (doc_id, chunk_idx) key is deterministic for "
+    "downstream shard assignment",
+    tags=("packing", "chunking", "stride"),
+)
+def dp10_strided_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    exploded = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("n_tokens") - 1,
+                F.lit(96).cast("long"),
+            )
+        ).alias("start_tok"),
+    )
+    end = F.least(F.col("start_tok") + 128, F.col("n_tokens"))
+    return exploded.select(
+        "doc_id",
+        (F.col("start_tok") / 96).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - F.col("start_tok")).cast("long").alias("chunk_tokens"),
+    )

@@ -1745,3 +1745,126 @@ def q93_trailing_window_features(
         F.max("cents_1h").cast("long").alias("max_cents_1h"),
         F.sum("n_1h").cast("long").alias("feature_mass"),
     )
+
+
+@register(
+    "q94_group_order_by_all",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    note="GROUP BY ALL / ORDER BY ALL (the Spark-4 and DuckDB "
+    "shorthand surface): grouping keys inferred from the "
+    "non-aggregate select list, ordering over the full output. Same "
+    "physical plan as the explicit form — one hash aggregate with "
+    "map-side partials; the point is SQL-surface parity so a user's "
+    "shorthand query text runs unchanged on both engines",
+    tags=("relational", "sql-surface", "aggregation"),
+)
+def q94_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "q95_lateral_join_api",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+    note="DataFrame lateralJoin API (Spark 4): per-nation top-2 "
+    "customers by balance, the correlated-subquery-per-row shape "
+    "expressed on the DataFrame API via Column.outer() correlation "
+    "(q57 gates the same semantics as SQL LATERAL text). Catalyst "
+    "de-correlates it to a window rank over ONE customer scan "
+    "partitioned by nation — never a per-outer-row re-scan; the "
+    "25-row nation side joins broadcast",
+    tags=("relational", "lateral", "api-surface"),
+)
+def q95_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    top2 = (
+        customer.where(
+            F.col("c_nationkey") == F.col("n_nationkey").outer()
+        )
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return nation.lateralJoin(top2).select(
+        "n_name", "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "q96_equiwidth_histogram",
+    oracle=f"""
+    WITH h AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS BIGINT), 19)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT bucket, n_orders, revenue,
+           CAST(SUM(n_orders) OVER (
+               ORDER BY bucket ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_orders,
+           ROUND(n_orders * 1.0 / SUM(n_orders) OVER (), 6) AS share
+    FROM h
+    """,
+    note="equi-width histogram + cumulative distribution (the value "
+    "profiler behind range-partition boundary picking and skew "
+    "detection): 20 fixed 30k-wide price bins with count, decimal "
+    "revenue, running total and share. One hash aggregate over the "
+    "fact; the windows run over the 20-row bucket AGGREGATE "
+    "(guardrail-bounded), never the data. Fixed literal bin edges "
+    "keep the bucketing engine-portable where width_bucket() is not",
+    tags=("relational", "profiling", "histogram"),
+)
+def q96_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.groupBy(
+        F.least(
+            F.floor(F.col("o_totalprice") / 30000).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return h.select(
+        "bucket",
+        "n_orders",
+        "revenue",
+        F.sum("n_orders").over(w_cum).cast("long").alias("cum_orders"),
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(w_all), 6
+        ).alias("share"),
+    )

@@ -1436,3 +1436,134 @@ def ss19_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_radius_search(
         emb, "embedding", "vec_id", q, threshold=0.15
     )
+
+
+def _pq_refine_oracle(*, n_cand: int = 50, k: int = 10) -> str:
+    """DuckDB twin of the two-stage refine: the full ADC oracle
+    (codebook, encoding, LUT fold) shortlists ``n_cand`` by
+    compressed distance, then the exact rounded cosine re-ranks."""
+    inner = _pq_adc_oracle(k=n_cand)
+    return f"""
+    WITH cand AS ({inner}),
+    qv2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        qv2.qe::DOUBLE[]), 4)
+               AS cosine_sim
+    FROM embeddings e JOIN cand USING (vec_id), qv2
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ss20_pq_refine_rerank",
+    oracle=_pq_refine_oracle(),
+    note="two-stage refine (the FAISS IndexRefine serving pattern): "
+    "the compressed-domain ADC scan shortlists 50 candidates reading "
+    "ONLY 8-byte codes, then the exact cosine re-ranks just those 50 "
+    "full vectors — the standard recall-repair for PQ's quantization "
+    "error. At 100 TB the expensive float read touches 50 rows "
+    "regardless of corpus size (candidate ids broadcast into the "
+    "vector fetch); BOTH stages are deterministic, so the entire "
+    "shortlist-then-refine pipeline hash-checks against SQL",
+    tags=("similarity", "ann", "pq", "rerank"),
+)
+def ss20_pq_refine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ivf import pq_adc_topk, pq_codebook
+    from cdc_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    codebook = pq_codebook(
+        emb, "embedding", "vec_id", dim=_EMB_DIM, m=8, k=16, scale=64
+    )
+    cand = pq_adc_topk(
+        emb, "embedding", "vec_id", q, codebook, k=50, scale=64
+    ).select("vec_id")
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), qlit), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _maxsim_oracle(
+    *, n_tok: int = 4, d_tok: int = 16, k: int = 10
+) -> str:
+    """DuckDB twin of MaxSim: per query token, GREATEST over the doc
+    token dot products on the same 1-based list slices."""
+
+    def dot(qt: int, dt: int) -> str:
+        qa, qb = qt * d_tok + 1, (qt + 1) * d_tok
+        da, db = dt * d_tok + 1, (dt + 1) * d_tok
+        return (
+            f"list_dot_product(e.embedding[{da}:{db}]::DOUBLE[],"
+            f" q.qe[{qa}:{qb}]::DOUBLE[])"
+        )
+
+    per_qt = " + ".join(
+        "GREATEST("
+        + ", ".join(dot(qt, dt) for dt in range(n_tok))
+        + ")"
+        for qt in range(n_tok)
+    )
+    return f"""
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id, ROUND({per_qt}, 4) AS maxsim
+    FROM embeddings e, q
+    ORDER BY maxsim DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ss21_maxsim_multivector",
+    oracle=_maxsim_oracle(),
+    note="multi-vector late-interaction retrieval (the ColBERT MaxSim "
+    "shape, public literature): each side's embedding is treated as "
+    "4 token vectors of 16 dims; score = sum over query tokens of "
+    "the MAX dot product against any doc token. All 16 token-pair "
+    "dot products are flat codegen'd double arithmetic from the "
+    "broadcast query literals — one scan, no shuffle before the "
+    "top-k, per-row work bounded by token_count^2, which is exactly "
+    "why MaxSim serves at corpus scale where cross-attention cannot",
+    tags=("similarity", "multivector", "maxsim"),
+)
+def ss21_maxsim_multivector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n_tok, d_tok = 4, 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+
+    def dot(qt: int, dt: int) -> str:
+        terms = " + ".join(
+            f"(CAST(element_at(embedding, {dt * d_tok + j + 1}) AS"
+            f" DOUBLE) * {float(q[qt * d_tok + j])!r}D)"
+            for j in range(d_tok)
+        )
+        return f"({terms})"
+
+    per_qt = " + ".join(
+        "GREATEST("
+        + ", ".join(dot(qt, dt) for dt in range(n_tok))
+        + ")"
+        for qt in range(n_tok)
+    )
+    return (
+        emb.selectExpr(
+            "vec_id", f"ROUND({per_qt}, 4) AS maxsim"
+        )
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(10)
+    )

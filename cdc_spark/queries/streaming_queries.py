@@ -1916,3 +1916,66 @@ def st23_stream_watchlist_alerts(
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "st24_stream_partitioned_sink",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    note="PARTITIONED streaming file sink: partitionBy(event_type) "
+    "through the transactional _spark_metadata sink, so each "
+    "micro-batch lands hive-layout event_type=X/ files atomically — "
+    "the streaming half of the partition-pruned lake layout io04 "
+    "reads. Proof of pruning, not just layout: each partition value "
+    "is read back via its DIRECTORY path (never scanning siblings), "
+    "and the per-partition totals must equal the source exactly — "
+    "at 100 TB this is what lets downstream consumers subscribe to "
+    "one partition of a feed without paying for the rest",
+    tags=("streaming", "sink", "partitioned", "files"),
+)
+def st24_stream_partitioned_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="st24_sink_")
+    q = (
+        stream.select("event_id", "event_type", "value")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st24_ckpt_")
+        )
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if not os.path.isdir(os.path.join(out_dir, "_spark_metadata")):
+        raise AssertionError("file sink wrote no _spark_metadata log")
+    parts = []
+    for et in ("click", "purchase"):
+        pdir = os.path.join(out_dir, f"event_type={et}")
+        if not os.path.isdir(pdir):
+            raise AssertionError(f"missing partition dir {pdir}")
+        # per-partition read: only this directory's files are listed
+        part = spark.read.parquet(pdir)
+        parts.append(
+            part.agg(
+                F.lit(et).alias("event_type"),
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

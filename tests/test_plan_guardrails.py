@@ -108,8 +108,20 @@ def _has_partition_id_agg(subtree) -> bool:
     return False
 
 
+def _has_limit(subtree) -> bool:
+    """A GlobalLimit / TakeOrderedAndProject bounds its output at the
+    literal limit regardless of input size (ss20's broadcast top-k
+    candidate shortlist)."""
+    return any(
+        _cls(n) in ("GlobalLimitExec", "TakeOrderedAndProjectExec")
+        for n in _walk(subtree)
+    )
+
+
 def _broadcast_subtree_bounded(exchange) -> bool:
     if _has_ungrouped_agg(exchange) or _has_partition_id_agg(exchange):
+        return True
+    if _has_limit(exchange):
         return True
     scans = _scan_files(exchange)
     return all(s in BOUNDED_DIMS for s in scans)
