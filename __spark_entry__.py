@@ -152,16 +152,37 @@ _R7_PREFIX = (
     "q30_percentiles",
 )
 
+# Round-7 additions — never gated; first in line for the round-8
+# rotation (tier 1, immediately after this round's 50-entry prefix).
+_R8_NEXT = (
+    "ss20_pq_refine_rerank",
+    "ss21_maxsim_multivector",
+    "ss22_ivf_nprobe_sweep",
+    "dd17_minhash_accuracy_eval",
+    "dp10_strided_chunking",
+    "mm08_aspect_bucket_batching",
+    "st24_stream_partitioned_sink",
+    "io20_max_records_per_file",
+    "io21_codec_matrix_roundtrip",
+    "q94_group_order_by_all",
+    "q95_lateral_join_api",
+    "q96_equiwidth_histogram",
+    "q97_skyline_frontier",
+)
+
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}
 _R7_RANK = {n: i for i, n in enumerate(_R7_PREFIX)}
+_R8_RANK = {n: i for i, n in enumerate(_R8_NEXT)}
 
 
 def _rank(name: str) -> tuple[int, int, str]:
     if name in _R7_RANK:
         return (0, _R7_RANK[name], name)
+    if name in _R8_RANK:
+        return (1, _R8_RANK[name], name)
     if name in _R6_RANK:
-        return (1, _R6_RANK[name], name)
-    return (2, 0, name)
+        return (2, _R6_RANK[name], name)
+    return (3, 0, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

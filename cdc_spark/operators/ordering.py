@@ -152,6 +152,50 @@ def distributed_prefix_sum(
     )
 
 
+def distributed_prefix_min(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    *,
+    out_col: str = "prefix_min",
+    inclusive: bool = True,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global running MIN of ``value_col`` by ``order_cols`` without a
+    global window — the same two-pass decomposition as
+    :func:`distributed_prefix_sum` for the other classic associative
+    scan (sort-based skyline / record-low tracking / monotone
+    envelope). ``inclusive=False`` gives the EXCLUSIVE prefix min
+    (strictly-preceding rows only; NULL when nothing precedes —
+    exactly ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``),
+    the form dominance tests need. Value type is preserved (works on
+    dates, strings, any orderable type)."""
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    upper = Window.currentRow if inclusive else -1
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = ranged.withColumn(_LOCAL, F.min(value_col).over(w_local))
+    totals = local.groupBy(_PID).agg(F.min(value_col).alias(_CNT))
+    w_off = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        _PID, F.min(_CNT).over(w_off).alias(_OFF)
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    # least() skips NULLs, so a missing local (exclusive, first row of
+    # a partition) or missing offset (first partition) falls through
+    # to the other side; both NULL ⇒ NULL = "nothing precedes"
+    return out.withColumn(
+        out_col, F.least(F.col(_LOCAL), F.col(_OFF))
+    ).drop(_PID, _LOCAL, _OFF)
+
+
 def grouped_prefix_sum(
     df: DataFrame,
     group_col: str,

@@ -1868,3 +1868,49 @@ def q96_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders") / F.sum("n_orders").over(w_all), 6
         ).alias("share"),
     )
+
+
+@register(
+    "q97_skyline_frontier",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               MIN(o_orderdate) OVER (
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_prev
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM ordered
+    WHERE best_prev IS NULL OR o_orderdate < best_prev
+    """,
+    note="skyline / Pareto frontier (cheapest-and-earliest orders: no "
+    "other order is both cheaper and at-least-as-early) via the "
+    "sort-based dominance test — a row survives iff its date beats "
+    "the EXCLUSIVE running minimum over all cheaper rows. The "
+    "running min rides the new distributed prefix-MIN (two-pass "
+    "range decomposition, operators/ordering.py) — the other classic "
+    "associative scan beside prefix sum, so the frontier never "
+    "funnels through a single reducer while the oracle keeps its "
+    "plain MIN OVER window. Dominance pruning like this is the "
+    "standard first pass of multi-criteria candidate selection",
+    tags=("relational", "skyline", "ordering"),
+)
+def q97_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ordering import distributed_prefix_min
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    scanned = distributed_prefix_min(
+        orders,
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        "o_orderdate",
+        out_col="best_prev",
+        inclusive=False,
+    )
+    return scanned.where(
+        F.col("best_prev").isNull()
+        | (F.col("o_orderdate") < F.col("best_prev"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

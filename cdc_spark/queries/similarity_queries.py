@@ -1567,3 +1567,74 @@ def ss21_maxsim_multivector(
         .orderBy(F.desc("maxsim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _nprobe_sweep_oracle(
+    n_probes=(1, 2, 4, 8), *, k: int = 10
+) -> str:
+    """Recall@k of the deterministic IVF path per n_probe: the full
+    IVF oracle (assignment, probe pruning, ranking) re-run as a
+    subquery at each sweep point against the exact ranking."""
+    parts = []
+    for np_ in n_probes:
+        ivf_sql = _ivf_det_oracle(n_probe=np_, k=k)
+        parts.append(f"""
+        SELECT CAST({np_} AS BIGINT) AS n_probe,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               ROUND(COUNT(*) / {k}.0, 4) AS recall
+        FROM (
+            SELECT e.vec_id FROM embeddings e,
+                 (SELECT embedding AS qe FROM embeddings
+                  WHERE vec_id = 0) q
+            ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.qe::DOUBLE[]), 4)
+                     DESC, e.vec_id
+            LIMIT {k}
+        ) ex
+        WHERE ex.vec_id IN (SELECT vec_id FROM ({ivf_sql}))
+        """)
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "ss22_ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    note="recall-vs-cost sweep of the IVF probe knob (the tuning "
+    "curve every vector-store operator reads before fixing n_probe "
+    "in production): recall@10 of the deterministic-codebook IVF "
+    "path at n_probe = 1, 2, 4, 8 against the exact ranking. Probing "
+    "n of 16 clusters scans ~n/16 of the corpus, so this curve IS "
+    "the cost/quality trade; every sweep point is recomputed "
+    "bit-for-bit by the oracle (integer assignment + pruning), "
+    "extending the ss12 harness idea from LSH to IVF",
+    tags=("similarity", "ann", "ivf", "evaluation"),
+)
+def ss22_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ivf import deterministic_codebook, ivf_topk
+    from cdc_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    codebook = deterministic_codebook(
+        emb, "embedding", "vec_id", k=16, scale=64
+    )
+    exact = cosine_topk(emb, "embedding", "vec_id", q, 10).select(
+        "vec_id"
+    )
+    out = []
+    for np_ in (1, 2, 4, 8):
+        approx = ivf_topk(
+            emb,
+            "embedding",
+            "vec_id",
+            q,
+            codebook,
+            k=10,
+            n_probe=np_,
+            scale=64,
+        ).select("vec_id")
+        hits = exact.join(approx, "vec_id", "semi").count()
+        out.append((np_, hits, round(hits / 10.0, 4)))
+    return spark.createDataFrame(
+        out, "n_probe long, n_hits long, recall double"
+    )

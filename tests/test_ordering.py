@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cdc_spark.operators.ordering import (
+    distributed_prefix_min,
     distributed_prefix_sum,
     distributed_row_number,
     grouped_prefix_sum,
@@ -223,6 +224,34 @@ def test_row_number_property(spark, rows):
     }
     ordered = sorted(data, key=lambda t: (-t[1], t[0]))
     want = {uid: i + 1 for i, (uid, _) in enumerate(ordered)}
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_vals)
+def test_prefix_min_exclusive_property(spark, rows):
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, k long, v long")
+    got = {
+        r.uid: r.pm
+        for r in distributed_prefix_min(
+            df,
+            ["k", "uid"],
+            "v",
+            out_col="pm",
+            inclusive=False,
+            num_partitions=4,
+        ).collect()
+    }
+    ordered = sorted(data, key=lambda t: (t[1], t[0]))
+    want, best = {}, None
+    for uid, _, v in ordered:
+        want[uid] = best
+        best = v if best is None else min(best, v)
     assert got == want
 
 
