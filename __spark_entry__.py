@@ -159,6 +159,7 @@ _R8_NEXT = (
     "ss21_maxsim_multivector",
     "ss22_ivf_nprobe_sweep",
     "dd17_minhash_accuracy_eval",
+    "dd18_soft_dedup_weights",
     "dp10_strided_chunking",
     "mm08_aspect_bucket_batching",
     "st24_stream_partitioned_sink",

@@ -1457,3 +1457,107 @@ def dd17_minhash_accuracy_eval(
         F.min("m").cast("long").alias("min_match"),
         F.max("m").cast("long").alias("max_match"),
     )
+
+
+@register(
+    "dd18_soft_dedup_weights",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT id_a AS a, id_b AS b FROM (
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(l) - 2, 0)),
+                           i -> array_to_string(l[i:i+2], ' '))) AS s
+                FROM toks
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        )
+        UNION
+        SELECT b, a FROM e
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    comp AS (
+        SELECT n.a AS doc_id, LEAST(n.a, MIN(r.b)) AS cluster_id
+        FROM (SELECT DISTINCT a FROM e) n
+        LEFT JOIN reach r ON r.a = n.a
+        GROUP BY n.a
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM labeled GROUP BY cluster_id
+    )
+    SELECT l.doc_id,
+           l.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           ROUND(1.0 / s.cluster_size, 4) AS weight,
+           CAST(l.n_tokens AS BIGINT) AS n_tokens
+    FROM labeled l JOIN csize s USING (cluster_id)
+    """,
+    note="soft dedup by reweighting (the SoftDeDup alternative to "
+    "dropping duplicates: keep every copy, downweight its training "
+    "contribution by 1/cluster_size so a 100x-duplicated page "
+    "contributes one page's gradient mass): dd06's connected "
+    "components over the exact-Jaccard pair graph, singletons their "
+    "own cluster, per-doc sampling weight attached. One left join + "
+    "one cluster-size aggregate on top of the component labels; the "
+    "oracle extends dd06's recursive transitive closure with the "
+    "weight arithmetic",
+    tags=("dedup", "cluster", "reweighting", "sampling"),
+)
+def dd18_soft_dedup_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", k_shingle=3, threshold=0.8
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    labeled = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " "))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")),
+        )
+    )
+    csize = labeled.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labeled.join(csize, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 4).alias("weight"),
+        "n_tokens",
+    )

@@ -268,3 +268,48 @@ def test_rebalance_hint_plans_aqe_rebalance(spark):
         .toString()
     )
     assert "RebalancePartitions" in plan or "REBALANCE" in plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark):
+    """Spark's runtime bloom-filter injection — the shuffle-side
+    row-level twin of partition pruning — must fire for a selective
+    dim-filtered join: the big side's scan gets a might_contain()
+    predicate built from the small side's join keys, discarding
+    non-matching rows BEFORE the join shuffle. At 100 TB the
+    application-side threshold (10 GB scan default) fires naturally;
+    here it is lowered to prove the mechanism end to end, because a
+    local test cannot stage a 10 GB table."""
+    d = tempfile.mkdtemp(prefix="bloom_")
+    big = spark.range(500_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    big.write.mode("overwrite").parquet(os.path.join(d, "big"))
+    small = spark.range(300).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    small.write.mode("overwrite").parquet(os.path.join(d, "small"))
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(thr, "0")
+    try:
+        b = spark.read.parquet(os.path.join(d, "big"))
+        s = spark.read.parquet(os.path.join(d, "small")).where(
+            F.col("k") % 3 == 0
+        )
+        joined = b.join(s, "k")
+        plan = _physical_plan(joined)
+        assert "might_contain" in plan, (
+            "runtime bloom filter was not injected:\n" + plan[:2000]
+        )
+        # and the filtered join still returns the exact result
+        assert joined.count() == 100
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.unset(thr)
