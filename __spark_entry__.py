@@ -158,6 +158,7 @@ _R8_NEXT = (
     "ss20_pq_refine_rerank",
     "ss21_maxsim_multivector",
     "ss22_ivf_nprobe_sweep",
+    "ss23_filtered_ivfpq_probe",
     "dd17_minhash_accuracy_eval",
     "dd18_soft_dedup_weights",
     "dp10_strided_chunking",

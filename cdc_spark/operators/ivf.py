@@ -644,6 +644,7 @@ class IvfPqIndex:
         self.embedding_col = meta["embedding_col"]
         self.id_col = meta["id_col"]
         self.scale = meta["scale"]
+        self.meta_cols = tuple(meta.get("meta_cols", ()))
 
     @classmethod
     def build(
@@ -657,7 +658,12 @@ class IvfPqIndex:
         coarse: list[list[int]],
         codebook: list[list[list[int]]],
         scale: int = 64,
+        meta_cols: Sequence[str] = (),
     ) -> "IvfPqIndex":
+        """``meta_cols`` are filterable attributes carried INTO the
+        code files (label, language, license tier …): a filtered probe
+        then applies its predicate inside the pruned code scan —
+        filtered ANN without ever touching the embedding table."""
         import json
         import os
 
@@ -666,7 +672,10 @@ class IvfPqIndex:
         m = len(codebook)
         (
             coded.select(
-                id_col, "cluster", *[f"pq{s}" for s in range(m)]
+                id_col,
+                "cluster",
+                *meta_cols,
+                *[f"pq{s}" for s in range(m)],
             )
             .repartition(len(coarse), F.col("cluster"))
             .write.partitionBy("cluster")
@@ -680,6 +689,7 @@ class IvfPqIndex:
                 "embedding_col": embedding_col,
                 "id_col": id_col,
                 "scale": scale,
+                "meta_cols": list(meta_cols),
             }
         )
         tmp = os.path.join(path, "INDEX.json.tmp")
@@ -704,7 +714,10 @@ class IvfPqIndex:
         )
         m = len(self.codebook)
         coded.select(
-            self.id_col, "cluster", *[f"pq{s}" for s in range(m)]
+            self.id_col,
+            "cluster",
+            *self.meta_cols,
+            *[f"pq{s}" for s in range(m)],
         ).write.partitionBy("cluster").mode("append").parquet(
             os.path.join(self.path, "codes")
         )
@@ -715,7 +728,12 @@ class IvfPqIndex:
         *,
         k: int = 10,
         n_probe: int = 4,
+        where: Column | None = None,
     ) -> DataFrame:
+        """``where`` (over carried ``meta_cols``) runs INSIDE the
+        pruned code scan — the filtered-ANN serving shape: predicate
+        and ADC ranking both touch only id+meta+codes of n_probe
+        cluster directories."""
         import os
 
         probes = probe_order(query_vec, self.coarse, scale=self.scale)[
@@ -746,9 +764,11 @@ class IvfPqIndex:
         codes = self.spark.read.parquet(
             os.path.join(self.path, "codes")
         )
+        pruned = codes.where(F.col("cluster").isin(probes))
+        if where is not None:
+            pruned = pruned.where(where)
         return (
-            codes.where(F.col("cluster").isin(probes))
-            .selectExpr(
+            pruned.selectExpr(
                 self.id_col, f"CAST({adc_sql} AS BIGINT) AS adc_dist"
             )
             .orderBy(F.asc("adc_dist"), F.asc(self.id_col))

@@ -1156,12 +1156,21 @@ def _ivfpq_oracle(
     k_cent: int = 16,
     scale: int = 64,
     k: int = 10,
+    meta_filter: str | None = None,
 ) -> str:
     """DuckDB twin of the combined IVF-PQ layout: coarse assignment +
     probe pruning (ss03's integer argmax) restrict the candidate set,
     then PQ encoding + ADC ranking (ss15's integer identity) order
-    it — the whole two-quantizer pipeline recomputed in SQL."""
+    it — the whole two-quantizer pipeline recomputed in SQL.
+    ``meta_filter`` (e.g. ``em.label = 3``) narrows the candidate set
+    by a metadata predicate — the filtered-ANN twin (ss23)."""
     lo, hi = f"1+{d_sub}*", f"{d_sub}+{d_sub}*"
+    meta_join = (
+        f"JOIN embeddings em ON em.vec_id = iq.vec_id "
+        f"AND ({meta_filter})"
+        if meta_filter
+        else ""
+    )
     return f"""
     WITH iq AS (
         SELECT vec_id,
@@ -1198,6 +1207,7 @@ def _ivfpq_oracle(
         SELECT iq.vec_id, iq.e FROM iq
         JOIN assigned a ON iq.vec_id = a.vec_id
         JOIN probes p ON a.ccid = p.ccid
+        {meta_join}
     ),
     sp AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
     cb AS (
@@ -1638,3 +1648,50 @@ def ss22_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "n_probe long, n_hits long, recall double"
     )
+
+
+@register(
+    "ss23_filtered_ivfpq_probe",
+    oracle=_ivfpq_oracle(n_probe=8, meta_filter="em.label = 3"),
+    note="FILTERED ANN on the IVF-PQ index (the hardest production "
+    "serving shape: 'nearest neighbors WHERE license = permissive'): "
+    "the index carries filterable metadata INSIDE its code files, so "
+    "the predicate evaluates within the pruned partition scan — "
+    "never a join back to the corpus, never a post-filter that "
+    "starves top-k below k. n_probe doubles to 8 to compensate for "
+    "filter selectivity (the standard filtered-ANN recall trade, "
+    "made explicit). Both quantizers + the predicate recompute in "
+    "SQL, so even this combined shape hash-checks",
+    tags=("similarity", "ann", "ivfpq", "filtered"),
+)
+def ss23_filtered_ivfpq_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.operators.ivf import (
+        IvfPqIndex,
+        deterministic_codebook,
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = deterministic_codebook(
+        emb, "embedding", "vec_id", k=16, scale=64
+    )
+    codebook = pq_codebook(
+        emb, "embedding", "vec_id", dim=_EMB_DIM, m=8, k=16, scale=64
+    )
+    idx = IvfPqIndex.build(
+        spark,
+        tempfile.mkdtemp(prefix="ss23_idx_"),
+        emb,
+        "embedding",
+        "vec_id",
+        coarse=coarse,
+        codebook=codebook,
+        scale=64,
+        meta_cols=("label",),
+    )
+    q = _query_vector(spark, sf_dir, 0)
+    return idx.topk(q, k=10, n_probe=8, where=F.col("label") == 3)

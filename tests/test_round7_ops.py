@@ -101,3 +101,49 @@ def test_published_versions_fallback_without_success_marker(
     mk(3, "part-00000.parquet", "_temporary")  # torn write in flight
     mk(4)                                     # empty dir: torn start
     assert pipe._published_versions() == {1, 2}
+
+
+def test_filtered_ivfpq_probe_prunes_and_reads_no_embeddings(
+    spark, tmp_path
+):
+    """The metadata predicate must run INSIDE the pruned code scan:
+    partition filters still present, embedding column never read,
+    label filter pushed to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from cdc_spark.operators.ivf import (
+        IvfPqIndex,
+        deterministic_codebook,
+        pq_codebook,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    coarse = deterministic_codebook(emb, "embedding", "vec_id", k=16)
+    cb = pq_codebook(emb, "embedding", "vec_id", dim=64)
+    idx = IvfPqIndex.build(
+        spark,
+        str(tmp_path / "idx"),
+        emb,
+        "embedding",
+        "vec_id",
+        coarse=coarse,
+        codebook=cb,
+        meta_cols=("label",),
+    )
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    df = idx.topk(q, k=10, n_probe=8, where=F.col("label") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "embedding" not in plan
+    assert "label" in plan  # predicate reached the code scan
+    got = {r.vec_id for r in df.collect()}
+    # every returned id must satisfy the predicate
+    allowed = {
+        r.vec_id
+        for r in emb.where(F.col("label") == 3)
+        .select("vec_id")
+        .collect()
+    }
+    assert got <= allowed and len(got) == 10
