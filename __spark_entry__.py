@@ -162,6 +162,8 @@ _R8_NEXT = (
     "dd17_minhash_accuracy_eval",
     "dd18_soft_dedup_weights",
     "dp10_strided_chunking",
+    "dp11_anneal_mixture_schedule",
+    "tx26_gopher_quality_rules",
     "mm08_aspect_bucket_batching",
     "st24_stream_partitioned_sink",
     "io20_max_records_per_file",

@@ -516,3 +516,82 @@ def dp10_strided_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         end.cast("long").alias("end_tok"),
         (end - F.col("start_tok")).cast("long").alias("chunk_tokens"),
     )
+
+
+@register(
+    "dp11_anneal_mixture_schedule",
+    oracle="""
+    WITH counts AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT source, n_tokens,
+               sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER () AS share,
+               COUNT(*) OVER () AS n_sources
+        FROM counts
+    )
+    SELECT CAST(e AS BIGINT) AS epoch,
+           source,
+           n_tokens,
+           ROUND((1 - e / 2.0) / n_sources + (e / 2.0) * share, 6)
+               AS weight
+    FROM shares, unnest(generate_series(0, 2)) AS t(e)
+    """,
+    note="epoch-annealed mixture schedule (the curriculum-mixing op "
+    "behind staged pretraining: start uniform across sources, anneal "
+    "toward size-tempered shares by the final epoch): weight_e = "
+    "(1-t)*uniform + t*sqrt-tempered share with t = epoch/(E-1). One "
+    "hash aggregate over the corpus; shares and uniform come from "
+    "windows over the SOURCE AGGREGATE (bounded by source count), "
+    "epochs explode from a literal array — no join, no second scan. "
+    "sqrt is correctly-rounded IEEE so the schedule is engine-exact "
+    "at 6 digits",
+    tags=("packing", "mixture", "curriculum", "sampling"),
+)
+def dp11_anneal_mixture_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    shares = counts.select(
+        "source",
+        "n_tokens",
+        (
+            F.sqrt(F.col("n_tokens"))
+            / F.sum(F.sqrt(F.col("n_tokens"))).over(w_all)
+        ).alias("share"),
+        F.count("*").over(w_all).alias("n_sources"),
+    )
+    e = F.col("epoch")
+    return shares.select(
+        F.explode(
+            F.array(
+                F.lit(0).cast("long"),
+                F.lit(1).cast("long"),
+                F.lit(2).cast("long"),
+            )
+        ).alias("epoch"),
+        "source",
+        "n_tokens",
+        "share",
+        "n_sources",
+    ).select(
+        "epoch",
+        "source",
+        "n_tokens",
+        F.round(
+            (1 - e / 2.0) / F.col("n_sources")
+            + (e / 2.0) * F.col("share"),
+            6,
+        ).alias("weight"),
+    )

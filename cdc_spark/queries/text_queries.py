@@ -1275,3 +1275,174 @@ def tx25_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_chars"),
     )
+
+
+@register(
+    "tx26_gopher_quality_rules",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS w,
+               string_split(text, chr(10)) AS ln,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_ell
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source, n_hash, n_ell,
+               len(w) AS n_words,
+               list_sum(list_transform(w, x -> length(x))) AS sum_len,
+               len(list_filter(w,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(ln) AS n_lines,
+               len(list_filter(ln, x ->
+                   starts_with(ltrim(x), '-')
+                   OR starts_with(ltrim(x), '*'))) AS n_bullet,
+               len(list_filter(ln, x ->
+                   x LIKE '%...')) AS n_endell,
+               (CASE WHEN list_contains(list_transform(w,
+                    x -> lower(x)), 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(w,
+                    x -> lower(x)), 'of') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(w,
+                    x -> lower(x)), 'and') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(w,
+                    x -> lower(x)), 'to') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_transform(w,
+                    x -> lower(x)), 'in') THEN 1 ELSE 0 END)
+                   AS n_stop
+        FROM feat
+    ),
+    rules AS (
+        SELECT doc_id, source,
+               CASE WHEN n_words BETWEEN 50 AND 100000
+                    THEN 1 ELSE 0 END AS r_count,
+               CASE WHEN 3 * n_words <= sum_len
+                         AND sum_len <= 10 * n_words
+                    THEN 1 ELSE 0 END AS r_wordlen,
+               CASE WHEN 10 * (n_hash + n_ell) <= n_words
+                    THEN 1 ELSE 0 END AS r_symbol,
+               CASE WHEN 10 * n_bullet <= 9 * n_lines
+                    THEN 1 ELSE 0 END AS r_bullet,
+               CASE WHEN 10 * n_endell <= 3 * n_lines
+                    THEN 1 ELSE 0 END AS r_ellipsis,
+               CASE WHEN 10 * n_alpha >= 8 * n_words
+                    THEN 1 ELSE 0 END AS r_alpha,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_count + r_wordlen + r_symbol
+                              + r_bullet + r_ellipsis + r_alpha
+                              + r_stop = 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(1 - r_count) AS BIGINT) AS fail_count,
+           CAST(SUM(1 - r_wordlen) AS BIGINT) AS fail_wordlen,
+           CAST(SUM(1 - r_symbol) AS BIGINT) AS fail_symbol,
+           CAST(SUM(1 - r_bullet) AS BIGINT) AS fail_bullet,
+           CAST(SUM(1 - r_ellipsis) AS BIGINT) AS fail_ellipsis,
+           CAST(SUM(1 - r_alpha) AS BIGINT) AS fail_alpha,
+           CAST(SUM(1 - r_stop) AS BIGINT) AS fail_stop
+    FROM rules GROUP BY source
+    """,
+    note="the Gopher rule battery (Rae et al. 2021, public — the "
+    "canonical pretraining quality gate): word-count bounds, mean "
+    "word length in [3,10], symbol-to-word ratio, bullet-line and "
+    "ellipsis-line ratios, alphabetic-word ratio >= 80%, >= 2 stop "
+    "words. Every ratio test is INTEGER cross-multiplication (3n <= "
+    "sumlen <= 10n, not sumlen/n in [3,10]) so the battery is "
+    "engine-exact with no float anywhere; per-source pass counts and "
+    "per-rule failure attribution — the report an operator reads "
+    "before committing a 100 TB filter sweep. One projection of "
+    "array HOFs + one hash aggregate; no shuffle before the agg",
+    tags=("text", "quality", "gopher", "curation"),
+)
+def tx26_gopher_quality_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = F.split(F.trim(text), r"\s+")
+    ln = F.split(text, "\n")
+    lw = F.transform(w, F.lower)
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).alias("n_words"),
+        F.aggregate(
+            F.transform(w, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("sum_len"),
+        F.size(
+            F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+        ).alias("n_alpha"),
+        F.size(ln).alias("n_lines"),
+        F.size(
+            F.filter(
+                ln,
+                lambda x: F.ltrim(x).startswith("-")
+                | F.ltrim(x).startswith("*"),
+            )
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(ln, lambda x: x.endswith("..."))
+        ).alias("n_endell"),
+        (
+            F.length(text) - F.length(F.replace(text, F.lit("#")))
+        ).alias("n_hash"),
+        F.floor(
+            (F.length(text) - F.length(F.replace(text, F.lit("..."))))
+            / 3
+        ).alias("n_ell"),
+        (
+            F.array_contains(lw, "the").cast("int")
+            + F.array_contains(lw, "of").cast("int")
+            + F.array_contains(lw, "and").cast("int")
+            + F.array_contains(lw, "to").cast("int")
+            + F.array_contains(lw, "in").cast("int")
+        ).alias("n_stop"),
+    )
+    c = F.col
+    rules = feat.select(
+        "source",
+        c("n_words").between(50, 100000).cast("int").alias("r_count"),
+        (
+            (3 * c("n_words") <= c("sum_len"))
+            & (c("sum_len") <= 10 * c("n_words"))
+        ).cast("int").alias("r_wordlen"),
+        (10 * (c("n_hash") + c("n_ell")) <= c("n_words"))
+        .cast("int")
+        .alias("r_symbol"),
+        (10 * c("n_bullet") <= 9 * c("n_lines"))
+        .cast("int")
+        .alias("r_bullet"),
+        (10 * c("n_endell") <= 3 * c("n_lines"))
+        .cast("int")
+        .alias("r_ellipsis"),
+        (10 * c("n_alpha") >= 8 * c("n_words"))
+        .cast("int")
+        .alias("r_alpha"),
+        (c("n_stop") >= 2).cast("int").alias("r_stop"),
+    )
+    all_pass = (
+        c("r_count")
+        + c("r_wordlen")
+        + c("r_symbol")
+        + c("r_bullet")
+        + c("r_ellipsis")
+        + c("r_alpha")
+        + c("r_stop")
+        == 7
+    )
+    return rules.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(all_pass.cast("int")).cast("long").alias("n_pass"),
+        F.sum(1 - c("r_count")).cast("long").alias("fail_count"),
+        F.sum(1 - c("r_wordlen")).cast("long").alias("fail_wordlen"),
+        F.sum(1 - c("r_symbol")).cast("long").alias("fail_symbol"),
+        F.sum(1 - c("r_bullet")).cast("long").alias("fail_bullet"),
+        F.sum(1 - c("r_ellipsis")).cast("long").alias("fail_ellipsis"),
+        F.sum(1 - c("r_alpha")).cast("long").alias("fail_alpha"),
+        F.sum(1 - c("r_stop")).cast("long").alias("fail_stop"),
+    )
