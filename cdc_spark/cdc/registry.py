@@ -143,3 +143,26 @@ class SchemaRegistry:
             else []
         )
         return scoped.select(*meta, *cols)
+
+
+# --- evolution compatibility policy ------------------------------------
+
+# Numeric widening lattice: a type may evolve RIGHTWARD losslessly.
+_WIDEN_ORDER = {"int2": 0, "int4": 1, "int8": 2, "float8": 3}
+
+
+def widening_decision(old_pg_type: str, new_pg_type: str) -> str:
+    """Classify an announced column-type change: ``keep`` (same type),
+    ``widen`` (lossless numeric upcast along int2<int4<int8<float8 —
+    auto-applied, existing data reads unchanged), or ``incompatible``
+    (narrowing or cross-family — the rows must dead-letter rather
+    than corrupt the catalog). This is the gate a production CDC
+    deployment runs on every Relation announcement; the reference
+    trusts upstream DDL implicitly (main.go:447-450), which a
+    multi-writer deployment cannot."""
+    if new_pg_type == old_pg_type:
+        return "keep"
+    if old_pg_type in _WIDEN_ORDER and new_pg_type in _WIDEN_ORDER:
+        if _WIDEN_ORDER[new_pg_type] > _WIDEN_ORDER[old_pg_type]:
+            return "widen"
+    return "incompatible"

@@ -2167,3 +2167,89 @@ def cdc30_idempotent_consumer(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents_sum"),
     )
+
+
+@register(
+    "cdc31_schema_compat_gate",
+    oracle="""
+    WITH gens AS (
+        SELECT * FROM (VALUES
+            (0, 'int4', 'keep',         'int4'),
+            (1, 'int8', 'widen',        'int8'),
+            (2, 'text', 'incompatible', 'int8'),
+            (3, 'int4', 'incompatible', 'int8')
+        ) AS g(gen, declared_type, decision, catalog_type_after)
+    ),
+    rows_per_gen AS (
+        SELECT c_custkey % 4 AS gen,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        FROM customer GROUP BY 1
+    )
+    SELECT g.gen, g.declared_type, g.decision, g.catalog_type_after,
+           CASE WHEN g.decision = 'incompatible'
+                THEN 0 ELSE r.n_rows END AS n_applied,
+           CASE WHEN g.decision = 'incompatible'
+                THEN r.n_rows ELSE 0 END AS n_dead,
+           CASE WHEN g.decision = 'incompatible'
+                THEN 0 ELSE r.key_sum END AS applied_key_sum
+    FROM gens g JOIN rows_per_gen r ON g.gen = r.gen
+    """,
+    note="schema-evolution COMPATIBILITY GATE (the policy between "
+    "cdc06's trusting evolution and cdc18's dead-letter): each "
+    "incoming relation announcement is classified against the "
+    "catalog by the numeric widening lattice — same type applies, "
+    "lossless widening (int4->int8) auto-applies and upgrades the "
+    "catalog, narrowing or cross-family (int8->int4, int8->text) "
+    "dead-letters the generation's rows with the catalog untouched. "
+    "Decisions are per-announcement metadata (driver-side, O(1)); "
+    "row routing is an all-or-nothing filter per generation, so the "
+    "gate adds zero per-row cost at any scale. The reference trusts "
+    "upstream DDL (main.go:447-450); multi-writer deployments "
+    "cannot",
+    tags=("cdc", "schema-evolution", "policy", "dead-letter"),
+)
+def cdc31_schema_compat_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.cdc.registry import widening_decision
+
+    customer = load_table(spark, sf_dir, "customer")
+    # four generations of announcements for the same column
+    announced = ["int4", "int8", "text", "int4"]
+    catalog = announced[0]
+    plan = []
+    for gen, decl in enumerate(announced):
+        decision = (
+            "keep" if gen == 0 else widening_decision(catalog, decl)
+        )
+        if decision in ("keep", "widen"):
+            catalog = decl
+        plan.append((gen, decl, decision, catalog))
+    gens = spark.createDataFrame(
+        plan,
+        "gen int, declared_type string, decision string,"
+        " catalog_type_after string",
+    )
+    per_gen = customer.groupBy(
+        (F.col("c_custkey") % 4).cast("int").alias("gen")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
+    dead = F.col("decision") == "incompatible"
+    return per_gen.join(F.broadcast(gens), "gen").select(
+        "gen",
+        "declared_type",
+        "decision",
+        "catalog_type_after",
+        F.when(dead, F.lit(0)).otherwise(F.col("n_rows"))
+        .cast("long")
+        .alias("n_applied"),
+        F.when(dead, F.col("n_rows")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_dead"),
+        F.when(dead, F.lit(0)).otherwise(F.col("key_sum"))
+        .cast("long")
+        .alias("applied_key_sum"),
+    )

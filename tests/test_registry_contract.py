@@ -60,3 +60,35 @@ def test_oracles_ground_in_registered_tables_or_literals():
             or "range(" in o    # generator oracles (io08/io10)
         )
         assert grounded, f"{name}: oracle grounded in nothing the driver registers"
+
+
+def test_rotation_prefix_is_50_oracled_entries():
+    """The driver samples a 50-row prefix of queries(): the prefix
+    tier must hold EXACTLY 50 registered entries, every one carrying
+    an oracle — a no-oracle entry there burns a gate slot on a
+    guaranteed no_oracle row (the q31 lesson from round 6)."""
+    import __spark_entry__ as entry
+
+    prefix = entry._R7_PREFIX
+    assert len(prefix) == 50
+    assert len(set(prefix)) == 50, "duplicate entries in prefix"
+    for name in prefix:
+        assert name in REGISTRY, f"{name} not registered"
+        assert REGISTRY[name].oracle is not None, (
+            f"{name} has no oracle — it would waste a driver slot"
+        )
+    ordered = list(entry.queries())
+    assert ordered[:50] == list(prefix), "prefix is not first in queries()"
+
+
+def test_next_rotation_tier_is_oracled_and_registered():
+    """Entries staged for the NEXT round's rotation must already be
+    registered with oracles, so the next prefix can be assembled by
+    reordering alone."""
+    import __spark_entry__ as entry
+
+    nxt = entry._R8_NEXT
+    assert len(set(nxt)) == len(nxt)
+    for name in nxt:
+        assert name in REGISTRY, f"{name} not registered"
+        assert REGISTRY[name].oracle is not None, f"{name}: no oracle"

@@ -147,3 +147,19 @@ def test_filtered_ivfpq_probe_prunes_and_reads_no_embeddings(
         .collect()
     }
     assert got <= allowed and len(got) == 10
+
+
+def test_widening_decision_lattice():
+    from cdc_spark.cdc.registry import widening_decision as w
+
+    assert w("int4", "int4") == "keep"
+    assert w("int2", "int4") == "widen"
+    assert w("int4", "int8") == "widen"
+    assert w("int8", "float8") == "widen"
+    assert w("int2", "float8") == "widen"
+    # narrowing and cross-family must both refuse
+    assert w("int8", "int4") == "incompatible"
+    assert w("float8", "int8") == "incompatible"
+    assert w("int8", "text") == "incompatible"
+    assert w("text", "int8") == "incompatible"
+    assert w("text", "text") == "keep"
