@@ -4,6 +4,8 @@ the Arrow-batched escape hatch for semantics built-ins can't express
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -293,4 +295,53 @@ def pu06_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInArrow(
         stats, "doc_id long, n_bytes long, n_tokens long"
+    )
+
+
+@register(
+    "pu07_iterator_scalar_udf",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) * 31
+                + len(list_filter(toks, t -> length(t) >= 7)) * 7
+                AS BIGINT) AS model_score
+    FROM w
+    """,
+    note="iterator-of-series pandas UDF (SCALAR_ITER — the ninth "
+    "Python seam): the function receives an ITERATOR of Arrow "
+    "batches, so expensive per-worker initialization (loading a "
+    "scoring model, a tokenizer, an ONNX session) runs ONCE per "
+    "executor python process and amortizes over every batch — THE "
+    "pattern for model-based quality scoring over a 100 TB corpus, "
+    "where per-batch model loading would dominate. The 'model' here "
+    "is a deterministic integer scorer (init observable via its "
+    "loaded coefficients) so the seam is hash-checked",
+    tags=("udf", "pandas", "iterator", "model-scoring"),
+)
+def pu07_iterator_scalar_udf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def model_score(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init — runs once per python worker, NOT per batch
+        # (a real pipeline loads its model / tokenizer here)
+        coef_tokens, coef_long = 31, 7
+        for s in texts:
+            toks = s.str.strip().str.split(r"\s+")
+            n = toks.str.len()
+            n_long = toks.map(
+                lambda ts: sum(1 for t in ts if len(t) >= 7)
+            )
+            yield (n * coef_tokens + n_long * coef_long).astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", model_score(F.col("text")).alias("model_score")
     )
