@@ -169,6 +169,8 @@ _R8_NEXT = (
     "cdc31_schema_compat_gate",
     "io20_max_records_per_file",
     "io21_codec_matrix_roundtrip",
+    "io22_nested_column_pruning",
+    "mm09_modality_router",
     "pu07_iterator_scalar_udf",
     "q94_group_order_by_all",
     "q95_lateral_join_api",

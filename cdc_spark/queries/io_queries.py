@@ -1207,3 +1207,56 @@ def io21_codec_matrix_roundtrip(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("codec")
+
+
+@register(
+    "io22_nested_column_pruning",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders
+    GROUP BY priority
+    """,
+    note="nested-column pruning: orders rewritten as a parquet table "
+    "with a 3-field STRUCT payload; the query selects ONE nested "
+    "field and the scan's ReadSchema must contain only that leaf "
+    "(asserted in-query — the plan is the proof, not the layout). "
+    "At 100 TB wide nested payloads (headers, properties, features) "
+    "dominate storage; reading one leaf instead of the struct is "
+    "the same order-of-magnitude lever as column pruning on flat "
+    "tables, and it only works if expressions stay declarative "
+    "(a UDF over the whole struct defeats it)",
+    tags=("io", "nested", "pruning"),
+)
+def io22_nested_column_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="io22_"), "nested")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("payload"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    out = back.groupBy(
+        F.col("payload.priority").alias("priority")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("payload.custkey").cast("long").alias("cust_sum"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the scan must read ONLY the two referenced leaves — a ReadSchema
+    # carrying `status` means nested pruning regressed
+    if "status" in plan:
+        raise AssertionError(
+            "nested-column pruning failed: scan reads unused leaf"
+        )
+    return out

@@ -576,3 +576,85 @@ def mm08_aspect_bucket_batching(
         F.sum("h").cast("long").alias("sum_h"),
         F.round(F.sum("w") / F.sum("h"), 4).alias("wh_ratio"),
     )
+
+
+@register(
+    "mm09_modality_router",
+    oracle="""
+    WITH typed AS (
+        SELECT doc_id, text,
+               CASE doc_id % 3 WHEN 0 THEN 'text'
+                               WHEN 1 THEN 'image'
+                               ELSE 'audio' END AS modality
+        FROM documents
+        WHERE length(text) = strlen(text)
+    ),
+    feats AS (
+        SELECT modality,
+               CASE modality
+                   WHEN 'text' THEN
+                       len(string_split_regex(trim(text), '\\s+'))
+                   WHEN 'image' THEN
+                       list_sum(list_transform(
+                           generate_series(1, least(8, length(text))),
+                           i -> ascii(text[i])))
+                   ELSE length(text)
+               END AS feature
+        FROM typed
+    )
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(feature) AS BIGINT) AS feature_sum
+    FROM feats GROUP BY modality
+    """,
+    note="modality router (the heterogeneous-pipeline shape: one "
+    "mixed table, per-modality processing branches, recombined "
+    "accounting): rows route by a modality tag to three DIFFERENT "
+    "transforms — tokenizer stats for text, header-byte features "
+    "for image, payload length for audio — then union back for "
+    "per-modality totals. Each branch is a filter + projection over "
+    "the SAME scan (no shuffle until the final aggregate), which is "
+    "how a mixed 100 TB corpus avoids three separate pipeline runs; "
+    "single-byte scope keeps the byte features oracle-exact (the "
+    "mm01 contract)",
+    tags=("multimodal", "routing", "pipeline"),
+)
+def mm09_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
+    typed = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, "text")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("modality"),
+    )
+    text_b = typed.where(F.col("modality") == "text").select(
+        "modality",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("feature"),
+    )
+    image_b = typed.where(F.col("modality") == "image").select(
+        "modality",
+        F.aggregate(
+            F.transform(
+                F.split(
+                    F.substring(F.col("text"), 1, 8), "(?!^)"
+                ),
+                F.ascii,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("feature"),
+    )
+    audio_b = typed.where(F.col("modality") == "audio").select(
+        "modality", F.length("text").cast("long").alias("feature")
+    )
+    routed = text_b.unionByName(image_b).unionByName(audio_b)
+    return routed.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("feature").cast("long").alias("feature_sum"),
+    )
