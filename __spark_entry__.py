@@ -166,6 +166,7 @@ _R8_NEXT = (
     "tx26_gopher_quality_rules",
     "mm08_aspect_bucket_batching",
     "st24_stream_partitioned_sink",
+    "st25_rocksdb_state_backend",
     "cdc31_schema_compat_gate",
     "io20_max_records_per_file",
     "io21_codec_matrix_roundtrip",

@@ -1979,3 +1979,82 @@ def st24_stream_partitioned_sink(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "st25_rocksdb_state_backend",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    note="the PRODUCTION streaming state backend, driver-gated (not "
+    "just test-verified): the st01 tumbling aggregation re-run with "
+    "RocksDBStateStoreProvider — per-key state lives off-heap in "
+    "RocksDB with incremental checkpointing, the bounded-memory "
+    "requirement for 100 TB streaming state where the default "
+    "HDFS-backed store holds every key on-heap. The provider is "
+    "asserted active on the query's own progress (not trusted from "
+    "conf), and results must equal the batch oracle exactly — "
+    "backend choice cannot change semantics",
+    tags=("streaming", "state-backend", "rocksdb", "window"),
+)
+def st25_rocksdb_state_backend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # unset in a fresh session
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        stream = _events_stream(spark, sf_dir)
+        agg = stream.withWatermark("ts", "0 seconds").groupBy(
+            F.window("ts", "1 hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        name = f"q_{uuid.uuid4().hex[:10]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="st25_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # the backend must actually have been RocksDB for this query
+        progress = q.lastProgress
+        providers = _json.dumps(progress, default=str) if progress else ""
+        # RocksDB surfaces as rocksdb* custom metrics on the state
+        # operator — the default HDFS-backed store reports none
+        if "rocksdb" not in providers.lower():
+            raise AssertionError(
+                "RocksDB state store was not active for the query"
+            )
+        return spark.sql(f"SELECT * FROM {name}").select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
