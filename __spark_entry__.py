@@ -164,6 +164,7 @@ _R8_NEXT = (
     "dp10_strided_chunking",
     "dp11_anneal_mixture_schedule",
     "tx26_gopher_quality_rules",
+    "tx27_segment_language_consistency",
     "mm08_aspect_bucket_batching",
     "st24_stream_partitioned_sink",
     "st25_rocksdb_state_backend",

@@ -1446,3 +1446,129 @@ def tx26_gopher_quality_rules(
         F.sum(1 - c("r_alpha")).cast("long").alias("fail_alpha"),
         F.sum(1 - c("r_stop")).cast("long").alias("fail_stop"),
     )
+
+
+_SEG_LANG_SCORES = ",\n".join(
+    f"len(list_intersect(list_distinct(seg), "
+    f"{_stoplist_sql(lang)})) AS s_{lang}"
+    for lang in sorted(STOPWORDS)
+)
+
+
+@register(
+    "tx27_segment_language_consistency",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               t[40 * g + 1 : 40 * g + 40] AS seg
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(
+                       0, CAST(CEIL(len(t) / 40.0) AS BIGINT) - 1))
+                       AS g
+            FROM toks
+        )
+    ),
+    scored AS (
+        SELECT doc_id, {_SEG_LANG_SCORES} FROM segs
+    ),
+    labeled AS (
+        SELECT doc_id, {_LANG_CASE} AS seg_lang FROM scored
+    ),
+    per_lang AS (
+        SELECT doc_id, seg_lang, COUNT(*) AS n_segs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY COUNT(*) DESC, seg_lang
+               ) AS rn
+        FROM labeled GROUP BY doc_id, seg_lang
+    )
+    SELECT d.doc_id,
+           CAST(SUM(p.n_segs) AS BIGINT) AS n_segments,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           MAX(CASE WHEN p.rn = 1 THEN p.seg_lang END) AS majority_lang,
+           CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS mixed
+    FROM per_lang p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    note="segment-level language consistency (the code-switching / "
+    "boilerplate-contamination probe doc-level lang-ID misses): each "
+    "document splits into 40-token segments, every segment gets the "
+    "tx01 stopword-argmax language, and the doc reports segment "
+    "count, distinct language count, majority language "
+    "(deterministic count-then-lex tiebreak) and a mixed flag — the "
+    "filter signal for 'mostly-English page with an embedded French "
+    "nav bar'. Row expansion bounded by n/40 per doc, per-doc "
+    "windows bounded by language count; one scan, one aggregate "
+    "chain",
+    tags=("text", "langid", "segmentation", "curation"),
+)
+def tx27_segment_language_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # explode the window index first, then slice the token array
+    segged = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.size("t") / 40.0).cast("long") - 1,
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.slice(
+                F.col("t"), (F.col("g") * 40 + 1).cast("int"), 40
+            ).alias("seg"),
+        )
+    )
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("seg")),
+                F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+            )
+        )
+        for lang in langs
+    }
+    best = F.greatest(*scores.values())
+    lang_case = F.when(best == 0, "und")
+    for lang in langs:
+        lang_case = lang_case.when(scores[lang] == best, lang)
+    labeled = segged.select(
+        "doc_id", lang_case.alias("seg_lang")
+    )
+    per_lang = labeled.groupBy("doc_id", "seg_lang").agg(
+        F.count("*").alias("n_segs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_segs"), F.asc("seg_lang")
+    )
+    ranked = per_lang.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.sum("n_segs").cast("long").alias("n_segments"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.max(F.when(F.col("rn") == 1, F.col("seg_lang"))).alias(
+            "majority_lang"
+        ),
+        F.when(F.count("*") > 1, 1).otherwise(0).cast("long").alias(
+            "mixed"
+        ),
+    )
