@@ -172,6 +172,7 @@ _R8_NEXT = (
     "io20_max_records_per_file",
     "io21_codec_matrix_roundtrip",
     "io22_nested_column_pruning",
+    "io23_cbo_stats_broadcast",
     "mm09_modality_router",
     "pu07_iterator_scalar_udf",
     "q94_group_order_by_all",

@@ -1260,3 +1260,106 @@ def io22_nested_column_pruning(
             "nested-column pruning failed: scan reads unused leaf"
         )
     return out
+
+
+@register(
+    "io23_cbo_stats_broadcast",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+    ),
+    joined AS (
+        SELECT o.o_custkey, o.o_totalprice
+        FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+               AS fact_rows,
+           CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS dim_rows,
+           CAST(1 AS BIGINT) AS planned_broadcast,
+           CAST(COUNT(*) AS BIGINT) AS n_joined,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS joined_total
+    FROM joined
+    """,
+    note="cost-based optimizer stats surface: ANALYZE TABLE COMPUTE "
+    "STATISTICS writes row/size stats into the catalog, CBO reads "
+    "them, and the dim side of an UN-HINTED join gets broadcast from "
+    "STATS ALONE (auto-broadcast threshold deliberately too small "
+    "for a stats-less guess; the plan is asserted in-query). At "
+    "100 TB this is the difference between Catalyst choosing plans "
+    "from evidence and from defaults — table-level stats are what "
+    "make join reordering and broadcast selection trustworthy. "
+    "Analyzed row counts come back exactly from the catalog and are "
+    "hash-checked beside the join checksum",
+    tags=("io", "cbo", "statistics", "catalog"),
+)
+def io23_cbo_stats_broadcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    fact_t, dim_t = "io23_fact", "io23_dim"
+    # fixed names, cleaned at START (the io05 pattern): the returned
+    # frame is lazy, so the tables must outlive this function
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (fact_t, dim_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        customer = load_table(spark, sf_dir, "customer")
+        orders.select("o_custkey", "o_totalprice").write.saveAsTable(
+            fact_t
+        )
+        customer.where(F.col("c_custkey") % 100 == 0).select(
+            "c_custkey"
+        ).write.saveAsTable(dim_t)
+        spark.sql(f"ANALYZE TABLE {fact_t} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {dim_t} COMPUTE STATISTICS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(1 << 20)
+        )
+
+        def catalog_rows(t: str) -> int:
+            stat = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+                .where(F.col("col_name") == "Statistics")
+                .first()
+            )
+            return int(stat["data_type"].split("bytes,")[1].split()[0])
+
+        joined = spark.table(fact_t).join(
+            spark.table(dim_t),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        planned_broadcast = int("BroadcastHashJoin" in plan)
+        if not planned_broadcast:
+            raise AssertionError(
+                "CBO stats did not produce a broadcast join:\n"
+                + plan[:1500]
+            )
+        return joined.agg(
+            F.lit(catalog_rows(fact_t)).cast("long").alias("fact_rows"),
+            F.lit(catalog_rows(dim_t)).cast("long").alias("dim_rows"),
+            F.lit(planned_broadcast).cast("long").alias(
+                "planned_broadcast"
+            ),
+            F.count("*").cast("long").alias("n_joined"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("joined_total"),
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
