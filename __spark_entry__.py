@@ -161,6 +161,7 @@ _R8_NEXT = (
     "ss23_filtered_ivfpq_probe",
     "dd17_minhash_accuracy_eval",
     "dd18_soft_dedup_weights",
+    "dd19_jaccard_threshold_curve",
     "dp10_strided_chunking",
     "dp11_anneal_mixture_schedule",
     "tx26_gopher_quality_rules",
@@ -169,6 +170,7 @@ _R8_NEXT = (
     "st24_stream_partitioned_sink",
     "st25_rocksdb_state_backend",
     "cdc31_schema_compat_gate",
+    "cdc32_arrival_disorder_metrics",
     "io20_max_records_per_file",
     "io21_codec_matrix_roundtrip",
     "io22_nested_column_pruning",

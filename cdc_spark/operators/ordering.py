@@ -22,6 +22,21 @@ the total order is well-defined), which is why the oracles of the
 queries built on these (dp05, mm05) keep their plain
 ``ROW_NUMBER() OVER (ORDER BY ...)`` SQL.
 
+CORRECTNESS INVARIANT — the ranged projection is localCheckpoint'ed
+(lazy: materialized by whichever consumer runs first, reused by the
+rest) before fanning out to the offsets aggregate and the output
+join: ``repartitionByRange`` picks its boundaries by SAMPLING with a
+seed derived from the evaluation's RDD id, so two separately-planned
+evaluations of the same lazy subtree can land rows in DIFFERENT
+partitions. Exchange reuse normally hides this (identical subtrees
+plan one exchange), but any asymmetric column pruning between the
+two consumers splits them into two exchanges with two samples — and
+the broadcast offsets then describe a layout the data side doesn't
+have, silently corrupting every rank (found in round 7 composing two
+row-number passes). The checkpoint call binds both consumers to ONE
+concrete RDD (one id, one sampled layout); a lost partition fails
+loudly instead of re-sampling.
+
 ``lsn_gap_audit`` applies the same decomposition to ordered
 adjacent-row comparison (lag): gaps WITHIN a fixed-width id block are
 found per block, gaps ACROSS blocks from the per-block min/max
@@ -93,7 +108,7 @@ def distributed_row_number(
         (F.col(_MID) - F.shiftleft(F.col(_PID).cast("long"), 33) + 1).cast(
             "long"
         ),
-    )
+    ).localCheckpoint(eager=False)  # pin ONE layout (module docstring)
     # The id layout silently corrupts past 2^33 rows in ONE partition;
     # fail loudly instead, inside the counts aggregate we already
     # compute (raise_error evaluates lazily with the plan — no extra
@@ -139,7 +154,7 @@ def distributed_prefix_sum(
     )
     local = ranged.withColumn(
         _LOCAL, F.sum(value_col).over(w_local).cast("long")
-    )
+    ).localCheckpoint(eager=False)  # pin ONE layout (module docstring)
     totals = local.groupBy(_PID).agg(
         F.sum(value_col).cast("long").alias(_CNT)
     )
@@ -179,7 +194,9 @@ def distributed_prefix_min(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, upper)
     )
-    local = ranged.withColumn(_LOCAL, F.min(value_col).over(w_local))
+    local = ranged.withColumn(
+        _LOCAL, F.min(value_col).over(w_local)
+    ).localCheckpoint(eager=False)  # pin ONE layout (module docstring)
     totals = local.groupBy(_PID).agg(F.min(value_col).alias(_CNT))
     w_off = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, -1
@@ -248,7 +265,7 @@ def grouped_prefix_sum(
     )
     local = ranged.withColumn(
         _LOCAL, F.sum(value_col).over(w_local).cast("long")
-    )
+    ).localCheckpoint(eager=False)  # pin ONE layout (module docstring)
     totals = local.groupBy(_PID, group_col).agg(
         F.sum(value_col).cast("long").alias(_CNT)
     )

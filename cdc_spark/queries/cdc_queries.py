@@ -2253,3 +2253,71 @@ def cdc31_schema_compat_gate(
         .cast("long")
         .alias("applied_key_sum"),
     )
+
+
+@register(
+    "cdc32_arrival_disorder_metrics",
+    oracle="""
+    WITH ch AS (
+        SELECT event_id AS lsn,
+               -- deterministic synthetic arrival order: a jittered
+               -- permutation standing in for a fan-out transport
+               event_id + (event_id * 37 % 16) - 8 AS arrival_key
+        FROM events
+    ),
+    ranked AS (
+        SELECT lsn,
+               ROW_NUMBER() OVER (ORDER BY lsn) AS lsn_rank,
+               ROW_NUMBER() OVER (ORDER BY arrival_key, lsn)
+                   AS arrival_rank
+        FROM ch
+    ),
+    disp AS (
+        SELECT ABS(arrival_rank - lsn_rank) AS d FROM ranked
+    )
+    SELECT CAST(LEAST(d, 8) AS BIGINT) AS displacement,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM disp GROUP BY 1
+    """,
+    note="transport-disorder metric (the ops number behind choosing "
+    "reorder-buffer depth and watermark lag for an at-least-once "
+    "transport): every event gets BOTH its commit rank (by LSN) and "
+    "its arrival rank (by a jittered arrival key standing in for "
+    "network reordering), and the histogram of |arrival - commit| "
+    "displacement says how out-of-order delivery actually is. Both "
+    "total ranks ride distributed_row_number — two range shuffles, "
+    "broadcast offsets, no single-reducer window — so the metric "
+    "itself scales to the stream that needs it; the oracle keeps "
+    "its two plain ROW_NUMBERs",
+    tags=("cdc", "monitoring", "ordering", "transport"),
+)
+def cdc32_arrival_disorder_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.ordering import distributed_row_number
+
+    events = load_table(spark, sf_dir, "events")
+    ch = events.select(
+        F.col("event_id").alias("lsn"),
+        (
+            F.col("event_id")
+            + (F.col("event_id") * 37 % 16)
+            - 8
+        ).alias("arrival_key"),
+    )
+    by_lsn = distributed_row_number(
+        ch, [F.asc("lsn")], out_col="lsn_rank"
+    )
+    both = distributed_row_number(
+        by_lsn,
+        [F.asc("arrival_key"), F.asc("lsn")],
+        out_col="arrival_rank",
+    )
+    disp = both.select(
+        F.abs(F.col("arrival_rank") - F.col("lsn_rank")).alias("d")
+    )
+    return disp.groupBy(
+        F.least(F.col("d"), F.lit(8).cast("long"))
+        .cast("long")
+        .alias("displacement")
+    ).agg(F.count("*").cast("long").alias("n_events"))

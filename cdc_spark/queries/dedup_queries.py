@@ -1561,3 +1561,62 @@ def dd18_soft_dedup_weights(
         F.round(F.lit(1.0) / F.col("cluster_size"), 4).alias("weight"),
         "n_tokens",
     )
+
+
+@register(
+    "dd19_jaccard_threshold_curve",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(l) - 2, 0)),
+                   i -> array_to_string(l[i:i+2], ' '))) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS j
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    )
+    SELECT t.thr,
+           CAST(COUNT(CASE WHEN j >= t.thr THEN 1 END) AS BIGINT)
+               AS n_pairs
+    FROM jac, (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) AS t(thr)
+    GROUP BY t.thr
+    """,
+    note="dedup threshold-tuning curve (ss22's sweep idea applied to "
+    "near-dup): cumulative overlapping-pair counts at Jaccard >= "
+    "0.5/0.6/0.7/0.8/0.9 — the number that tells an operator how "
+    "much corpus a threshold choice removes BEFORE committing a "
+    "100 TB dedup pass. One pair computation (bounded below by the "
+    "0.5 floor), thresholds applied as conditional counts over a "
+    "literal sweep — never five recomputations of the pair graph",
+    tags=("dedup", "jaccard", "evaluation", "tuning"),
+)
+def dd19_jaccard_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", k_shingle=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    ).alias("thr")
+    swept = pairs.select("jaccard", thr)
+    return swept.groupBy("thr").agg(
+        F.count(F.when(F.col("jaccard") >= F.col("thr"), 1))
+        .cast("long")
+        .alias("n_pairs")
+    )

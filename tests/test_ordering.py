@@ -311,3 +311,48 @@ def test_gap_audit_property(spark, present):
         if b - a > 1
     }
     assert got == want
+
+
+def test_row_number_correct_under_asymmetric_pruning(spark):
+    """Regression (round 7): repartitionByRange samples its boundaries
+    with an RDD-id-derived seed, so two evaluations of the same lazy
+    subtree can land rows in DIFFERENT partitions. When an extra
+    column lets Catalyst prune the offsets subtree differently from
+    the data subtree, exchange reuse no longer pins them together —
+    without the layout checkpoint, ~90% of ranks silently corrupted
+    on exactly this shape (an extra carried column + composition)."""
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.01/events.parquet"
+    ).select(
+        F.col("event_id").alias("lsn"),
+        (
+            F.col("event_id") + (F.col("event_id") * 37 % 16) - 8
+        ).alias("arrival_key"),
+    )
+    truth1 = {
+        r.lsn: r.r
+        for r in ev.select(
+            "lsn",
+            F.row_number()
+            .over(Window.orderBy("lsn"))
+            .cast("long")
+            .alias("r"),
+        ).collect()
+    }
+    truth2 = {
+        r.lsn: r.r
+        for r in ev.select(
+            "lsn",
+            F.row_number()
+            .over(Window.orderBy("arrival_key", "lsn"))
+            .cast("long")
+            .alias("r"),
+        ).collect()
+    }
+    one = distributed_row_number(ev, [F.asc("lsn")], out_col="lsn_rank")
+    both = distributed_row_number(
+        one, [F.asc("arrival_key"), F.asc("lsn")], out_col="arrival_rank"
+    )
+    rows = both.collect()
+    assert all(r.lsn_rank == truth1[r.lsn] for r in rows)
+    assert all(r.arrival_rank == truth2[r.lsn] for r in rows)
