@@ -829,11 +829,13 @@ def cdc15_replication_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = b.where(F.col("lsn") <= hi)
         state.apply(b, ["event_type", "value"], batch_id=n_batches)
         n_batches += 1
-    prog = state.replication_progress()
-    n_live = state.read().count()
-    return spark.createDataFrame(
-        [(int(prog["applied_lsn"]), n_live, n_batches)],
-        "applied_lsn long, n_live_rows long, n_batches int",
+    prog = state.replication_progress()  # pure manifest reads, no job
+    # the live-row count stays inside the returned plan (one hash agg
+    # over the bucketed state) instead of a driver-side .count()
+    return state.read().agg(
+        F.lit(int(prog["applied_lsn"])).cast("long").alias("applied_lsn"),
+        F.count(F.lit(1)).cast("long").alias("n_live_rows"),
+        F.lit(n_batches).cast("int").alias("n_batches"),
     )
 
 

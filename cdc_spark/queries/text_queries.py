@@ -903,17 +903,23 @@ def tx20_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_spark.queries.base import dsum
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
-    nodes = docs.select("doc_id")
+    # corpus size rides along as a broadcast scalar column instead of a
+    # driver-side docs.count(): the whole graph construction stays one
+    # lazy plan with zero eager driver jobs
+    n_row = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    nodes = docs.select("doc_id").crossJoin(n_row)
     src = F.col("doc_id")
+    n_col = F.col("n_docs")
     edges = nodes.select(
         src.alias("src"),
         F.explode(
-            F.array((src * 31 + 7) % n, (src * 17 + 3) % n)
+            F.array((src * 31 + 7) % n_col, (src * 17 + 3) % n_col)
         ).alias("dst"),
     ).localCheckpoint(eager=True)  # reused every round
     ranks = nodes.select(
-        "doc_id", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+        "doc_id",
+        (F.lit(1.0) / n_col.cast("double")).alias("rank"),
+        "n_docs",
     )
     for _ in range(3):
         contrib = edges.join(
@@ -926,11 +932,13 @@ def tx20_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = (
             nodes.join(agg, nodes.doc_id == agg.dst, "left")
             .select(
-                "doc_id",
+                nodes.doc_id,
                 F.round(
-                    F.lit(0.15 / n) + F.coalesce(F.col("s"), F.lit(0.0)),
+                    F.lit(0.15) / n_col.cast("double")
+                    + F.coalesce(F.col("s"), F.lit(0.0)),
                     12,
                 ).alias("rank"),
+                "n_docs",
             )
             .localCheckpoint(eager=True)
         )
