@@ -181,6 +181,9 @@ _R8_NEXT = (
     "q95_lateral_join_api",
     "q96_equiwidth_histogram",
     "q97_skyline_frontier",
+    "io24_dynamic_partition_pruning",
+    "cdc33_consistent_cut_read",
+    "q98_quantile_binning",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}

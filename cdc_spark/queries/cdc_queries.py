@@ -2323,3 +2323,114 @@ def cdc32_arrival_disorder_metrics(
         .cast("long")
         .alias("displacement")
     ).agg(F.count("*").cast("long").alias("n_events"))
+
+
+@register(
+    "cdc33_consistent_cut_read",
+    oracle="""
+    WITH m AS (
+        SELECT 3 * (MAX(event_id) // 5) AS cut FROM events
+    ),
+    ch AS (
+        SELECT CASE WHEN event_type = 'signup' THEN 'c'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               event_id AS lsn, user_id, value,
+               user_id % 3 AS tbl
+        FROM events, m
+        WHERE event_id <= m.cut
+    ),
+    ranked AS (
+        SELECT *,
+               MAX(CASE WHEN op = 'd' THEN lsn END)
+                   OVER (PARTITION BY tbl, user_id) AS last_del
+        FROM ch
+    ),
+    live AS (
+        SELECT * FROM ranked
+        WHERE op IN ('c','u')
+          AND (last_del IS NULL OR lsn > last_del)
+    ),
+    latest AS (
+        SELECT tbl, user_id,
+               ROUND(arg_max(value, lsn), 4) AS value
+        FROM live GROUP BY tbl, user_id
+    )
+    SELECT tbl,
+           CAST((SELECT cut FROM m) AS BIGINT) AS cut_lsn,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS val_sum
+    FROM latest GROUP BY tbl
+    """,
+    note="cross-table transactional consistency (the consumer-side "
+    "analog of the reference's single-slot guarantee, main.go:61-74: "
+    "ONE monotone confirmed LSN covers every table in the "
+    "publication; once changes demux into per-table state — cdc24 — "
+    "that guarantee must be re-established at read time): three "
+    "demuxed tables apply the same WAL on a shared LSN grid but lag "
+    "unevenly (5, 4 and 3 batches applied), and a reader joining "
+    "them at 'latest' would see table 0's effects of transactions "
+    "whose table-2 effects are missing. The coordinator takes the "
+    "cut as the highest grid barrier ALL tables have confirmed — "
+    "pure manifest bookkeeping, no Spark job — and each table serves "
+    "``read_as_of_lsn(cut)`` from its version index: every cross-"
+    "table invariant of the source commit order holds at the cut. "
+    "Scale: the cut read opens each table's chosen manifest and "
+    "nothing else; cost is O(live state), zero WAL replay",
+    tags=("cdc", "consistency", "time-travel", "multi-table"),
+)
+def cdc33_consistent_cut_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.streaming.state import BucketedStateTable
+
+    events = load_table(spark, sf_dir, "events")
+    changes = _as_changes(events)
+    max_lsn = changes.agg(F.max("lsn")).first()[0]
+    grid = max_lsn // 5
+
+    tables: dict[int, BucketedStateTable] = {}
+    confirmed: dict[int, int] = {}  # tbl -> highest applied grid barrier
+    for tbl, n_batches in ((0, 5), (1, 4), (2, 3)):
+        state = BucketedStateTable(
+            spark,
+            tempfile.mkdtemp(prefix=f"cdc33_t{tbl}_"),
+            ["user_id"],
+            n_buckets=8,
+        )
+        part = changes.where(F.col("user_id") % 3 == tbl)
+        lo = -1
+        for k in range(1, n_batches + 1):
+            hi = k * grid
+            state.apply(
+                part.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)),
+                ["value"],
+            )
+            lo = hi
+        tables[tbl] = state
+        confirmed[tbl] = n_batches * grid
+
+    # the consistent cut: highest barrier every table has confirmed
+    cut = min(confirmed.values())
+    per_table = []
+    for tbl, state in tables.items():
+        asof = state.read_as_of_lsn(cut)
+        per_table.append(
+            asof.select(
+                F.lit(tbl).cast("long").alias("tbl"),
+                F.lit(cut).cast("long").alias("cut_lsn"),
+                "user_id",
+                "value",
+            )
+        )
+    allt = per_table[0].unionByName(per_table[1]).unionByName(
+        per_table[2]
+    )
+    return allt.groupBy("tbl", "cut_lsn").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value"), 4).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("val_sum"),
+    )

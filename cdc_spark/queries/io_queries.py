@@ -1363,3 +1363,90 @@ def io23_cbo_stats_broadcast(
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@register(
+    "io24_dynamic_partition_pruning",
+    oracle="""
+    WITH fact AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS ym
+        FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT ym,
+               'Y' || CAST(ym // 100 AS VARCHAR) AS yr_tag
+        FROM fact
+    )
+    SELECT f.ym,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS revenue
+    FROM fact f JOIN dim d ON f.ym = d.ym
+    WHERE d.yr_tag = 'Y1996'
+    GROUP BY f.ym
+    """,
+    note="dynamic partition pruning — THE 100 TB star-join lever: the "
+    "fact table is laid out partitioned by month, the dim filter is "
+    "on an opaque attribute (yr_tag, materialized to parquet so "
+    "Catalyst canNOT constant-propagate it onto the join key — the "
+    "static-pruning shortcut is deliberately closed), and at runtime "
+    "the broadcast dim's join keys become a "
+    "``dynamicpruningexpression`` in the fact scan's "
+    "PartitionFilters: 12 of ~80 month directories are read, the "
+    "rest never open. Asserted in-query: the dynamic filter must be "
+    "present AND no static equality on ym may have leaked in. "
+    "Without DPP a 100 TB fact scan reads every partition to join "
+    "a 12-month dim slice",
+    tags=("io", "partition", "dpp", "join"),
+)
+def io24_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="io24_")
+    fact_path = os.path.join(base, "fact")
+    dim_path = os.path.join(base, "dim")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyyMM").cast("long").alias("ym"),
+    )
+    fact.write.partitionBy("ym").mode("overwrite").parquet(fact_path)
+    # the dim goes THROUGH parquet so yr_tag reaches the planner as an
+    # opaque stored column: the only route from the dim filter to the
+    # fact partitions is the runtime dynamic-pruning subquery
+    fact.select("ym").distinct().select(
+        "ym",
+        F.concat(
+            F.lit("Y"), (F.col("ym") / F.lit(100)).cast("long")
+        ).alias("yr_tag"),
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("yr_tag") == "Y1996")
+    fact_r = spark.read.parquet(fact_path)
+    out = (
+        fact_r.join(dim, "ym")
+        .groupBy("ym")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "fact" in ln
+    ]
+    if not any("dynamicpruningexpression" in ln for ln in scan_lines):
+        raise AssertionError(
+            "fact scan has no dynamic-pruning partition filter:\n"
+            + "\n".join(scan_lines)
+        )
+    if any("= 1996" in ln or "= Y1996" in ln for ln in scan_lines):
+        raise AssertionError(
+            "static filter leaked onto the fact scan — the proof no "
+            "longer exercises DPP:\n" + "\n".join(scan_lines)
+        )
+    return out

@@ -1914,3 +1914,59 @@ def q97_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_prev").isNull()
         | (F.col("o_orderdate") < F.col("best_prev"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@register(
+    "q98_quantile_binning",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS rn,
+               COUNT(*) OVER () AS n
+        FROM orders
+    )
+    SELECT CAST(((rn - 1) * 4) // n AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS total
+    FROM ranked GROUP BY bucket
+    """,
+    note="equi-height quantile binning (the standard ML feature "
+    "bucketizer: equal-POPULATION bins, robust to skew where q96's "
+    "equi-WIDTH bins collapse under heavy tails): bucket = "
+    "floor((rank-1)*k/n) over the exact value order. The rank rides "
+    "``distributed_row_number`` (one range shuffle + broadcast "
+    "offsets — no global window) and n rides along as a broadcast "
+    "scalar, so the whole binning is two scans and zero "
+    "single-reducer stages; the oracle keeps the plain ROW_NUMBER. "
+    "Exactness matters for reproducible feature pipelines — "
+    "approxQuantile bins drift run to run, these never do",
+    tags=("relational", "quantile", "binning", "ml-features"),
+)
+def q98_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ordering import distributed_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = distributed_row_number(
+        orders,
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        out_col="rn",
+    )
+    n_row = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("n")))
+    binned = ranked.crossJoin(n_row).withColumn(
+        "bucket",
+        F.expr("CAST(((rn - 1) * 4) DIV n AS INT)"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total"),
+    )
