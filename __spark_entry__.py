@@ -184,6 +184,7 @@ _R8_NEXT = (
     "io24_dynamic_partition_pruning",
     "cdc33_consistent_cut_read",
     "q98_quantile_binning",
+    "st26_rate_limited_backfill",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}

@@ -57,6 +57,7 @@ HEADLINE = [
     "mm05_interleaved_packing",  # distributed two-pass prefix-sum packing
     "ss15_pq_adc_topk",          # PQ compressed-domain ADC scan
     "ss17_ivfpq_index",          # IVF-PQ partition-pruned compressed probe
+    "io24_dynamic_partition_pruning",  # runtime star-join partition pruning
 ]
 
 

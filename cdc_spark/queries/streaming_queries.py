@@ -2058,3 +2058,95 @@ def st25_rocksdb_state_backend(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@register(
+    "st26_rate_limited_backfill",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS total_value,
+           CAST(8 AS BIGINT) AS n_batches
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    note="source rate limiting — the bounded-memory backfill story: a "
+    "100 TB historical directory replayed through Structured "
+    "Streaming must NOT arrive as one giant micro-batch (executor "
+    "memory, shuffle spill, and checkpoint recovery granularity all "
+    "scale with batch size). The source is laid out as 8 files, read "
+    "with ``maxFilesPerTrigger=1`` under ``Trigger.AvailableNow`` — "
+    "which, unlike the legacy once trigger, RESPECTS source rate "
+    "limits while still draining to completion. Asserted in-query: "
+    "exactly 8 non-empty micro-batches, each no larger than the "
+    "biggest source file; the batch count is also hash-gated as an "
+    "output column. Restart-safe by construction (file-source "
+    "offsets checkpoint per batch, so a crash resumes at file "
+    "granularity, not from zero)",
+    tags=("streaming", "rate-limit", "backfill", "source"),
+)
+def st26_rate_limited_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    src_dir = tempfile.mkdtemp(prefix="st26_src_")
+    events.repartition(8).write.mode("overwrite").parquet(src_dir)
+    n_files = sum(
+        1 for f in os.listdir(src_dir) if f.endswith(".parquet")
+    )
+    if n_files != 8:
+        raise AssertionError(f"expected 8 source files, got {n_files}")
+    out_dir = tempfile.mkdtemp(prefix="st26_out_")
+    batch_rows: list[int] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n:
+            batch_rows.append(n)
+            batch_df.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st26_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if len(batch_rows) != 8:
+        raise AssertionError(
+            f"rate limit ignored: {len(batch_rows)} micro-batches "
+            f"(sizes {batch_rows}) instead of 8"
+        )
+    biggest_file = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.input_file_name())
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )  # one bounded job: 8 groups
+    if max(batch_rows) > biggest_file:
+        raise AssertionError(
+            "a micro-batch exceeded the largest source file: "
+            f"{max(batch_rows)} > {biggest_file}"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.lit(len(batch_rows)).cast("long").alias("n_batches"),
+        )
+    )

@@ -45,7 +45,15 @@ from cdc_spark.queries import REGISTRY
 SF = "/root/testdata/sf0.01"
 
 # Bounded at every scale factor (TPC-H fixed-cardinality dims).
-BOUNDED_DIMS = {"nation.parquet", "region.parquet"}
+BOUNDED_DIMS = {
+    "nation.parquet",
+    "region.parquet",
+    # io24's materialized month dimension: one row per distinct calendar
+    # month of the fact's date range (~#months at ANY fact size), written
+    # to parquet only so yr_tag reaches the planner opaque for the DPP
+    # proof — bounded by construction, so its forced broadcast is sound
+    "dim_ym_calendar",
+}
 
 
 def _walk(node):
