@@ -185,6 +185,9 @@ _R8_NEXT = (
     "cdc33_consistent_cut_read",
     "q98_quantile_binning",
     "st26_rate_limited_backfill",
+    "q99_kmv_distinct",
+    "q100_countmin_freq",
+    "q101_kmv_merge",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}

@@ -20,5 +20,6 @@ from cdc_spark.queries import multimodal_queries  # noqa: E402,F401
 from cdc_spark.queries import pandas_udf_queries  # noqa: E402,F401
 from cdc_spark.queries import streaming_queries  # noqa: E402,F401
 from cdc_spark.queries import io_queries  # noqa: E402,F401
+from cdc_spark.queries import sketch_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,269 @@
+"""Mergeable-sketch aggregation: the hash-gated approximate family.
+
+``q31_approx_stats`` (HLL/KLL) is the registry's one approximate
+residue — engine-private register layouts make it rows-only by nature.
+This module is the DETERMINISTIC counterpart: KMV distinct-count and
+count-min frequency sketches on the portable md5 60-bit hash, so DuckDB
+recomputes every estimate bit-for-bit and the family rides the full
+value-hash gate. See ``operators/sketches.py`` for the scale shapes
+(fixed-size summaries, map-side combine, partial window-group-limit).
+
+Reference: no sketch surface in main.go; public-literature capability
+(Beyer et al. SIGMOD'07; Cormode & Muthukrishnan '05) required by the
+north-star 100 TB analytics brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.catalog import load_table
+from cdc_spark.operators.sketches import (
+    countmin_bucket_sql,
+    countmin_counters,
+    h60_sql,
+    kmv_estimate,
+    kmv_estimate_sql,
+    kmv_sketch,
+)
+from cdc_spark.queries.base import register
+
+_KMV_K = 32
+_H60_USER = h60_sql("CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "q99_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {_H60_USER} AS _h FROM events
+    ),
+    ranked AS (
+        SELECT event_type, _h,
+               row_number() OVER (PARTITION BY event_type ORDER BY _h)
+                   AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, MAX(_h) AS kth_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_hashes
+        FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT sk.event_type, sk.n_hashes, sk.kth_hash,
+           {kmv_estimate_sql('sk.kth_hash', 'sk.n_hashes', _KMV_K)}
+               AS est_users,
+           ex.exact_users
+    FROM sk JOIN ex USING (event_type)
+    """,
+    note="KMV distinct-count sketch (Beyer et al. SIGMOD'07), "
+    "hash-gated: per event_type keep the k=32 smallest DISTINCT "
+    "portable-md5 hashes of user_id; estimate = (k-1)/U(k), exact "
+    "when the group holds < k values. The rank<=k filter compiles to "
+    "WindowGroupLimitExec in Partial mode, so each task forwards at "
+    "most k rows per group — per-group reducer input is O(k x tasks) "
+    "at ANY corpus size, and the sketch itself is a fixed k rows per "
+    "group. exact_users is the eval column (the dd17-style 'is k "
+    "enough' number a 100 TB rollout reads before trusting the "
+    "estimator); the deterministic hash makes the whole path "
+    "oracle-recomputable, unlike q31's engine-private HLL",
+    tags=("agg", "sketch", "approx"),
+)
+def q99_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sk = (
+        kmv_sketch(events, ["event_type"], "user_id", _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("_h").alias("kth_hash"),
+            F.count("*").alias("n_hashes"),
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "n_hashes",
+        "kth_hash",
+        kmv_estimate(
+            F.col("kth_hash"), F.col("n_hashes"), _KMV_K
+        ).alias("est_users"),
+        "exact_users",
+    )
+
+
+_CMS_D, _CMS_W, _CMS_PROBES = 4, 256, 10
+
+
+@register(
+    "q100_countmin_freq",
+    oracle=f"""
+    WITH counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT t.j AS j,
+                   {countmin_bucket_sql('t.j', 'user_id', _CMS_W)}
+                       AS bucket
+            FROM events, range({_CMS_D}) t(j)
+        )
+        GROUP BY j, bucket
+    ),
+    probes AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY user_id
+        ORDER BY true_n DESC, user_id LIMIT {_CMS_PROBES}
+    ),
+    pb AS (
+        SELECT p.user_id, p.true_n, t.j AS j,
+               {countmin_bucket_sql('t.j', 'p.user_id', _CMS_W)}
+                   AS bucket
+        FROM probes p, range({_CMS_D}) t(j)
+    )
+    SELECT pb.user_id, pb.true_n,
+           MIN(c.cnt) AS cms_n,
+           MIN(c.cnt) - pb.true_n AS overcount
+    FROM pb JOIN counters c ON pb.j = c.j AND pb.bucket = c.bucket
+    GROUP BY pb.user_id, pb.true_n
+    """,
+    note="count-min frequency sketch (Cormode-Muthukrishnan), "
+    "hash-gated: d=4 x w=256 counter grid from ONE grouped aggregate "
+    "(map-side combine bounds every task's output at d*w cells — the "
+    "counter table is corpus-size-independent, the property that "
+    "makes CMS the 100 TB hot-key detector). Point estimates for the "
+    "top-10 true-frequency users: min over the 4 rows' counters, "
+    "always >= true count; overcount column surfaces collision "
+    "error. The limit-bounded probe list is the broadcast side of "
+    "the counter join (guardrail-recognized bounded build)",
+    tags=("agg", "sketch", "approx"),
+)
+def q100_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counters = countmin_counters(events, "user_id", _CMS_D, _CMS_W)
+    probes = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(_CMS_PROBES)
+    )
+    from cdc_spark.operators.dedup import portable_hash60
+
+    pb = probes.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_CMS_D)])
+        ).alias("j"),
+    ).withColumn(
+        "bucket",
+        portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col("j").cast("string"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % _CMS_W,
+    )
+    return (
+        counters.join(F.broadcast(pb), ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("true_n")).alias("overcount"),
+        )
+    )
+
+
+_MERGE_K = 64
+
+
+@register(
+    "q101_kmv_merge",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {_H60_USER} AS _h FROM events
+    ),
+    ranked AS (
+        SELECT event_type, _h,
+               row_number() OVER (PARTITION BY event_type ORDER BY _h)
+                   AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, _h FROM ranked WHERE rn <= {_MERGE_K}
+    ),
+    merged AS (
+        SELECT DISTINCT _h FROM sk ORDER BY _h LIMIT {_MERGE_K}
+    ),
+    m AS (
+        SELECT MAX(_h) AS kth_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_hashes
+        FROM merged
+    ),
+    shards AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_shards
+        FROM sk
+    ),
+    ex AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events
+    )
+    SELECT shards.n_shards, m.n_hashes, m.kth_hash,
+           {kmv_estimate_sql('m.kth_hash', 'm.n_hashes', _MERGE_K)}
+               AS est_users,
+           ex.exact_users
+    FROM m, shards, ex
+    """,
+    note="KMV mergeability — the property that makes sketches a 100 TB "
+    "primitive: per-shard (event_type) k=64 sketches are UNIONED "
+    "(distinct hashes, re-take k smallest) into a global "
+    "distinct-user estimate without re-touching a single raw row — "
+    "the merge consumes O(shards x k) sketch rows, exactly how "
+    "per-day/per-shard sketches roll up to a quarter's cardinality. "
+    "Global k-smallest is TakeOrderedAndProject (per-partition "
+    "partial top-k, driver sees <= k x partitions rows); exact_users "
+    "is the eval column. Union semantics per Beyer et al. multiset "
+    "operations",
+    tags=("agg", "sketch", "approx"),
+)
+def q101_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    shard_sk = kmv_sketch(events, ["event_type"], "user_id", _MERGE_K)
+    merged = (
+        shard_sk.select("_h")
+        .distinct()
+        .orderBy("_h")
+        .limit(_MERGE_K)
+        .agg(
+            F.max("_h").alias("kth_hash"),
+            F.count("*").alias("n_hashes"),
+        )
+    )
+    shards = shard_sk.agg(
+        F.countDistinct("event_type").alias("n_shards")
+    )
+    exact = events.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.crossJoin(F.broadcast(shards))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_shards",
+            "n_hashes",
+            "kth_hash",
+            kmv_estimate(
+                F.col("kth_hash"), F.col("n_hashes"), _MERGE_K
+            ).alias("est_users"),
+            "exact_users",
+        )
+    )

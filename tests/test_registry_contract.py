@@ -36,7 +36,9 @@ def test_rows_only_set_is_exactly_the_whitelist():
 
 
 def test_names_follow_family_convention():
-    pat = re.compile(r"^(cdc|dd|dp|io|mm|pu|q|ss|st|tx)\d{2}_[a-z0-9_]+$")
+    pat = re.compile(
+        r"^(cdc|dd|dp|io|mm|pu|q|ss|st|tx)\d{2,3}_[a-z0-9_]+$"
+    )
     for name in REGISTRY:
         assert pat.match(name), f"unconventional name: {name}"
 
