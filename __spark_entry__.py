@@ -188,6 +188,7 @@ _R8_NEXT = (
     "q99_kmv_distinct",
     "q100_countmin_freq",
     "q101_kmv_merge",
+    "q102_data_quality_audit",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}

@@ -1970,3 +1970,112 @@ def q98_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "q102_data_quality_audit",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_cust,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS dup_key,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_price
+        FROM orders
+    ),
+    li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT)
+                   AS nonuniq
+        FROM lineitem
+    ),
+    ref AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS viol,
+               (SELECT n FROM o) AS checked
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT * FROM (
+        SELECT 'orders.o_custkey_complete' AS check_name,
+               null_cust AS violations, n AS checked FROM o
+        UNION ALL
+        SELECT 'orders.o_orderkey_unique', dup_key, n FROM o
+        UNION ALL
+        SELECT 'orders.o_orderstatus_domain', bad_status, n FROM o
+        UNION ALL
+        SELECT 'orders.o_totalprice_positive', bad_price, n FROM o
+        UNION ALL
+        SELECT 'orders.o_custkey_in_customer', viol, checked FROM ref
+        UNION ALL
+        SELECT 'lineitem.l_orderkey_unique_probe', nonuniq, n FROM li
+    )
+    """,
+    note="Deequ-shape declarative data-quality audit — the pre-ingest "
+    "gate every 100 TB pipeline runs: completeness, uniqueness, "
+    "value-domain, range, and referential-integrity constraints. "
+    "All per-table constraints fold into ONE wide aggregate per "
+    "table (single scan, map-side partial; the oracle spells out "
+    "the naive per-check UNION), unpivoted to a row per check via "
+    "stack(); referential integrity is a broadcast-able anti-join "
+    "count. The lineitem uniqueness probe fails BY DESIGN "
+    "(l_orderkey repeats per line) — the audit reports violation "
+    "counts, it does not rubber-stamp",
+    tags=("quality", "agg", "audit"),
+)
+def q102_data_quality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("null_cust"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_key"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("bad_price"),
+    )
+    o_checks = o.select(
+        F.stack(
+            F.lit(4),
+            F.lit("orders.o_custkey_complete"), F.col("null_cust"),
+            F.lit("orders.o_orderkey_unique"), F.col("dup_key"),
+            F.lit("orders.o_orderstatus_domain"), F.col("bad_status"),
+            F.lit("orders.o_totalprice_positive"), F.col("bad_price"),
+        ).alias("check_name", "violations"),
+        F.col("n").alias("checked"),
+    )
+    ref = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_anti"
+        )
+        .agg(F.count("*").alias("violations"))
+        .crossJoin(F.broadcast(o.select(F.col("n").alias("checked"))))
+        .select(
+            F.lit("orders.o_custkey_in_customer").alias("check_name"),
+            F.col("violations").cast("long"),
+            "checked",
+        )
+    )
+    li_checks = li.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("l_orderkey")).alias("nonuniq"),
+    ).select(
+        F.lit("lineitem.l_orderkey_unique_probe").alias("check_name"),
+        F.col("nonuniq").alias("violations"),
+        F.col("n").alias("checked"),
+    )
+    return o_checks.unionByName(ref).unionByName(li_checks)
