@@ -1039,13 +1039,25 @@ def dd14_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted = sorted(
         r[0] for r in probe.select("__b").distinct().collect()
     )
-    if len(wanted) >= n_parts:
-        raise AssertionError(
-            "probe touched every index partition — pruning not exercised"
-        )
     idx = spark.read.parquet(index_dir).where(
         F.col("__b").isin([int(b) for b in wanted])
     )
+    # the O(batch) claim is the partition FILTER, not universal partial
+    # coverage — a batch whose band-buckets happen to hash into every
+    # partition legitimately reads the whole index (seen at sf0.1:
+    # ~800 bucket draws over 64 partitions). So the scale-invariant
+    # assert is mechanism-level: the index scan must plan a __b
+    # partition filter (planning-time pruning), and whenever the batch
+    # leaves buckets untouched the filter keeps them unread.
+    scan_plan = idx._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters" not in scan_plan:
+        raise AssertionError("index scan has no PartitionFilters")
+    pf = scan_plan.split("PartitionFilters", 1)[1]
+    if "__b" not in pf[: pf.find("]") + 1]:
+        raise AssertionError(
+            "index scan's PartitionFilters does not prune on __b:\n"
+            + pf[:300]
+        )
     cand = (
         probe.alias("n")
         .join(

@@ -492,9 +492,16 @@ def q57_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
         SELECT l_partkey, l_suppkey,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
-                          AS DOUBLE)
-                     / SUM(l_quantity), 4) AS unit_cost
+               -- determinism: both sums decimal-backed (float SUM is
+               -- order-dependent), and fixed-point FLOOR instead of
+               -- ROUND — engines disagree on ROUND at half-way doubles
+               -- (observed at sf0.1: 60.27125 -> .2712 vs .2713),
+               -- while FLOOR of identical IEEE doubles always agrees
+               CAST(FLOOR(CAST(SUM(CAST(l_extendedprice
+                                        AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+                            AS DOUBLE) * 10000) AS BIGINT)
+                   AS unit_cost_e4
         FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     eu AS (
@@ -505,12 +512,12 @@ def q57_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'EUROPE'
     )
-    SELECT p_partkey, s_name, unit_cost
+    SELECT p_partkey, s_name, unit_cost_e4
     FROM part, eu
     WHERE p_partkey = l_partkey
       AND p_size = 15
-      AND unit_cost = (
-          SELECT MIN(e2.unit_cost) FROM eu e2
+      AND unit_cost_e4 = (
+          SELECT MIN(e2.unit_cost_e4) FROM eu e2
           WHERE e2.l_partkey = p_partkey
       )
     """,
@@ -530,34 +537,38 @@ def q61_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
 
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(
+        F.floor(
             F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast(
                 "double"
             )
-            / F.sum("l_quantity"),
-            4,
-        ).alias("unit_cost")
+            / F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast(
+                "double"
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("unit_cost_e4")
     )
     eu = (
         ps.join(supp, ps.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where(F.col("r_name") == "EUROPE")
-        .select("l_partkey", "l_suppkey", "unit_cost", "s_name")
+        .select("l_partkey", "l_suppkey", "unit_cost_e4", "s_name")
     )
     # decorrelated correlated-min: per-part minimum joined back
     min_cost = eu.groupBy("l_partkey").agg(
-        F.min("unit_cost").alias("__min_cost")
+        F.min("unit_cost_e4").alias("__min_cost")
     )
     best = eu.join(min_cost, on="l_partkey").where(
-        F.col("unit_cost") == F.col("__min_cost")
+        F.col("unit_cost_e4") == F.col("__min_cost")
     )
     return (
         best.join(
             part.where(F.col("p_size") == 15),
             best.l_partkey == F.col("p_partkey"),
         )
-        .select("p_partkey", "s_name", "unit_cost")
+        .select("p_partkey", "s_name", "unit_cost_e4")
     )
 
 
@@ -1688,7 +1699,11 @@ def q92_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT user_id, event_id,
-               epoch(ts) AS sec,
+               -- floor() matches Spark's unix_timestamp truncation:
+               -- epoch(ts) is FRACTIONAL (events carry microseconds),
+               -- and a RANGE frame bound decided on fractional vs
+               -- truncated seconds flips membership at the 3600 s edge
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                CAST(floor(value * 100) AS BIGINT) AS cents
         FROM events
     ),
