@@ -149,12 +149,17 @@ _R7_PREFIX = (
     "q26_range_join",
     "q28_tumbling_window",
     "q29_sliding_window",
-    "q30_percentiles",
+    # semantics changed round 7 (unit_cost -> fixed-point unit_cost_e4
+    # after the sf0.1 rounding-boundary fix): its r1 driver row is
+    # schema-stale, so it re-enters the gate; q30 moved to the front
+    # of the round-8 tier to make room
+    "q61_min_cost_supplier",
 )
 
 # Round-7 additions — never gated; first in line for the round-8
 # rotation (tier 1, immediately after this round's 50-entry prefix).
 _R8_NEXT = (
+    "q30_percentiles",
     "ss20_pq_refine_rerank",
     "ss21_maxsim_multivector",
     "ss22_ivf_nprobe_sweep",
