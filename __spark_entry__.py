@@ -194,6 +194,8 @@ _R8_NEXT = (
     "q100_countmin_freq",
     "q101_kmv_merge",
     "q102_data_quality_audit",
+    "q103_bloom_membership",
+    "st27_streaming_kmv_cardinality",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}

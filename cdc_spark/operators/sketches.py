@@ -133,3 +133,50 @@ def countmin_bucket_sql(seed: str, expr: str, width: int) -> str:
     """Oracle twin of the per-row bucket: h60(seed ':' value) mod width."""
     h = h60_sql(f"CAST({seed} AS VARCHAR) || ':' || CAST({expr} AS VARCHAR)")
     return f"({h}) % {width}"
+
+
+def bloom_words(
+    df: DataFrame, value_col: str, *, m_bits: int, depth: int
+) -> DataFrame:
+    """Bloom-filter bitmap as ``(word, bits)`` rows, ``<= ceil(m/62)``.
+
+    62 usable bits per signed-long word (bit 62+ would overflow
+    DuckDB's checked ``<<`` on BIGINT); position j of an element is
+    ``h60(j ':' value) mod m_bits``. One grouped ``bit_or`` aggregate:
+    map-side combine collapses every task to at most the word count —
+    like the CMS grid, the bitmap's size is corpus-independent, and
+    two bitmaps merge with a further ``bit_or`` (the mergeable-sketch
+    property).
+    """
+    pos = df.select(
+        F.col(value_col).cast("string").alias("_v"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("j"),
+    ).select(
+        (
+            portable_hash60(
+                F.concat_ws(":", F.col("j").cast("string"), F.col("_v"))
+            )
+            % m_bits
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 62).cast("long").alias("word"),
+            (F.col("pos") % 62).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            # shiftleft's Python wrapper only takes a literal count;
+            # the SQL form accepts a column
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .alias("bits")
+        )
+    )
+
+
+def bloom_pos_sql(seed: str, expr: str, m_bits: int) -> str:
+    """Oracle twin of a bloom bit position."""
+    h = h60_sql(f"CAST({seed} AS VARCHAR) || ':' || CAST({expr} AS VARCHAR)")
+    return f"({h}) % {m_bits}"

@@ -267,3 +267,131 @@ def q101_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
+
+
+_BF_M, _BF_D = 1024, 3
+_BF_SYNTH = 1_000_000
+
+
+def _bf_pos_sql(uid_expr: str) -> str:
+    from cdc_spark.operators.sketches import bloom_pos_sql
+
+    return bloom_pos_sql("t.j", uid_expr, _BF_M)
+
+
+@register(
+    "q103_bloom_membership",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    mpos AS (
+        SELECT {_bf_pos_sql('m.user_id')} AS pos
+        FROM members m, range({_BF_D}) t(j)
+    ),
+    words AS (
+        SELECT pos // 62 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER))
+                   AS bits
+        FROM mpos GROUP BY pos // 62
+    ),
+    probes AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) = 1 AS actual_member
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT user_id + {_BF_SYNTH}, FALSE
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    pp AS (
+        SELECT p.user_id, p.actual_member,
+               {_bf_pos_sql('p.user_id')} AS pos
+        FROM probes p, range({_BF_D}) t(j)
+    ),
+    chk AS (
+        SELECT pp.user_id, pp.actual_member,
+               COALESCE(
+                   (w.bits >> CAST(pp.pos % 62 AS INTEGER)) & 1, 0
+               ) AS s
+        FROM pp LEFT JOIN words w ON w.word = pp.pos // 62
+    )
+    SELECT user_id, actual_member,
+           MIN(s) = 1 AS claimed_member,
+           (MIN(s) = 1) AND NOT actual_member AS false_positive
+    FROM chk GROUP BY user_id, actual_member
+    """,
+    note="Bloom-filter membership sketch, hash-gated — the fourth "
+    "classic mergeable summary (after KMV/CMS): purchase-user set "
+    "packed into a 1024-bit bitmap as 62-bit signed-long words via "
+    "ONE grouped bit_or aggregate (map-side combine bounds every "
+    "task at the word count; two bitmaps merge with a further "
+    "bit_or — the 100 TB 'have we seen this key' primitive that "
+    "also backs Spark's own runtime bloom join). Probes = every "
+    "real user plus a synthetic guaranteed-absent twin per user: "
+    "no false negatives by construction, false positives surface "
+    "honestly in the gated fp column. The word table is "
+    "structurally <= 17 rows (limit-marked bounded broadcast)",
+    tags=("agg", "sketch", "approx", "membership"),
+)
+def q103_bloom_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.sketches import bloom_words
+
+    events = load_table(spark, sf_dir, "events")
+    members = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    words = bloom_words(members, "user_id", m_bits=_BF_M, depth=_BF_D)
+    real = events.groupBy("user_id").agg(
+        (
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        ).alias("actual_member")
+    )
+    synth = real.select(
+        (F.col("user_id") + _BF_SYNTH).alias("user_id"),
+        F.lit(False).alias("actual_member"),
+    )
+    pp = (
+        real.unionByName(synth)
+        .select(
+            "user_id",
+            "actual_member",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_BF_D)])
+            ).alias("j"),
+        )
+        .withColumn(
+            "pos",
+            portable_hash60(
+                F.concat_ws(
+                    ":",
+                    F.col("j").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % _BF_M,
+        )
+        .withColumn("word", (F.col("pos") / 62).cast("long"))
+    )
+    n_words = _BF_M // 62 + 1
+    chk = pp.join(
+        F.broadcast(words.limit(n_words)), "word", "left"
+    ).withColumn(
+        "s",
+        F.expr("coalesce(shiftright(bits, CAST(pos % 62 AS INT)) & 1, 0)"),
+    )
+    return chk.groupBy("user_id", "actual_member").agg(
+        (F.min("s") == 1).alias("claimed_member"),
+        ((F.min("s") == 1) & ~F.col("actual_member")).alias(
+            "false_positive"
+        ),
+    )

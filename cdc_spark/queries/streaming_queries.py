@@ -2150,3 +2150,136 @@ def st26_rate_limited_backfill(
             F.lit(len(batch_rows)).cast("long").alias("n_batches"),
         )
     )
+
+
+_ST27_K = 64
+
+
+@register(
+    "st27_streaming_kmv_cardinality",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS _h
+        FROM events
+    ),
+    topk AS (SELECT _h FROM h ORDER BY _h LIMIT {_ST27_K}),
+    m AS (
+        SELECT MAX(_h) AS kth_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_hashes
+        FROM topk
+    ),
+    ex AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events
+    )
+    SELECT m.n_hashes, m.kth_hash,
+           ROUND(CASE WHEN m.n_hashes < {_ST27_K}
+                 THEN CAST(m.n_hashes AS DOUBLE)
+                 ELSE {float(_ST27_K - 1)!r} * {float(1 << 60)!r}
+                      / CAST(m.kth_hash AS DOUBLE) END, 4) AS est_users,
+           ex.exact_users,
+           CAST(6 AS BIGINT) AS n_batches
+    FROM m, ex
+    """,
+    note="streaming KMV cardinality maintenance — the mergeable-sketch "
+    "property in motion: a live distinct-user monitor over a 100 TB "
+    "firehose keeps exactly k=64 hash rows of state, each "
+    "micro-batch folding its own bounded top-k (TakeOrdered, no "
+    "global window) into the persisted sketch at O(batch + k) cost "
+    "— the corpus is never re-read and state never grows. Because "
+    "KMV union is LOSSLESS for the final k-minimum set, the "
+    "streaming result is bit-identical to the batch sketch, so the "
+    "oracle is plain SQL over all events (no tolerance band); "
+    "exact_users is the eval column, batch count (6 one-file "
+    "micro-batches under availableNow) hash-gated like st26",
+    tags=("streaming", "sketch", "approx", "incremental"),
+)
+def st27_streaming_kmv_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    src_dir = tempfile.mkdtemp(prefix="st27_src_")
+    events.repartition(6).write.mode("overwrite").parquet(src_dir)
+    state_dir = tempfile.mkdtemp(prefix="st27_state_")
+    n_batches = [0]
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = (
+            batch_df.select(
+                portable_hash60(
+                    F.col("user_id").cast("string")
+                ).alias("_h")
+            )
+            .distinct()
+            .orderBy("_h")
+            .limit(_ST27_K)
+        )
+        spark_ = batch_df.sparkSession
+        cur = os.path.join(state_dir, "sketch")
+        if os.path.isdir(cur):
+            merged = (
+                spark_.read.parquet(cur)
+                .unionByName(batch_sk)
+                .distinct()
+                .orderBy("_h")
+                .limit(_ST27_K)
+            )
+        else:
+            merged = batch_sk
+        nxt = os.path.join(state_dir, f"sketch_v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        # atomic-enough swap for a local demo: replace the symlink-free
+        # dir; at scale this is the versioned-publish pattern io18 uses
+        import shutil
+
+        if os.path.isdir(cur):
+            shutil.rmtree(cur)
+        os.rename(nxt, cur)
+        if not batch_df.isEmpty():
+            n_batches[0] += 1
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st27_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if n_batches[0] != 6:
+        raise AssertionError(
+            f"expected 6 one-file micro-batches, got {n_batches[0]}"
+        )
+    sk = spark.read.parquet(os.path.join(state_dir, "sketch")).agg(
+        F.max("_h").alias("kth_hash"),
+        F.count("*").alias("n_hashes"),
+    )
+    exact = events.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = (
+        F.lit(float(_ST27_K - 1))
+        * F.lit(float(1 << 60))
+        / F.col("kth_hash").cast("double")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n_hashes",
+        "kth_hash",
+        F.round(
+            F.when(
+                F.col("n_hashes") < _ST27_K,
+                F.col("n_hashes").cast("double"),
+            ).otherwise(est),
+            4,
+        ).alias("est_users"),
+        "exact_users",
+        F.lit(6).cast("long").alias("n_batches"),
+    )

@@ -163,3 +163,86 @@ def test_countmin_exact_when_no_collisions(spark):
     df = spark.createDataFrame([(7,)] * 25, "v long")
     rows = countmin_counters(df, "v", depth=4, width=32).collect()
     assert all(r.cnt == 25 for r in rows) and len(rows) == 4
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    members=st.sets(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=80
+    ),
+    probes=st.sets(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=60
+    ),
+)
+def test_bloom_no_false_negatives(spark, members, probes):
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.sketches import bloom_words
+
+    mdf = spark.createDataFrame([(v,) for v in members], "v long")
+    words = bloom_words(mdf, "v", m_bits=512, depth=3)
+    rows = words.collect()
+    assert len(rows) <= 512 // 62 + 1
+    pdf = spark.createDataFrame([(v,) for v in probes], "v long")
+    pp = pdf.select(
+        "v",
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j"),
+    ).withColumn(
+        "pos",
+        portable_hash60(
+            F.concat_ws(
+                ":", F.col("j").cast("string"), F.col("v").cast("string")
+            )
+        )
+        % 512,
+    ).withColumn("word", (F.col("pos") / 62).cast("long"))
+    got = {
+        r.v: r.claimed
+        for r in pp.join(words, "word", "left")
+        .withColumn(
+            "s",
+            F.expr(
+                "coalesce(shiftright(bits, CAST(pos % 62 AS INT)) & 1, 0)"
+            ),
+        )
+        .groupBy("v")
+        .agg((F.min("s") == 1).alias("claimed"))
+        .collect()
+    }
+    for v in probes:
+        if v in members:
+            assert got[v], f"false negative for member {v}"
+
+
+def test_bloom_merge_is_bit_or(spark):
+    from cdc_spark.operators.sketches import bloom_words
+
+    a = spark.createDataFrame([(v,) for v in range(30)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(20, 60)], "v long")
+    both = a.unionByName(b)
+    wa = bloom_words(a, "v", m_bits=256, depth=3).withColumnRenamed(
+        "bits", "ba"
+    )
+    wb = bloom_words(b, "v", m_bits=256, depth=3).withColumnRenamed(
+        "bits", "bb"
+    )
+    merged = {
+        r.word: r.m
+        for r in wa.join(wb, "word", "full")
+        .select(
+            "word",
+            (
+                F.coalesce(F.col("ba"), F.lit(0))
+                .bitwiseOR(F.coalesce(F.col("bb"), F.lit(0)))
+            ).alias("m"),
+        )
+        .collect()
+    }
+    direct = {
+        r.word: r.bits
+        for r in bloom_words(both, "v", m_bits=256, depth=3).collect()
+    }
+    assert merged == direct
