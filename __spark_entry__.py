@@ -196,6 +196,7 @@ _R8_NEXT = (
     "q102_data_quality_audit",
     "q103_bloom_membership",
     "st27_streaming_kmv_cardinality",
+    "q104_kmv_set_intersection",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}

@@ -395,3 +395,128 @@ def q103_bloom_membership(
             "false_positive"
         ),
     )
+
+
+_IX_K = 64
+
+
+@register(
+    "q104_kmv_set_intersection",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {_H60_USER} AS _h FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+        SELECT event_type, _h,
+               row_number() OVER (PARTITION BY event_type ORDER BY _h)
+                   AS rn
+        FROM h
+    ),
+    sk AS (SELECT event_type, _h FROM ranked WHERE rn <= {_IX_K}),
+    est AS (
+        SELECT event_type, MAX(_h) AS kth,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM sk GROUP BY event_type
+    ),
+    u AS (
+        SELECT MAX(_h) AS kth, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT DISTINCT _h FROM sk ORDER BY _h LIMIT {_IX_K})
+    ),
+    e AS (
+        SELECT
+            {kmv_estimate_sql(
+                "(SELECT kth FROM est WHERE event_type = 'click')",
+                "(SELECT n FROM est WHERE event_type = 'click')",
+                _IX_K,
+            )} AS est_a,
+            {kmv_estimate_sql(
+                "(SELECT kth FROM est WHERE event_type = 'purchase')",
+                "(SELECT n FROM est WHERE event_type = 'purchase')",
+                _IX_K,
+            )} AS est_b,
+            {kmv_estimate_sql(
+                "(SELECT kth FROM u)", "(SELECT n FROM u)", _IX_K
+            )} AS est_union
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    )
+    SELECT est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 4) AS est_overlap,
+           ex.exact_overlap
+    FROM e, ex
+    """,
+    note="KMV set algebra (the Theta-sketch headline use, Beyer et "
+    "al. multiset ops): distinct-user overlap of two event "
+    "populations WITHOUT an exact distinct-intersection pass — "
+    "|A INTERSECT B| = est(A) + est(B) - est(A UNION B), where the "
+    "union estimate comes from MERGING the two k=64 sketches "
+    "(O(k) rows, no data re-read; at 100 TB this is the "
+    "audience-overlap dashboard primitive: per-population sketches "
+    "maintained incrementally, intersections answered from sketch "
+    "state alone). All three estimates and the inclusion-exclusion "
+    "arithmetic are deterministic doubles, hash-gated; "
+    "exact_overlap is the eval column",
+    tags=("agg", "sketch", "approx", "setop"),
+)
+def q104_kmv_set_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = kmv_sketch(events, ["event_type"], "user_id", _IX_K)
+
+    def _est(kth, n):
+        return kmv_estimate(kth, n, _IX_K)
+
+    # ONE ungrouped conditional aggregate for both populations: a
+    # structurally-1-row frame (the guardrail's bounded-broadcast
+    # criterion), where a groupBy+filter pair would read as an
+    # unbounded build side
+    is_a = F.col("event_type") == "click"
+    per = sk.agg(
+        F.max(F.when(is_a, F.col("_h"))).alias("kth_a"),
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.max(F.when(~is_a, F.col("_h"))).alias("kth_b"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+    ).select(
+        _est(F.col("kth_a"), F.col("n_a")).alias("est_a"),
+        _est(F.col("kth_b"), F.col("n_b")).alias("est_b"),
+    )
+    union = (
+        sk.select("_h")
+        .distinct()
+        .orderBy("_h")
+        .limit(_IX_K)
+        .agg(F.max("_h").alias("kth"), F.count("*").alias("n"))
+        .select(_est(F.col("kth"), F.col("n")).alias("est_union"))
+    )
+    exact = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            events.where(F.col("event_type") == "purchase").select(
+                "user_id"
+            )
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    return (
+        per.crossJoin(F.broadcast(union))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
