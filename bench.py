@@ -58,6 +58,7 @@ HEADLINE = [
     "ss15_pq_adc_topk",          # PQ compressed-domain ADC scan
     "ss17_ivfpq_index",          # IVF-PQ partition-pruned compressed probe
     "io24_dynamic_partition_pruning",  # runtime star-join partition pruning
+    "q99_kmv_distinct",          # KMV sketch (partial window-group-limit)
 ]
 
 
