@@ -197,6 +197,7 @@ _R8_NEXT = (
     "q103_bloom_membership",
     "st27_streaming_kmv_cardinality",
     "q104_kmv_set_intersection",
+    "q105_bottomk_sample",
 )
 
 _R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}

@@ -520,3 +520,64 @@ def q104_kmv_set_intersection(
             "exact_overlap",
         )
     )
+
+
+_BK_N = 100
+_H60_DOC = h60_sql("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "q105_bottomk_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, length(text) AS n_chars,
+               {_H60_DOC} AS _h
+        FROM documents
+    ),
+    picked AS (
+        SELECT * FROM h ORDER BY _h, doc_id LIMIT {_BK_N}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MAX(_h) AS threshold_hash,
+           CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM picked
+    """,
+    note="bottom-k consistent sampling — the deterministic exactly-n "
+    "sample a 100 TB pipeline carves eval sets with: the n=100 "
+    "documents with the smallest portable hash of their id. Unlike "
+    "Bernoulli predicates (tx09: approximate size), the size is "
+    "exact; unlike rand()-ordered sampling, the pick is stable "
+    "across engines, partitionings, and re-runs, and MERGEABLE — "
+    "the bottom-k of a union is the bottom-k of per-shard "
+    "bottom-ks, so shards sample independently and a coordinator "
+    "folds O(shards x k) rows (same lossless-union property as "
+    "KMV). threshold_hash is the handoff value: a future batch "
+    "joins the sample by 'hash < threshold' without reading the "
+    "sample. Plan: TakeOrderedAndProject — per-partition partial "
+    "top-k, no global sort, no shuffle of the corpus",
+    tags=("sampling", "sketch", "deterministic"),
+)
+def q105_bottomk_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            portable_hash60(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(_BK_N)
+    )
+    return picked.agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.max("_h").alias("threshold_hash"),
+        F.sum("n_chars").cast("long").alias("sample_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
