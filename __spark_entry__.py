@@ -23,78 +23,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 7: the driver samples a 50-row prefix, so the
-# ordering below IS the gate. Tier 0 (_R7_PREFIX) is exactly 50
-# entries: the 47 never-gated entries that rolled out of round 6
-# (the 36 round-6 additions plus q26/q28-q30, q75/q76/q78, q80-q83 —
-# q31 deliberately EXCLUDED: it has no oracle by design, so a driver
-# slot would only record a guaranteed no_oracle row; it stays
-# test-validated), plus st06/dd03/dd04 whose latest driver rows are
-# stale r4 ``no_oracle`` rows from before their oracles existed.
-# After this round every registry entry has a green driver row no
-# older than its current semantics. Tier 1 is the previous round's
-# prefix (all D6-green), tier 2 everything else.
-_R6_PREFIX = (
-    # changed or fixed in round 6 (distributed two-pass windows,
-    # deterministic IVF codebook, single-scan profile)
-    "dp05_curriculum_order",
-    "mm05_interleaved_packing",
-    "cdc26_lsn_gap_audit",
-    "ss03_ivf_topk",
-    "ss06_ivf_persisted_index",
-    "q84_column_profile",
-    # streaming: never gated, most semantically loaded
-    "st12_incremental_snapshot_stream",
-    "st13_stream_scd2_enrich",
-    "st14_change_feed_publication",
-    "st15_stream_trending",
-    "st16_cdf_consumer_agg",
-    "st17_stream_schema_evolution",
-    "st18_stream_file_sink",
-    "st19_late_data_drop",
-    # dedup
-    "dd08_boilerplate_ratio",
-    "dd09_common_ngram_exposure",
-    "dd10_aligned_duplicate_spans",
-    "dd11_containment_pairs",
-    "dd12_semantic_dedup",
-    "dd13_incremental_dedup",
-    "dd14_incremental_neardup",
-    # text curation
-    "tx15_seeded_corpus_shuffle",
-    "tx16_temperature_mixture",
-    "tx17_unigram_logprob",
-    "tx18_curation_pipeline",
-    "tx19_quality_percentile_prune",
-    "tx20_link_pagerank",
-    "tx21_bigram_logprob",
-    "tx22_blocklist_filter",
-    "tx23_intradoc_dedup",
-    "tx24_lexicon_sentiment",
-    # similarity
-    "ss10_hybrid_rrf",
-    "ss11_mips_topk",
-    "ss12_ann_recall_eval",
-    "ss13_knn_graph",
-    "ss14_centroid_drift",
-    # io / sources
-    "io09_bucket_compaction",
-    "io10_python_stream_source",
-    "io11_csv_dead_letter",
-    "io12_dynamic_partition_overwrite",
-    "io13_incremental_file_discovery",
-    "io14_parquet_bloom_filter",
-    # UDF surface
-    "pu03_python_udtf",
-    "pu04_arrow_scalar_udf",
-    "pu05_cogrouped_asof",
-    # packing / multimodal remainder
-    "dp06_epoch_shuffles",
-    "mm04_audio_frame_energy",
-    # temporal analytics (3 of 11 fit; rest roll to r7)
-    "q74_series_similarity",
-    "q77_association_rules",
-    "q79_session_paths",
+# Rotated for round 8: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 (_R8_PREFIX) is exactly 50
+# entries: the 39 never-gated oracled round-7 additions (q31 stays
+# excluded — no oracle by design, a slot would only record a
+# guaranteed no_oracle row) plus 11 freshness re-gates:
+# q39_rank_functions (rebuilt this round on the grouped rank family —
+# oracle unchanged, plan changed) and 10 of the oldest r1-era rows.
+# Tier 1 (_R9_NEXT) is this round's new additions, staged for the
+# round-9 gate; tier 2 the previous prefix; tier 3 everything else.
+_R8_PREFIX = (
+    # 39 round-7 additions — never gated, first in line
+    "q30_percentiles",
+    "ss20_pq_refine_rerank",
+    "ss21_maxsim_multivector",
+    "ss22_ivf_nprobe_sweep",
+    "ss23_filtered_ivfpq_probe",
+    "dd17_minhash_accuracy_eval",
+    "dd18_soft_dedup_weights",
+    "dd19_jaccard_threshold_curve",
+    "dp10_strided_chunking",
+    "dp11_anneal_mixture_schedule",
+    "tx26_gopher_quality_rules",
+    "tx27_segment_language_consistency",
+    "mm08_aspect_bucket_batching",
+    "st24_stream_partitioned_sink",
+    "st25_rocksdb_state_backend",
+    "cdc31_schema_compat_gate",
+    "cdc32_arrival_disorder_metrics",
+    "io20_max_records_per_file",
+    "io21_codec_matrix_roundtrip",
+    "io22_nested_column_pruning",
+    "io23_cbo_stats_broadcast",
+    "mm09_modality_router",
+    "pu07_iterator_scalar_udf",
+    "q94_group_order_by_all",
+    "q95_lateral_join_api",
+    "q96_equiwidth_histogram",
+    "q97_skyline_frontier",
+    "io24_dynamic_partition_pruning",
+    "cdc33_consistent_cut_read",
+    "q98_quantile_binning",
+    "st26_rate_limited_backfill",
+    "q99_kmv_distinct",
+    "q100_countmin_freq",
+    "q101_kmv_merge",
+    "q102_data_quality_audit",
+    "q103_bloom_membership",
+    "st27_streaming_kmv_cardinality",
+    "q104_kmv_set_intersection",
+    "q105_bottomk_sample",
+    # rebuilt this round (grouped rank family; oracle unchanged)
+    "q39_rank_functions",
+    # 10 freshness re-gates — oldest (r1-era) driver rows
+    "q06_revenue_filter",
+    "q12_rollup",
+    "q14_window_topk",
+    "q17_sessionization",
+    "q25_asof_join",
+    "q41_correlated_scalar_subquery",
+    "q47_market_share",
+    "q52_salted_skew_agg",
+    "q53_collect_sorted",
+    "q54_except_all_multiset",
+)
+
+# Round-8 additions — never gated; first in line for the round-9
+# rotation (tier 1, immediately after this round's 50-entry prefix).
+_R9_NEXT = (
+    "q106_mergeable_quantile_sketch",
 )
 
 _R7_PREFIX = (
@@ -156,62 +153,18 @@ _R7_PREFIX = (
     "q61_min_cost_supplier",
 )
 
-# Round-7 additions — never gated; first in line for the round-8
-# rotation (tier 1, immediately after this round's 50-entry prefix).
-_R8_NEXT = (
-    "q30_percentiles",
-    "ss20_pq_refine_rerank",
-    "ss21_maxsim_multivector",
-    "ss22_ivf_nprobe_sweep",
-    "ss23_filtered_ivfpq_probe",
-    "dd17_minhash_accuracy_eval",
-    "dd18_soft_dedup_weights",
-    "dd19_jaccard_threshold_curve",
-    "dp10_strided_chunking",
-    "dp11_anneal_mixture_schedule",
-    "tx26_gopher_quality_rules",
-    "tx27_segment_language_consistency",
-    "mm08_aspect_bucket_batching",
-    "st24_stream_partitioned_sink",
-    "st25_rocksdb_state_backend",
-    "cdc31_schema_compat_gate",
-    "cdc32_arrival_disorder_metrics",
-    "io20_max_records_per_file",
-    "io21_codec_matrix_roundtrip",
-    "io22_nested_column_pruning",
-    "io23_cbo_stats_broadcast",
-    "mm09_modality_router",
-    "pu07_iterator_scalar_udf",
-    "q94_group_order_by_all",
-    "q95_lateral_join_api",
-    "q96_equiwidth_histogram",
-    "q97_skyline_frontier",
-    "io24_dynamic_partition_pruning",
-    "cdc33_consistent_cut_read",
-    "q98_quantile_binning",
-    "st26_rate_limited_backfill",
-    "q99_kmv_distinct",
-    "q100_countmin_freq",
-    "q101_kmv_merge",
-    "q102_data_quality_audit",
-    "q103_bloom_membership",
-    "st27_streaming_kmv_cardinality",
-    "q104_kmv_set_intersection",
-    "q105_bottomk_sample",
-)
-
-_R6_RANK = {n: i for i, n in enumerate(_R6_PREFIX)}
 _R7_RANK = {n: i for i, n in enumerate(_R7_PREFIX)}
-_R8_RANK = {n: i for i, n in enumerate(_R8_NEXT)}
+_R8_RANK = {n: i for i, n in enumerate(_R8_PREFIX)}
+_R9_RANK = {n: i for i, n in enumerate(_R9_NEXT)}
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R7_RANK:
-        return (0, _R7_RANK[name], name)
     if name in _R8_RANK:
-        return (1, _R8_RANK[name], name)
-    if name in _R6_RANK:
-        return (2, _R6_RANK[name], name)
+        return (0, _R8_RANK[name], name)
+    if name in _R9_RANK:
+        return (1, _R9_RANK[name], name)
+    if name in _R7_RANK:
+        return (2, _R7_RANK[name], name)
     return (3, 0, name)
 
 

@@ -58,6 +58,9 @@ _MID = "__ord_mid"
 _LOCAL = "__ord_local"
 _CNT = "__ord_cnt"
 _OFF = "__ord_off"
+_ONE = "__ord_one"
+_OPID = "__ord_opid"
+_OGRP = "__ord_ogrp"
 
 
 def _offsets(counts: DataFrame, total_col: str) -> DataFrame:
@@ -276,19 +279,63 @@ def grouped_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        _PID,
-        group_col,
+        F.col(_PID).alias(_OPID),
+        F.col(group_col).alias(_OGRP),
         F.coalesce(F.sum(_CNT).over(w_off), F.lit(0))
         .cast("long")
         .alias(_OFF),
     )
-    out = local.join(F.broadcast(offsets), [_PID, group_col])
+    # eqNullSafe on the group key: groupBy/Window.partitionBy treat a
+    # NULL group as a regular group, so the offsets join must too — a
+    # null-unsafe equi-join would silently drop every NULL-group row
+    # and break the claimed bit-identity with the partitioned window.
+    out = local.join(
+        F.broadcast(offsets),
+        (F.col(_PID) == F.col(_OPID))
+        & F.col(group_col).eqNullSafe(F.col(_OGRP)),
+    )
     prefix = F.col(_LOCAL) + F.col(_OFF)
     if not inclusive:
         prefix = prefix - F.col(value_col)
     return out.withColumn(out_col, prefix.cast("long")).drop(
-        _PID, _LOCAL, _OFF
+        _PID, _LOCAL, _OFF, _OPID, _OGRP
     )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[Column | str],
+    *,
+    out_col: str = "row_number",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Per-group 1-based row number — the distributed twin of
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)`` — without
+    ever funneling a whole group through one reducer.
+
+    A row number is the inclusive prefix sum of ones, so this simply
+    rides :func:`grouped_prefix_sum` (same range-partitioned two-pass
+    decomposition, same skew story: a dominant group spans several
+    contiguous range partitions instead of pinning one task).
+
+    With tie-free ``order_cols`` (a trailing unique id) the result
+    also EQUALS ``rank`` and ``dense_rank`` over the same window —
+    peers don't exist — which is how the rank-function family
+    (percent_rank, cume_dist, ntile) becomes derivable from this
+    number plus a broadcast per-group total: see
+    ``queries/relational2.py::q39_rank_functions``.
+    """
+    ones = df.withColumn(_ONE, F.lit(1).cast("long"))
+    return grouped_prefix_sum(
+        ones,
+        group_col,
+        order_cols,
+        _ONE,
+        out_col=out_col,
+        inclusive=True,
+        num_partitions=num_partitions,
+    ).drop(_ONE)
 
 
 def lsn_gap_audit(

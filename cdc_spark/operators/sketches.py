@@ -98,6 +98,80 @@ def kmv_estimate_sql(kth_hash: str, n_hashes: str, k: int) -> str:
     )
 
 
+def bottomk_sample(
+    df: DataFrame, key_col: str, k: int, *, group_col: str | None = None
+) -> DataFrame:
+    """Bottom-k consistent sample: the k rows with the smallest
+    portable hash of ``key_col`` (ties broken by the key itself).
+
+    With ``group_col`` this is the PER-SHARD sketch — bottom-k within
+    each group, computed map-side (the rank ≤ k filter compiles to
+    ``WindowGroupLimitExec`` Partial) — whose union re-limited to k is
+    EXACTLY the global bottom-k (Cohen & Kaplan, "Summarizing data
+    using bottom-k sketches", PODC'07: the bottom-k of a union is the
+    bottom-k of the per-shard bottom-ks). Without it, the global
+    sample itself: ``TakeOrderedAndProject``, per-partition partial
+    top-k, no corpus shuffle.
+    """
+    hashed = df.withColumn(
+        "_h", portable_hash60(F.col(key_col).cast("string"))
+    )
+    if group_col is None:
+        return hashed.orderBy("_h", key_col).limit(k)
+    w = Window.partitionBy(group_col).orderBy("_h", key_col)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    key_col: str,
+    quantiles: tuple[tuple[str, int, int], ...],
+) -> DataFrame:
+    """Rank-interpolated quantile estimates from a BOUNDED sample.
+
+    One ungrouped aggregate packs the sample's values into a sorted
+    array (bounded by the sample's LIMIT, so no data-sized state);
+    each quantile ``(label, num, den)`` then reads element
+    ``ceil(num·n/den)`` — the classic rank-based estimator over a
+    uniform bottom-k sample. The ceiling runs as
+    ``floor((num·n + den − 1) / den)`` on small-integer doubles
+    (IEEE-exact), and the estimate is an ACTUAL sampled value, so the
+    whole output is exact-integer reproducible by any engine.
+
+    Returns one row per quantile: ``(quantile, sample_rank, est)``.
+    """
+    packed = sample.agg(
+        F.sort_array(
+            F.collect_list(F.struct(value_col, key_col))
+        ).alias("_arr"),
+        F.count("*").alias("_n"),
+    )
+    spec = sample.sparkSession.createDataFrame(
+        list(quantiles), "quantile string, num long, den long"
+    )
+    rank = F.floor(
+        (F.col("num") * F.col("_n") + F.col("den") - 1) / F.col("den")
+    ).cast("long")
+    return (
+        spec.crossJoin(F.broadcast(packed))
+        .withColumn("sample_rank", rank)
+        .select(
+            "quantile",
+            "sample_rank",
+            F.element_at(
+                F.col("_arr"), F.col("sample_rank").cast("int")
+            )[value_col]
+            .cast("long")
+            .alias("est"),
+        )
+    )
+
+
 def countmin_counters(
     df: DataFrame, value_col: str, depth: int, width: int
 ) -> DataFrame:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from cdc_spark.catalog import load_table
 from cdc_spark.cdc.envelope import parse_debezium
 from cdc_spark.cdc.merge import apply_changes, latest_by_key
+from cdc_spark.operators.ordering import grouped_row_number
 from cdc_spark.queries.base import dsum, dsum_sql, register
 
 
@@ -132,21 +133,54 @@ def q38_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY o_orderstatus
                  ORDER BY o_totalprice DESC, o_orderkey)
     """,
-    note="rank-function surface: dense_rank/ntile/percent_rank/cume_dist",
+    note="rank-function surface: dense_rank/ntile/percent_rank/cume_dist "
+    "— derived arithmetically from a distributed grouped row number + "
+    "broadcast per-group totals (o_orderstatus has 3 values, so a "
+    "plain partitioned window would pin ~1/3 of the table on one "
+    "reducer at scale)",
     tags=("window", "rank"),
 )
 def q39_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    # The window ORDER BY carries the unique o_orderkey tiebreak, so
+    # every row is its own peer group: dense_rank == rank == the
+    # grouped row number, and the remaining three functions are pure
+    # arithmetic in (rn, n). All divisions run in double on integer
+    # operands far below 2^53, so results are IEEE-exact and match
+    # the oracle's window functions bit-for-bit.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    return orders.select(
-        "o_orderkey",
+    ranked = grouped_row_number(
+        orders,
         "o_orderstatus",
-        F.dense_rank().over(w).alias("drank"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        out_col="__rn",
+    )
+    totals = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("__n")
+    )
+    rn, n = F.col("__rn"), F.col("__n")
+    # NTILE(4): q = n div 4 rows per tile, the first r = n mod 4
+    # tiles get one extra row (SQL spec); ceil(a/b) on positive longs
+    # via double division (exact: see docstring note).
+    q, r = F.floor(n / 4), n % 4
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    tile = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / F.greatest(q, F.lit(1)))
+    )
+    prank = F.when(n == 1, F.lit(0.0)).otherwise(
+        F.round((rn - 1) / (n - 1), 6)
+    )
+    return (
+        ranked.join(F.broadcast(totals), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            rn.cast("int").alias("drank"),
+            tile.cast("int").alias("quartile"),
+            prank.alias("prank"),
+            F.round(rn / n, 6).alias("cdist"),
+        )
     )
 
 

@@ -20,12 +20,14 @@ from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table
 from cdc_spark.operators.sketches import (
+    bottomk_sample,
     countmin_bucket_sql,
     countmin_counters,
     h60_sql,
     kmv_estimate,
     kmv_estimate_sql,
     kmv_sketch,
+    sample_quantiles,
 )
 from cdc_spark.queries.base import register
 
@@ -581,3 +583,136 @@ def q105_bottomk_sample(
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
     )
+
+
+_MQ_K = 256
+_MQ_Q = (
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p75", 3, 4),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+_MQ_VALUES = ", ".join(
+    f"('{lab}', {num}, {den})" for lab, num, den in _MQ_Q
+)
+
+
+@register(
+    "q106_mergeable_quantile_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               {_H60_DOC} AS _h
+        FROM documents
+    ),
+    shard AS (
+        SELECT source, doc_id, n_chars, _h FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY _h, doc_id
+                   ) AS rn
+            FROM h
+        ) WHERE rn <= {_MQ_K}
+    ),
+    merged AS (
+        SELECT doc_id, n_chars, _h FROM shard
+        ORDER BY _h, doc_id LIMIT {_MQ_K}
+    ),
+    sr AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM merged
+    ),
+    sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM merged),
+    q(quantile, num, den) AS (VALUES {_MQ_VALUES}),
+    est AS (
+        SELECT q.quantile,
+               CAST(FLOOR((q.num * sn.n + q.den - 1) / q.den)
+                    AS BIGINT) AS sample_rank
+        FROM q, sn
+    ),
+    est2 AS (
+        SELECT est.quantile, est.sample_rank, sr.n_chars AS est_chars
+        FROM est JOIN sr ON sr.rn = est.sample_rank
+    ),
+    fr AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM h
+    ),
+    fn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+    ex AS (
+        SELECT q.quantile,
+               CAST(FLOOR((q.num * fn.n + q.den - 1) / q.den)
+                    AS BIGINT) AS exact_rank
+        FROM q, fn
+    ),
+    ex2 AS (
+        SELECT ex.quantile, ex.exact_rank, fr.n_chars AS exact_chars
+        FROM ex JOIN fr ON fr.rn = ex.exact_rank
+    )
+    SELECT est2.quantile, est2.sample_rank, est2.est_chars,
+           ex2.exact_rank, ex2.exact_chars
+    FROM est2 JOIN ex2 USING (quantile)
+    """,
+    note="mergeable quantile sketch — closes the approximate-quantile "
+    "tier q30 (exact percentiles: not mergeable) and q31 (KLL: "
+    "engine-private, rows-only) leave open. Per-source bottom-k "
+    "sketches (WindowGroupLimit Partial, map-side) MERGE by "
+    "union + re-limit into the global bottom-k (Cohen & Kaplan "
+    "PODC'07 lossless-union, the property st27 proved for KMV), a "
+    "uniform k=256 sample; quantile q then reads rank ceil(q*n) of "
+    "the sorted sample via ONE bounded collect_list aggregate — no "
+    "data-sized window anywhere. Estimates are actual sampled "
+    "integers and rank arithmetic is IEEE-exact, so the whole path "
+    "is hash-gated; exact_chars (distributed two-pass row number "
+    "over the full table) is the eval column. At 100 TB: shards "
+    "sample independently, a coordinator folds O(shards x k) rows, "
+    "and the quantile answer never re-touches raw data",
+    tags=("agg", "sketch", "approx", "sampling"),
+)
+def q106_mergeable_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.ordering import distributed_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    # per-shard sketches -> lossless merge (union + re-limit == the
+    # global bottom-k; the equivalence is property-tested in
+    # tests/test_sketches.py::test_bottomk_merge_equivalence)
+    shards = bottomk_sample(docs, "doc_id", _MQ_K, group_col="source")
+    merged = shards.orderBy("_h", "doc_id").limit(_MQ_K)
+    est = sample_quantiles(merged, "n_chars", "doc_id", _MQ_Q).select(
+        "quantile",
+        "sample_rank",
+        F.col("est").alias("est_chars"),
+    )
+    # exact eval column: value at rank ceil(q*N) of the FULL table —
+    # distributed two-pass row number + a broadcast 5-row rank spec
+    positions = distributed_row_number(
+        docs.select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        out_col="rn",
+    )
+    total = docs.agg(F.count("*").alias("_n"))
+    spec = spark.createDataFrame(
+        list(_MQ_Q), "quantile string, num long, den long"
+    )
+    targets = spec.crossJoin(F.broadcast(total)).select(
+        "quantile",
+        F.floor(
+            (F.col("num") * F.col("_n") + F.col("den") - 1)
+            / F.col("den")
+        )
+        .cast("long")
+        .alias("exact_rank"),
+    )
+    exact = positions.join(
+        F.broadcast(targets), positions.rn == targets.exact_rank
+    ).select("quantile", "exact_rank", F.col("n_chars").alias("exact_chars"))
+    return est.join(exact, "quantile").orderBy("quantile")

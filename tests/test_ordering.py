@@ -17,6 +17,7 @@ from cdc_spark.operators.ordering import (
     distributed_prefix_sum,
     distributed_row_number,
     grouped_prefix_sum,
+    grouped_row_number,
     lsn_gap_audit,
 )
 
@@ -288,6 +289,79 @@ def test_grouped_prefix_sum_property(spark, rows):
     for uid, g, _, v in sorted(data, key=lambda t: (t[1], t[2], t[0])):
         run[g] = run.get(g, 0) + v
         want[uid] = run[g]
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_grouped_vals)
+def test_grouped_row_number_property(spark, rows):
+    data = [(i, g, k) for i, (g, k, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, g long, k long")
+    got = {
+        r.uid: r.rn
+        for r in grouped_row_number(
+            df, "g", [F.desc("k"), F.asc("uid")],
+            out_col="rn", num_partitions=4,
+        ).collect()
+    }
+    want, seen = {}, {}
+    for uid, g, _ in sorted(data, key=lambda t: (t[1], -t[2], t[0])):
+        seen[g] = seen.get(g, 0) + 1
+        want[uid] = seen[g]
+    assert got == want
+
+
+def test_grouped_row_number_null_group(spark):
+    """The offsets join is eqNullSafe on the group key: a NULL group
+    must behave as one regular group (Window.partitionBy semantics),
+    not silently drop its rows (the round-7 ADVICE finding)."""
+    data = [(i, None if i % 3 == 0 else i % 2, i * 7 % 50)
+            for i in range(40)]
+    df = spark.createDataFrame(data, "uid long, g int, k long")
+    out = grouped_row_number(
+        df, "g", ["k", "uid"], out_col="rn", num_partitions=4
+    )
+    rows = out.collect()
+    assert len(rows) == 40, "NULL-group rows must not be dropped"
+    w = Window.partitionBy("g").orderBy("k", "uid")
+    want = {
+        r.uid: r.rn
+        for r in df.select(
+            "uid", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert {r.uid: r.rn for r in rows} == want
+
+
+def test_q39_rank_family_matches_plain_window(spark):
+    """q39's derived rank family (dense_rank/ntile/percent_rank/
+    cume_dist from grouped_row_number + broadcast totals) must equal
+    the plain partitioned-window truth bit-for-bit."""
+    from cdc_spark.queries.relational2 import q39_rank_functions
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.o_orderkey: (r.drank, r.quartile, r.prank, r.cdist)
+        for r in q39_rank_functions(spark, sf).collect()
+    }
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        r.o_orderkey: (r.drank, r.quartile, r.prank, r.cdist)
+        for r in orders.select(
+            "o_orderkey",
+            F.dense_rank().over(w).alias("drank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        ).collect()
+    }
     assert got == want
 
 

@@ -217,6 +217,85 @@ def test_bloom_no_false_negatives(spark, members, probes):
             assert got[v], f"false negative for member {v}"
 
 
+_bk_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2", "s3"]),  # shard
+        st.integers(min_value=0, max_value=10_000),  # value
+    ),
+    min_size=1,
+    max_size=200,
+    unique_by=lambda t: t,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_bk_rows, k=st.sampled_from([1, 8, 32]))
+def test_bottomk_merge_equivalence(spark, rows, k):
+    """Cohen-Kaplan lossless union: the bottom-k of per-shard
+    bottom-ks re-limited to k IS the global bottom-k — so shards
+    sample independently and quantile estimates from the merged
+    sample equal the single-pass truth (q106's merge step)."""
+    from cdc_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    data = [(i, s, v) for i, (s, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, shard string, v long")
+    direct = bottomk_sample(df, "uid", k)
+    shards = bottomk_sample(df, "uid", k, group_col="shard")
+    merged = shards.orderBy("_h", "uid").limit(k)
+    d_rows = {(r.uid, r._h) for r in direct.collect()}
+    m_rows = {(r.uid, r._h) for r in merged.collect()}
+    assert m_rows == d_rows
+    qs = (("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10))
+    est_direct = {
+        r.quantile: (r.sample_rank, r.est)
+        for r in sample_quantiles(direct, "v", "uid", qs).collect()
+    }
+    est_merged = {
+        r.quantile: (r.sample_rank, r.est)
+        for r in sample_quantiles(merged, "v", "uid", qs).collect()
+    }
+    assert est_merged == est_direct
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_bk_rows)
+def test_sample_quantiles_exact_when_sample_is_population(spark, rows):
+    """With k >= n the bottom-k sample IS the population, so the
+    rank-interpolated estimate must equal the exact rank-ceil(q*n)
+    quantile recomputed in Python."""
+    import math
+
+    from cdc_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    data = [(i, v) for i, (_, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, v long")
+    sample = bottomk_sample(df, "uid", 10**6)
+    qs = (("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100))
+    got = {
+        r.quantile: r.est
+        for r in sample_quantiles(sample, "v", "uid", qs).collect()
+    }
+    ordered = [v for v, _ in sorted((v, u) for u, v in data)]
+    n = len(ordered)
+    for lab, num, den in qs:
+        want = ordered[math.ceil(num * n / den) - 1]
+        assert got[lab] == want, lab
+
+
 def test_bloom_merge_is_bit_or(spark):
     from cdc_spark.operators.sketches import bloom_words
 
