@@ -92,6 +92,7 @@ _R8_PREFIX = (
 # rotation (tier 1, immediately after this round's 50-entry prefix).
 _R9_NEXT = (
     "q106_mergeable_quantile_sketch",
+    "q107_stratified_sample_quantiles",
 )
 
 _R7_PREFIX = (

@@ -59,6 +59,9 @@ HEADLINE = [
     "ss17_ivfpq_index",          # IVF-PQ partition-pruned compressed probe
     "io24_dynamic_partition_pruning",  # runtime star-join partition pruning
     "q99_kmv_distinct",          # KMV sketch (partial window-group-limit)
+    "q104_kmv_set_intersection", # sketch merge + inclusion-exclusion algebra
+    "ss23_filtered_ivfpq_probe", # filtered ANN serving path (pruned code scan)
+    "q106_mergeable_quantile_sketch",  # bottom-k merge -> quantile estimates
 ]
 
 

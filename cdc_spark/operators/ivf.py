@@ -267,6 +267,14 @@ def pq_encode(
     centroid id (``array_position`` first-max ↔ the oracle's ``ORDER
     BY dist, cid``). At scale the codes (m bytes) replace the float
     vector (4·dim bytes) in the scan: 16× compression at m=8, k=16.
+
+    Precondition: embedding ELEMENTS are non-null. A missing/short
+    embedding still fails loudly (``element_at`` errors on
+    out-of-range indexes under ANSI), but a NULL element inside a
+    full-length array quantizes to 0 (the subspace origin) via the
+    codegen COALESCE below — callers encoding untrusted vectors must
+    validate elements upstream (the repo's embedding tables are
+    non-null by construction).
     """
     m = len(codebook)
     d_sub = len(codebook[0][0])
@@ -287,8 +295,10 @@ def pq_encode(
     #   bit-identical scores, same argmin, oracle unchanged;
     # - quantized values are COALESCE'd non-nullable, so the k cells
     #   are straight-line arithmetic with no null-propagation
-    #   branches (a null/short embedding still surfaces in
-    #   element_at, exactly as before).
+    #   branches. This trades NULL-element propagation for codegen
+    #   flatness: element_at only errors on out-of-range INDEXES, so
+    #   a NULL element maps to 0 — the documented docstring
+    #   precondition, not a silent claim of null transparency.
     # Staged per subspace so each quantized slice is computed once
     # (the repeated __pqq references also feed common-subexpression
     # methods, which codegen splits out of processNext).

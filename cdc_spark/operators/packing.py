@@ -112,9 +112,14 @@ def concat_chunk_plan(
     the group's token stream, first/last context window touched, and
     how many windows it spans.
 
-    Scale shape: one shuffle (hash-partition by pack group) + one
-    in-partition sort for the window — per-group memory is
-    corpus/n_groups, same sizing rule as pack_sequences.
+    Scale shape: the per-group cumulative sum runs on
+    ``operators/ordering.py::grouped_prefix_sum`` — a
+    ``Window.partitionBy(pack_group)`` would bound parallelism at
+    ``n_groups`` reducers each holding corpus/n_groups rows (the q39
+    class); the grouped two-pass decomposition range-partitions on
+    ``(pack_group, id)`` instead, so a group spans as many contiguous
+    partitions as its size needs. Bit-identical output, so the dp03
+    oracle keeps its plain ``SUM() OVER (PARTITION BY ...)`` SQL.
 
     Group assignment is ``id % n_groups`` (not xxhash64) so external
     engines can recompute the layout bit-for-bit; ids are synthetic
@@ -122,22 +127,21 @@ def concat_chunk_plan(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    from pyspark.sql import Window
+    from cdc_spark.operators.ordering import grouped_prefix_sum
 
     sized = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(tokens_col).cast("long").alias(tokens_col),
         F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("pack_group"),
     )
-    w = (
-        Window.partitionBy("pack_group")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias(
-        "start_offset"
-    )
-    out = sized.select(id_col, tokens_col, "pack_group", start)
+    out = grouped_prefix_sum(
+        sized,
+        "pack_group",
+        [id_col],
+        tokens_col,
+        out_col="start_offset",
+        inclusive=False,
+    ).select(id_col, tokens_col, "pack_group", "start_offset")
     first_bin = F.floor(F.col("start_offset") / budget).alias("first_bin")
     # empty docs (n_tokens=0) occupy no tokens: pin them to first_bin
     last_tok = F.col("start_offset") + F.greatest(

@@ -2009,10 +2009,14 @@ def q98_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     ),
     ref AS (
+        -- NULL-explicit: a NULL o_custkey is the COMPLETENESS check's
+        -- finding, not a referential violation (and NOT IN vs anti-join
+        -- would otherwise diverge on NULL keys)
         SELECT CAST(COUNT(*) AS BIGINT) AS viol,
                (SELECT n FROM o) AS checked
         FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
     )
     SELECT * FROM (
         SELECT 'orders.o_custkey_complete' AS check_name,
@@ -2073,10 +2077,12 @@ def q102_data_quality_audit(
         ).alias("check_name", "violations"),
         F.col("n").alias("checked"),
     )
+    # NULL keys belong to the completeness check above; excluding them
+    # here keeps the anti-join and the oracle's NOT IN in agreement
+    # (they diverge on NULLs otherwise — round-7 ADVICE)
     ref = (
-        orders.join(
-            cust, orders.o_custkey == cust.c_custkey, "left_anti"
-        )
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count("*").alias("violations"))
         .crossJoin(F.broadcast(o.select(F.col("n").alias("checked"))))
         .select(

@@ -716,3 +716,152 @@ def q106_mergeable_quantile_sketch(
         F.broadcast(targets), positions.rn == targets.exact_rank
     ).select("quantile", "exact_rank", F.col("n_chars").alias("exact_chars"))
     return est.join(exact, "quantile").orderBy("quantile")
+
+
+_SQ_K = 128
+_SQ_Q = (("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10))
+_SQ_VALUES = ", ".join(
+    f"('{lab}', {num}, {den})" for lab, num, den in _SQ_Q
+)
+
+
+@register(
+    "q107_stratified_sample_quantiles",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               {_H60_DOC} AS _h
+        FROM documents
+    ),
+    shard AS (
+        SELECT source, doc_id, n_chars FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY _h, doc_id
+                   ) AS rn
+            FROM h
+        ) WHERE rn <= {_SQ_K}
+    ),
+    sr AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS rn
+        FROM shard
+    ),
+    sn AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM shard GROUP BY source
+    ),
+    q(quantile, num, den) AS (VALUES {_SQ_VALUES}),
+    est AS (
+        SELECT sn.source, q.quantile,
+               CAST(FLOOR((q.num * sn.n + q.den - 1) / q.den)
+                    AS BIGINT) AS sample_rank
+        FROM sn, q
+    ),
+    est2 AS (
+        SELECT est.source, est.quantile, est.sample_rank,
+               sr.n_chars AS est_chars
+        FROM est JOIN sr
+            ON sr.source = est.source AND sr.rn = est.sample_rank
+    ),
+    fr AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS rn
+        FROM h
+    ),
+    fn AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM h GROUP BY source
+    ),
+    ex AS (
+        SELECT fn.source, q.quantile,
+               CAST(FLOOR((q.num * fn.n + q.den - 1) / q.den)
+                    AS BIGINT) AS exact_rank
+        FROM fn, q
+    ),
+    ex2 AS (
+        SELECT ex.source, ex.quantile, ex.exact_rank,
+               fr.n_chars AS exact_chars
+        FROM ex JOIN fr
+            ON fr.source = ex.source AND fr.rn = ex.exact_rank
+    )
+    SELECT est2.source, est2.quantile, est2.sample_rank,
+           est2.est_chars, ex2.exact_rank, ex2.exact_chars
+    FROM est2 JOIN ex2 USING (source, quantile)
+    """,
+    note="per-stratum quantile estimates — the grouped tier of the "
+    "sampling family (q105 global sample, q106 merged-global "
+    "quantiles): per SOURCE, a bottom-k=128 consistent sample "
+    "(WindowGroupLimit Partial, map-side) packs into one sorted "
+    "array per group (bounded at k), and each quantile reads rank "
+    "ceil(q*n) — the per-source length-distribution dashboard a "
+    "mixture-weighted 100 TB ingest watches, at O(sources x k) "
+    "state. exact_chars rides the GROUPED distributed row number "
+    "(never a per-source single reducer) + a broadcast per-source "
+    "rank spec; everything integer/IEEE-exact, fully hash-gated",
+    tags=("agg", "sketch", "sampling", "approx"),
+)
+def q107_stratified_sample_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.ordering import grouped_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    shards = bottomk_sample(docs, "doc_id", _SQ_K, group_col="source")
+    packed = shards.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.struct("n_chars", "doc_id"))
+        ).alias("_arr"),
+        F.count("*").alias("_n"),
+    )
+    spec = spark.createDataFrame(
+        list(_SQ_Q), "quantile string, num long, den long"
+    )
+
+    def _rank(n):
+        return (
+            F.floor((F.col("num") * n + F.col("den") - 1) / F.col("den"))
+            .cast("long")
+        )
+
+    est = packed.crossJoin(F.broadcast(spec)).select(
+        "source",
+        "quantile",
+        _rank(F.col("_n")).alias("sample_rank"),
+        F.element_at(
+            F.col("_arr"),
+            _rank(F.col("_n")).cast("int"),
+        )["n_chars"]
+        .cast("long")
+        .alias("est_chars"),
+    )
+    positions = grouped_row_number(
+        docs, "source", [F.asc("n_chars"), F.asc("doc_id")], out_col="rn"
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("_n"))
+    targets = totals.crossJoin(F.broadcast(spec)).select(
+        F.col("source").alias("_tsrc"),
+        F.col("quantile").alias("_tq"),
+        _rank(F.col("_n")).alias("exact_rank"),
+    )
+    exact = positions.join(
+        F.broadcast(targets),
+        (positions.source == targets._tsrc)
+        & (positions.rn == targets.exact_rank),
+    ).select(
+        "source",
+        F.col("_tq").alias("quantile"),
+        "exact_rank",
+        F.col("n_chars").alias("exact_chars"),
+    )
+    return est.join(exact, ["source", "quantile"]).orderBy(
+        "source", "quantile"
+    )

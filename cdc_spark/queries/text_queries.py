@@ -605,16 +605,17 @@ def tx14_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     note="Deterministic seeded corpus shuffle for training-order "
     "reproducibility: md5('seed:'||doc_id) keys each doc to one of 64 "
-    "shards with a position inside it. Every window is PARTITIONED by "
-    "shard (parallel, no global sort); re-running with the same seed "
-    "on any engine yields the identical (shard, pos) assignment — the "
-    "property a resumable data loader needs",
+    "shards with a position inside it. Positions come from the "
+    "distributed grouped row number (a 64-value window PARTITION "
+    "would cap parallelism at 64 corpus/64-sized reducers — the q39 "
+    "class); re-running with the same seed on any engine yields the "
+    "identical (shard, pos) assignment — the property a resumable "
+    "data loader needs",
     tags=("text", "sampling", "shuffle"),
 )
 def tx15_seeded_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.ordering import grouped_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
@@ -622,13 +623,10 @@ def tx15_seeded_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_hash60(
             F.concat(F.lit("42:"), F.col("doc_id").cast("string"))
         ).alias("__k"),
-    )
-    w = Window.partitionBy(F.col("__k") % 64).orderBy("__k", "doc_id")
-    return keyed.select(
-        "doc_id",
-        (F.col("__k") % 64).alias("shard"),
-        F.row_number().over(w).cast("long").alias("pos"),
-    )
+    ).withColumn("shard", F.col("__k") % 64)
+    return grouped_row_number(
+        keyed, "shard", ["__k", "doc_id"], out_col="pos"
+    ).select("doc_id", "shard", "pos")
 
 
 @register(
@@ -905,7 +903,11 @@ def tx20_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # corpus size rides along as a broadcast scalar column instead of a
     # driver-side docs.count(): the whole graph construction stays one
-    # lazy plan with zero eager driver jobs
+    # lazy plan with zero eager driver jobs. The crossJoin happens ONCE
+    # (the ranks seed); every later round re-derives n_docs from the
+    # previous checkpointed ranks instead of re-scanning + re-attaching
+    # it to a fresh nodes frame (the round-7 +29% was 3 extra scans +
+    # broadcasts riding the iterations).
     n_row = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     nodes = docs.select("doc_id").crossJoin(n_row)
     src = F.col("doc_id")
@@ -916,11 +918,13 @@ def tx20_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array((src * 31 + 7) % n_col, (src * 17 + 3) % n_col)
         ).alias("dst"),
     ).localCheckpoint(eager=True)  # reused every round
+    # lazy pin: the seed feeds BOTH round-1 consumers (contrib join +
+    # the rank rewrite); without it each would re-scan documents
     ranks = nodes.select(
         "doc_id",
         (F.lit(1.0) / n_col.cast("double")).alias("rank"),
         "n_docs",
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(3):
         contrib = edges.join(
             ranks, edges.src == ranks.doc_id
@@ -929,10 +933,13 @@ def tx20_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank") * F.lit(0.425), 12).alias("c"),
         )
         agg = contrib.groupBy("dst").agg(dsum("c", scale=12).alias("s"))
+        # ranks always holds EVERY node (seeded from nodes, preserved
+        # by the left join), so iterate on ranks itself — no per-round
+        # nodes re-scan
         ranks = (
-            nodes.join(agg, nodes.doc_id == agg.dst, "left")
+            ranks.join(agg, ranks.doc_id == agg.dst, "left")
             .select(
-                nodes.doc_id,
+                ranks.doc_id,
                 F.round(
                     F.lit(0.15) / n_col.cast("double")
                     + F.coalesce(F.col("s"), F.lit(0.0)),
