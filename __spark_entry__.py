@@ -93,6 +93,8 @@ _R8_PREFIX = (
 _R9_NEXT = (
     "q106_mergeable_quantile_sketch",
     "q107_stratified_sample_quantiles",
+    "q108_priority_weighted_sample",
+    "st28_streaming_quantile_sketch",
 )
 
 _R7_PREFIX = (

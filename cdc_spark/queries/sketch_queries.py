@@ -865,3 +865,126 @@ def q107_stratified_sample_quantiles(
     return est.join(exact, ["source", "quantile"]).orderBy(
         "source", "quantile"
     )
+
+
+_PS_K = 100
+_PS_W = 12  # lcm of the weight domain {1,2,3,4}
+_PS_DOMAIN = float(1 << 60)
+
+
+@register(
+    "q108_priority_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               doc_id % 4 + 1 AS wt,
+               CAST({_PS_W} // (doc_id % 4 + 1) AS BIGINT) AS f,
+               {_H60_DOC} AS _h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, wt,
+               CAST(_h AS DOUBLE) * CAST(f AS DOUBLE) AS k
+        FROM w
+    ),
+    lim AS (
+        SELECT doc_id, wt, k,
+               row_number() OVER (ORDER BY k, doc_id) AS rn
+        FROM (SELECT * FROM keyed ORDER BY k, doc_id
+              LIMIT {_PS_K + 1})
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lim),
+    tau AS (
+        SELECT CASE WHEN m.m > {_PS_K}
+               THEN {_PS_W!r}::DOUBLE * {_PS_DOMAIN!r}
+                    / (SELECT k FROM lim WHERE rn = {_PS_K + 1})
+               ELSE NULL END AS tau
+        FROM m
+    ),
+    est AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                   greatest(CAST(l.wt AS DOUBLE),
+                            COALESCE(t.tau, CAST(0 AS DOUBLE))), 6)
+                   AS DECIMAL(30,6))) AS DOUBLE) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM lim l, tau t WHERE l.rn <= {_PS_K}
+    ),
+    ex AS (
+        SELECT CAST(SUM(wt) AS BIGINT) AS exact_total_weight FROM w
+    )
+    SELECT est.n_sampled,
+           ROUND(COALESCE(t.tau, CAST(0 AS DOUBLE)), 6) AS tau,
+           ROUND(est.s, 4) AS est_total_weight,
+           ex.exact_total_weight
+    FROM est, tau t, ex
+    """,
+    note="priority sampling (Duffield-Lund-Thorup JACM'07) — the "
+    "WEIGHTED tier of the consistent-sampling family (q105 is the "
+    "uniform case): quality-weighted docs (wt 1-4) sample with "
+    "probability ~ weight via bottom-k of key = u/w, implemented "
+    "as h60 * (lcm/w) — int64->double and one multiply are "
+    "IEEE-exact in every engine, so the pick is deterministic and "
+    "hash-gated, no float-comparison drift. The k+1-th key yields "
+    "the threshold tau, and sum(max(w, tau)) over the sample is "
+    "the unbiased subset-sum estimator — the 'how many tokens does "
+    "this slice hold' answer a 100 TB mixture planner reads from "
+    "100 sampled rows instead of a corpus scan. Per-term rounding "
+    "+ decimal sum keeps the fold order-independent; "
+    "exact_total_weight is the eval column. Plan: "
+    "TakeOrderedAndProject (partial top-k, no corpus shuffle) + "
+    "one 1-row aggregate",
+    tags=("sampling", "sketch", "approx", "deterministic"),
+)
+def q108_priority_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.queries.base import dsum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wt = (F.col("doc_id") % 4 + 1).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        wt.alias("wt"),
+        (
+            portable_hash60(F.col("doc_id").cast("string"))
+            .cast("double")
+            * (F.lit(_PS_W).cast("long") / wt).cast("double")
+        ).alias("k"),
+    )
+    lim = keyed.orderBy("k", "doc_id").limit(_PS_K + 1)
+    packed = lim.agg(
+        F.sort_array(
+            F.collect_list(F.struct("k", "doc_id", "wt"))
+        ).alias("arr"),
+        F.count("*").alias("m"),
+    )
+    tau = F.when(
+        F.col("m") > _PS_K,
+        F.lit(float(_PS_W) * _PS_DOMAIN)
+        / F.element_at(F.col("arr"), _PS_K + 1)["k"],
+    )
+    sample = packed.select(
+        "m",
+        F.coalesce(tau, F.lit(0.0)).alias("tau"),
+        F.explode(F.slice("arr", 1, _PS_K)).alias("e"),
+    )
+    est = sample.groupBy("tau").agg(
+        dsum(
+            F.round(
+                F.greatest(F.col("e.wt").cast("double"), F.col("tau")),
+                6,
+            ),
+            scale=6,
+        ).alias("s"),
+        F.count("*").alias("n_sampled"),
+    )
+    exact = docs.select(wt.alias("wt")).agg(
+        F.sum("wt").alias("exact_total_weight")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sampled",
+        F.round(F.col("tau"), 6).alias("tau"),
+        F.round(F.col("s"), 4).alias("est_total_weight"),
+        "exact_total_weight",
+    )

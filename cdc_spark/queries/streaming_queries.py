@@ -2283,3 +2283,119 @@ def st27_streaming_kmv_cardinality(
         "exact_users",
         F.lit(6).cast("long").alias("n_batches"),
     )
+
+
+_ST28_K = 128
+_ST28_Q = (("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10))
+_ST28_VALUES = ", ".join(
+    f"('{lab}', {num}, {den})" for lab, num, den in _ST28_Q
+)
+
+
+@register(
+    "st28_streaming_quantile_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS _h
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id, n_chars FROM h ORDER BY _h, doc_id
+        LIMIT {_ST28_K}
+    ),
+    sr AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM samp
+    ),
+    sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM samp),
+    q(quantile, num, den) AS (VALUES {_ST28_VALUES}),
+    est AS (
+        SELECT q.quantile,
+               CAST(FLOOR((q.num * sn.n + q.den - 1) / q.den)
+                    AS BIGINT) AS sample_rank
+        FROM q, sn
+    )
+    SELECT est.quantile, est.sample_rank,
+           sr.n_chars AS est_chars,
+           CAST(6 AS BIGINT) AS n_batches
+    FROM est JOIN sr ON sr.rn = est.sample_rank
+    """,
+    note="streaming quantile-sketch maintenance — q106's bottom-k "
+    "sample kept live over a firehose exactly as st27 keeps KMV: "
+    "each micro-batch folds its own bounded top-k (TakeOrdered, "
+    "O(batch + k)) into k=128 persisted sample rows, state never "
+    "grows, corpus never re-read. Bottom-k union is LOSSLESS, so "
+    "the streamed sample — and therefore every rank-interpolated "
+    "quantile read off it — is bit-identical to the batch sketch; "
+    "oracle is plain batch SQL over all documents, no tolerance "
+    "band. The live length-distribution monitor a 100 TB ingest "
+    "watches for drift; batch count hash-gated like st26/st27",
+    tags=("streaming", "sketch", "approx", "sampling", "incremental"),
+)
+def st28_streaming_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.sketches import sample_quantiles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    src_dir = tempfile.mkdtemp(prefix="st28_src_")
+    docs.repartition(6).write.mode("overwrite").parquet(src_dir)
+    state_dir = tempfile.mkdtemp(prefix="st28_state_")
+    n_batches = [0]
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = batch_df.select(
+            "doc_id",
+            "n_chars",
+            portable_hash60(F.col("doc_id").cast("string")).alias("_h"),
+        ).orderBy("_h", "doc_id").limit(_ST28_K)
+        spark_ = batch_df.sparkSession
+        cur = os.path.join(state_dir, "sample")
+        if os.path.isdir(cur):
+            merged = (
+                spark_.read.parquet(cur)
+                .unionByName(batch_sk)
+                .orderBy("_h", "doc_id")
+                .limit(_ST28_K)
+            )
+        else:
+            merged = batch_sk
+        nxt = os.path.join(state_dir, f"sample_v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        import shutil
+
+        if os.path.isdir(cur):
+            shutil.rmtree(cur)
+        os.rename(nxt, cur)
+        if not batch_df.isEmpty():
+            n_batches[0] += 1
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st28_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if n_batches[0] != 6:
+        raise AssertionError(
+            f"expected 6 one-file micro-batches, got {n_batches[0]}"
+        )
+    state = spark.read.parquet(os.path.join(state_dir, "sample"))
+    return sample_quantiles(state, "n_chars", "doc_id", _ST28_Q).select(
+        "quantile",
+        "sample_rank",
+        F.col("est").alias("est_chars"),
+        F.lit(6).cast("long").alias("n_batches"),
+    )
