@@ -95,6 +95,7 @@ _R9_NEXT = (
     "q107_stratified_sample_quantiles",
     "q108_priority_weighted_sample",
     "st28_streaming_quantile_sketch",
+    "q109_asof_nearest_tolerance",
 )
 
 _R7_PREFIX = (

@@ -43,17 +43,45 @@ def asof_join(
     allow_exact_matches: bool = True,
     direction: str = "backward",
     tiebreak: str | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Attach the latest preceding (``direction='backward'``) or
-    earliest following (``'forward'``) right row to every left row.
+    """Attach the latest preceding (``direction='backward'``), earliest
+    following (``'forward'``), or closest-either-way (``'nearest'``)
+    right row to every left row — the full ``pd.merge_asof`` surface.
 
     ``right_payload`` columns appear on the output (null when no right
     row matches). ``tiebreak`` (a right-side column) makes the choice
-    deterministic when several right rows share one timestamp.
+    deterministic when several right rows share one timestamp:
+    max-tiebreak for backward, min for forward; ``'nearest'`` inherits
+    whichever side wins (ties between the two sides go backward, the
+    pandas convention). ``tolerance`` rejects matches farther than the
+    given delta — in SECONDS for timestamp/date columns, in the
+    column's own units otherwise; a too-far match nulls the payload
+    exactly as no-match does.
+
+    ``'nearest'`` stays one shuffle: the union carries each right row
+    TWICE (once per role tag, so exact-match semantics hold in both
+    directions under one ascending sort), and a single WindowExec
+    evaluates the preceding-frame ``last`` and following-frame
+    ``first`` over the same sort — |L| + 2|R| rows, linear.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if direction == "nearest":
+        return _asof_nearest(
+            left,
+            right,
+            keys,
+            left_ts,
+            right_ts,
+            list(right_payload),
+            allow_exact_matches=allow_exact_matches,
+            tiebreak=tiebreak,
+            tolerance=tolerance,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
 
     # Right rows must sort before left rows at equal timestamps iff
     # exact matches are allowed (right=0/left=1 ascending), after
@@ -112,14 +140,168 @@ def asof_join(
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
             for c in payload
         ],
+        # the matched right row's own timestamp, for tolerance math
+        F.last(
+            F.when(F.col(_SIDE) != 1, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__mts"),
     )
-    out = carried.where(F.col(_SIDE) == 1).select(
+    rows = carried.where(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        dist = F.abs(_ts_num(F.col("__ts"), left.schema[left_ts].dataType)
+                     - _ts_num(F.col("__mts"), right.schema[right_ts].dataType))
+        ok = dist <= F.lit(float(tolerance))
+        rows = rows.select(
+            *keys,
+            "__ts",
+            *[c for c in left_cols if c not in keys],
+            *[
+                F.when(ok, F.col(f"__m_{c}")).alias(f"__m_{c}")
+                for c in payload
+            ],
+        )
+    out = rows.select(
         *keys,
         F.col("__ts").alias(left_ts),
         *[c for c in left_cols if c not in keys and c != left_ts],
         *[F.col(f"__m_{c}").alias(f"{c}_matched") for c in payload],
     )
     return out
+
+
+def _ts_num(c: Column, dtype) -> Column:
+    """Numeric view of an ordering column: epoch seconds for
+    timestamps/dates, the value itself otherwise."""
+    if isinstance(dtype, (T_TimestampType, T_DateType)):
+        return c.cast("double")
+    return c.cast("double")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    *,
+    allow_exact_matches: bool,
+    tiebreak: str | None,
+    tolerance: float | None,
+) -> DataFrame:
+    """One-shuffle nearest-match as-of (see :func:`asof_join`).
+
+    Each right row enters the union twice with different role tags so
+    equal-timestamp rows land on the correct side of the left row for
+    BOTH directions under one ascending (ts, tag, tiebreak) sort:
+    backward role sorts before left iff exact matches count, forward
+    role after (and vice versa when they don't). A single WindowExec
+    then computes ``last(backward_struct)`` over the preceding frame
+    and ``first(forward_struct)`` over the following frame; the closer
+    candidate (ties → backward) survives the tolerance check.
+    """
+    carried = payload + (
+        [tiebreak] if tiebreak and tiebreak not in payload else []
+    )
+    b_tag, f_tag = (0, 2) if allow_exact_matches else (2, 0)
+    left_cols = list(left.columns)
+
+    def _struct(cols_src: str) -> Column:
+        return F.struct(
+            F.col("__ts").alias("__mts"),
+            *[F.col(f"__r_{c}").alias(c) for c in carried],
+        )
+
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.explode(F.array(F.lit(b_tag), F.lit(f_tag))).alias(_SIDE),
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in keys
+        ],
+    ).select(
+        *keys,
+        "__ts",
+        _SIDE,
+        *[c for c in left_cols if c not in keys],
+        # backward candidates only on the backward-role copy, forward
+        # only on the forward-role copy
+        F.when(F.col(_SIDE) == b_tag, _struct("b")).alias("__b"),
+        F.when(F.col(_SIDE) == f_tag, _struct("f")).alias("__f"),
+    )
+    l2 = left.select(  # noqa: E741
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left_cols if c not in keys],
+        F.lit(None)
+        .cast(r2.schema["__b"].dataType)
+        .alias("__b"),
+        F.lit(None)
+        .cast(r2.schema["__f"].dataType)
+        .alias("__f"),
+    )
+    order = [F.col("__ts").asc(), F.col(_SIDE).asc()]
+    if tiebreak is not None:
+        # ascending tiebreak serves both roles: last(backward) within
+        # an equal-ts run = max tiebreak, first(forward) = min — the
+        # same conventions as the single-direction paths
+        order.append(
+            F.coalesce(
+                F.col("__b")[tiebreak], F.col("__f")[tiebreak]
+            ).asc_nulls_first()
+        )
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = r2.unionByName(l2)
+    cand = unioned.select(
+        *keys,
+        "__ts",
+        _SIDE,
+        *[c for c in left_cols if c not in keys],
+        F.last(F.col("__b"), ignorenulls=True).over(w_back).alias("__pb"),
+        F.first(F.col("__f"), ignorenulls=True).over(w_fwd).alias("__pf"),
+    ).where(F.col(_SIDE) == 1)
+
+    lnum = _ts_num(F.col("__ts"), left.schema[left_ts].dataType)
+    rtype = right.schema[right_ts].dataType
+    db = lnum - _ts_num(F.col("__pb")["__mts"], rtype)
+    df_ = _ts_num(F.col("__pf")["__mts"], rtype) - lnum
+    if tolerance is not None:
+        tol = F.lit(float(tolerance))
+        pb = F.when(db <= tol, F.col("__pb"))
+        pf = F.when(df_ <= tol, F.col("__pf"))
+    else:
+        pb, pf = F.col("__pb"), F.col("__pf")
+    # recompute distances on the tolerance-filtered candidates; a null
+    # candidate yields null distance, and the when-chain below treats
+    # null as "no candidate on that side"
+    db2 = lnum - _ts_num(pb["__mts"], rtype)
+    df2 = _ts_num(pf["__mts"], rtype) - lnum
+    win = (
+        F.when(pb.isNull(), pf)
+        .when(pf.isNull(), pb)
+        .when(df2 < db2, pf)  # strict: ties go backward
+        .otherwise(pb)
+    )
+    return cand.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[c for c in left_cols if c not in keys and c != left_ts],
+        *[win[c].alias(f"{c}_matched") for c in payload],
+    )
 
 
 def asof_join_bucketed(

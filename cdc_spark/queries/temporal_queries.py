@@ -909,3 +909,77 @@ def q79_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(15)
     )
+
+
+_Q109_TOL_US = 120_000_000  # 120 s, in exact integer microseconds
+
+
+@register(
+    "q109_asof_nearest_tolerance",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.click_id,
+           c.click_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_us
+        FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {_Q109_TOL_US}
+        ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                 CASE WHEN epoch_us(c.ts) <= epoch_us(p.ts)
+                      THEN 0 ELSE 1 END ASC,
+                 CASE WHEN epoch_us(c.ts) <= epoch_us(p.ts)
+                      THEN -c.event_id ELSE c.event_id END ASC
+        LIMIT 1
+    ) c ON TRUE
+    """,
+    note="the remaining pd.merge_asof surface: direction='nearest' "
+    "with a tolerance band — per purchase, the CLOSEST click either "
+    "way within 120 s, ties to the backward side (pandas "
+    "convention), max-id/min-id tiebreaks per side. One shuffle of "
+    "|L| + 2|R| rows: each right row enters the union twice (one "
+    "role tag per direction, so exact-match semantics hold under "
+    "ONE ascending sort) and a single WindowExec evaluates the "
+    "preceding-frame last AND following-frame first over the same "
+    "sort — never a pairwise time-band join. Timestamps compared "
+    "as exact integer epoch-microseconds (< 2^53, IEEE-exact in "
+    "the operator's double math), so the whole pick is hash-gated; "
+    "the oracle spells the semantics as a LATERAL top-1",
+    tags=("join", "asof", "temporal"),
+)
+def q109_asof_nearest_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_us",
+        right_ts="click_us",
+        right_payload=["click_id", "click_us"],
+        direction="nearest",
+        tiebreak="click_id",
+        tolerance=float(_Q109_TOL_US),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.col("click_id_matched").alias("click_id"),
+        F.col("click_us_matched").alias("click_us"),
+    )
