@@ -96,6 +96,7 @@ _R9_NEXT = (
     "q108_priority_weighted_sample",
     "st28_streaming_quantile_sketch",
     "q109_asof_nearest_tolerance",
+    "q110_cms_join_cardinality",
 )
 
 _R7_PREFIX = (

@@ -988,3 +988,93 @@ def q108_priority_weighted_sample(
         F.round(F.col("s"), 4).alias("est_total_weight"),
         "exact_total_weight",
     )
+
+
+_JC_D, _JC_W = 4, 8192
+
+
+@register(
+    "q110_cms_join_cardinality",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    ca AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT t.j AS j,
+                   {countmin_bucket_sql('t.j', 'user_id', _JC_W)}
+                       AS bucket
+            FROM a, range({_JC_D}) t(j)
+        ) GROUP BY j, bucket
+    ),
+    cb AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT t.j AS j,
+                   {countmin_bucket_sql('t.j', 'user_id', _JC_W)}
+                       AS bucket
+            FROM b, range({_JC_D}) t(j)
+        ) GROUP BY j, bucket
+    ),
+    dots AS (
+        SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+        FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+        GROUP BY ca.j
+    ),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_rows FROM dots),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+        FROM a JOIN b ON a.user_id = b.user_id
+    )
+    SELECT est.est_join_rows, ex.exact_join_rows,
+           est.est_join_rows - ex.exact_join_rows AS overcount
+    FROM est, ex
+    """,
+    note="join-size estimation from sketches (the AMS/count-min "
+    "inner-product estimate, Alon-Matias-Szegedy '96 / "
+    "Cormode-Muthukrishnan '05): |A JOIN B on k| = sum_k a_k*b_k, "
+    "estimated as min over rows j of the d=4xw=256 counter grids' "
+    "dot products — always >= truth (same one-sided guarantee as "
+    "CMS point queries). THE pre-flight planner question at 100 TB "
+    "— 'can I afford this fact-fact join / which side do I "
+    "broadcast' — answered from two fixed-size mergeable counter "
+    "tables maintained incrementally per side, never by running "
+    "the join. Each grid is one map-side-combined aggregate "
+    "(d=4 x w=8192 cells - sized so the inner-product error term "
+    "F1(A)*F1(B)/w stays well under the truth at sf0.1); the "
+    "dot product joins d*w-bounded frames; exact_join_rows is the "
+    "eval column (computed here only to grade the estimate)",
+    tags=("agg", "sketch", "approx", "join"),
+)
+def q110_cms_join_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "click").select("user_id")
+    b = events.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    ca = countmin_counters(a, "user_id", _JC_D, _JC_W)
+    cb = countmin_counters(b, "user_id", _JC_D, _JC_W)
+    dots = (
+        ca.join(
+            cb.withColumnRenamed("cnt", "cnt_b"), ["j", "bucket"]
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("est_join_rows"))
+    exact = a.join(b, "user_id").agg(
+        F.count("*").alias("exact_join_rows")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") - F.col("exact_join_rows")).alias(
+            "overcount"
+        ),
+    )
