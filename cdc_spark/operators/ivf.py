@@ -174,11 +174,40 @@ def ivf_assign(
     """Attach the coarse-quantizer cluster id (at scale: write the
     corpus partitioned by this column). With ``scale`` set the
     centroids are integer codes and the argmax runs over the
-    integer-quantized embedding — exact, hash-checkable assignment."""
-    emb = F.col(embedding_col)
-    if scale is not None:
-        emb = quantize_expr(emb, scale)
-    return df.withColumn(cluster_col, _nearest_centroid(emb, centroids))
+    integer-quantized embedding — exact, hash-checkable assignment.
+
+    The quantized path hands the WHOLE argmax to the JVM parser as one
+    SQL string: composing k×dim ``F.lit`` trees costs ~0.6 s of py4j
+    round trips per plan build (measured on the ss17 build — pure
+    driver overhead, paid on every query that assigns). Execution
+    keeps the aggregate/zip_with HOF form deliberately: flat
+    per-centroid double polynomials were tried and blow the JVM 64 KB
+    codegen budget once Catalyst fuses assignment with ``pq_encode``'s
+    stage in the IVF-PQ build (4 `Failed to compile` regressions),
+    while HOF expressions evaluate outside that budget. Same integer
+    arithmetic, same first-max tiebreak — bit-identical output."""
+    if scale is None:
+        return df.withColumn(
+            cluster_col, _nearest_centroid(F.col(embedding_col), centroids)
+        )
+    q = (
+        f"transform({embedding_col}, x ->"
+        f" floor(CAST(x AS DOUBLE) * {scale} + 0.5))"
+    )
+    cells = ", ".join(
+        "aggregate(zip_with(__ivq, array("
+        + ", ".join(f"{int(x)}L" for x in c)
+        + "), (x, y) -> x * y), 0L, (a, x) -> a + x)"
+        for c in centroids
+    )
+    base = list(df.columns)
+    cur = df.selectExpr(*base, f"{q} AS __ivq")
+    cur = cur.selectExpr(*base, f"array({cells}) AS __ivd")
+    return cur.selectExpr(
+        *base,
+        f"CAST(array_position(__ivd, array_max(__ivd)) - 1 AS INT)"
+        f" AS {cluster_col}",
+    )
 
 
 def ivf_topk(
