@@ -97,6 +97,8 @@ _R9_NEXT = (
     "st28_streaming_quantile_sketch",
     "q109_asof_nearest_tolerance",
     "q110_cms_join_cardinality",
+    "q111_kmv_accuracy_sweep",
+    "io25_nested_schema_evolution",
 )
 
 _R7_PREFIX = (

@@ -1456,3 +1456,72 @@ def io24_dynamic_partition_pruning(
             "longer exercises DPP:\n" + "\n".join(scan_lines)
         )
     return out
+
+
+@register(
+    "io25_nested_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT event_type,
+               user_id AS amount,
+               CAST(NULL AS BIGINT) AS sess
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type,
+               user_id AS amount,
+               user_id % 7 AS sess
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(amount) AS BIGINT) AS sum_amount,
+           CAST(COUNT(sess) AS BIGINT) AS n_with_sess,
+           CAST(COALESCE(SUM(sess), 0) AS BIGINT) AS sum_sess
+    FROM unioned
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="NESTED schema evolution — the struct-internal case io07's "
+    "flat add-column does not cover: gen-2 files add a leaf INSIDE "
+    "an existing struct column; mergeSchema=true must merge the "
+    "struct footers field-by-field (not treat the widened struct as "
+    "a conflicting type) and back-fill NULL at the leaf for gen-1 "
+    "rows. The read projects meta.amount + meta.sess only, so "
+    "nested-leaf pruning (io22) still applies across generations. "
+    "This is what a CDC registry's in-place struct widening "
+    "produces on disk over time",
+    tags=("io", "schema-evolution", "nested"),
+)
+def io25_nested_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="io25_"), "events_evo")
+    # generation 1: struct with one leaf
+    events.where(F.col("event_id") % 2 == 0).select(
+        "event_type",
+        F.struct(F.col("user_id").alias("amount")).alias("meta"),
+    ).write.mode("overwrite").parquet(path)
+    # generation 2: the struct grew a leaf upstream
+    events.where(F.col("event_id") % 2 == 1).select(
+        "event_type",
+        F.struct(
+            F.col("user_id").alias("amount"),
+            (F.col("user_id") % 7).alias("sess"),
+        ).alias("meta"),
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("meta.amount").cast("long").alias("sum_amount"),
+            F.count("meta.sess").cast("long").alias("n_with_sess"),
+            F.coalesce(F.sum("meta.sess"), F.lit(0))
+            .cast("long")
+            .alias("sum_sess"),
+        )
+        .orderBy("event_type")
+    )

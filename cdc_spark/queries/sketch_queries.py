@@ -1078,3 +1078,101 @@ def q110_cms_join_cardinality(
             "overcount"
         ),
     )
+
+
+_KA_KS = (16, 64, 256)
+
+
+def _kmv_k_oracle() -> str:
+    arms = []
+    for k in _KA_KS:
+        arms.append(f"""
+        SELECT {k} AS k, MAX(_h) AS kth,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT _h FROM h ORDER BY _h LIMIT {k})""")
+    unioned = " UNION ALL ".join(arms)
+    # kmv_estimate_sql bakes k into its constants; this sweep needs
+    # the row's OWN k, so the estimator is restated with s.k inline
+    est = (
+        "ROUND(CASE WHEN s.n < s.k THEN CAST(s.n AS DOUBLE) "
+        f"ELSE CAST(s.k - 1 AS DOUBLE) * {float(1 << 60)!r} "
+        "/ CAST(s.kth AS DOUBLE) END, 4)"
+    )
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT {h60_sql('CAST(user_id AS VARCHAR)')} AS _h
+        FROM events
+    ),
+    sk AS ({unioned}),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_users FROM h
+    )
+    SELECT s.k, s.n AS n_hashes, {est} AS est_users, ex.exact_users,
+           ROUND(ABS({est} - ex.exact_users)
+                 / ex.exact_users * 100, 4) AS abs_err_pct
+    FROM sk s, ex
+    ORDER BY s.k
+    """
+
+
+@register(
+    "q111_kmv_accuracy_sweep",
+    oracle=_kmv_k_oracle(),
+    note="the 'is k enough' tuning harness for the cardinality "
+    "sketch — the q99 counterpart of ss22's n_probe recall curve "
+    "and dd19's threshold-cost curve: ONE distinct-hash pass feeds "
+    "k=16/64/256 KMV estimates side by side with their exact error, "
+    "so a 100 TB rollout reads the k-vs-error trade from one small "
+    "table before committing sketch state everywhere. The three "
+    "top-k arms share the same TakeOrdered scan shape (each bounded "
+    "at k rows); estimates and the error column are deterministic "
+    "doubles on exact integers — fully hash-gated",
+    tags=("agg", "sketch", "approx", "eval"),
+)
+def q111_kmv_accuracy_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.sketches import HASH_DOMAIN
+
+    events = load_table(spark, sf_dir, "events")
+    hashes = events.select(
+        portable_hash60(F.col("user_id").cast("string")).alias("_h")
+    ).distinct()
+    arms = None
+    for k in _KA_KS:
+        arm = (
+            hashes.orderBy("_h")
+            .limit(k)
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.max("_h").alias("kth"),
+                F.count("*").alias("n_hashes"),
+            )
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    est = F.when(
+        F.col("n_hashes") < F.col("k"),
+        F.col("n_hashes").cast("double"),
+    ).otherwise(
+        (F.col("k") - 1).cast("double")
+        * F.lit(HASH_DOMAIN)
+        / F.col("kth").cast("double")
+    )
+    exact = hashes.agg(F.count("*").alias("exact_users"))
+    return (
+        arms.crossJoin(F.broadcast(exact))
+        .select(
+            "k",
+            "n_hashes",
+            F.round(est, 4).alias("est_users"),
+            "exact_users",
+            F.round(
+                F.abs(F.round(est, 4) - F.col("exact_users"))
+                / F.col("exact_users")
+                * 100,
+                4,
+            ).alias("abs_err_pct"),
+        )
+        .orderBy("k")
+    )
