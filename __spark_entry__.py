@@ -99,6 +99,7 @@ _R9_NEXT = (
     "q110_cms_join_cardinality",
     "q111_kmv_accuracy_sweep",
     "io25_nested_schema_evolution",
+    "st29_streaming_cms_maintenance",
 )
 
 _R7_PREFIX = (

@@ -2399,3 +2399,143 @@ def st28_streaming_quantile_sketch(
         F.col("est").alias("est_chars"),
         F.lit(6).cast("long").alias("n_batches"),
     )
+
+
+_ST29_D, _ST29_W, _ST29_PROBES = 4, 256, 5
+
+
+@register(
+    "st29_streaming_cms_maintenance",
+    oracle=f"""
+    WITH counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT t.j AS j,
+                   CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % {_ST29_W} AS bucket
+            FROM events, range({_ST29_D}) t(j)
+        )
+        GROUP BY j, bucket
+    ),
+    probes AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY user_id
+        ORDER BY true_n DESC, user_id LIMIT {_ST29_PROBES}
+    ),
+    pb AS (
+        SELECT p.user_id, p.true_n, t.j AS j,
+               CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
+                    || CAST(p.user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % {_ST29_W} AS bucket
+        FROM probes p, range({_ST29_D}) t(j)
+    )
+    SELECT pb.user_id, pb.true_n,
+           MIN(c.cnt) AS cms_n,
+           CAST(6 AS BIGINT) AS n_batches
+    FROM pb JOIN counters c ON pb.j = c.j AND pb.bucket = c.bucket
+    GROUP BY pb.user_id, pb.true_n
+    ORDER BY pb.true_n DESC, pb.user_id
+    """,
+    note="streaming count-min maintenance — the third streaming "
+    "sketch beside st27 (KMV) and st28 (bottom-k quantiles), and "
+    "the exact maintenance loop q110's join-size planner reads "
+    "from: each micro-batch builds its own d=4 x w=256 grid "
+    "(map-side combined, corpus-independent) and FOLDS it into the "
+    "persisted grid by cell-wise ADD — CMS merge is counter "
+    "addition, so the streamed grid is bit-identical to the batch "
+    "grid over all data and the oracle is plain SQL, no tolerance "
+    "band. State is <= d*w rows forever; per-trigger cost "
+    "O(batch + d*w). Top-5 hot keys probed against the final grid "
+    "(always >= truth); batch count hash-gated like st26-st28",
+    tags=("streaming", "sketch", "approx", "incremental"),
+)
+def st29_streaming_cms_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.sketches import countmin_counters
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    src_dir = tempfile.mkdtemp(prefix="st29_src_")
+    events.repartition(6).write.mode("overwrite").parquet(src_dir)
+    state_dir = tempfile.mkdtemp(prefix="st29_state_")
+    n_batches = [0]
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_grid = countmin_counters(
+            batch_df, "user_id", _ST29_D, _ST29_W
+        )
+        spark_ = batch_df.sparkSession
+        cur = os.path.join(state_dir, "grid")
+        if os.path.isdir(cur):
+            merged = (
+                spark_.read.parquet(cur)
+                .unionByName(batch_grid)
+                .groupBy("j", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = batch_grid
+        nxt = os.path.join(state_dir, f"grid_v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        import shutil
+
+        if os.path.isdir(cur):
+            shutil.rmtree(cur)
+        os.rename(nxt, cur)
+        if not batch_df.isEmpty():
+            n_batches[0] += 1
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st29_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if n_batches[0] != 6:
+        raise AssertionError(
+            f"expected 6 one-file micro-batches, got {n_batches[0]}"
+        )
+    counters = spark.read.parquet(os.path.join(state_dir, "grid"))
+    probes = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(_ST29_PROBES)
+    )
+    pb = probes.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_ST29_D)])
+        ).alias("j"),
+    ).withColumn(
+        "bucket",
+        portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col("j").cast("string"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % _ST29_W,
+    )
+    return (
+        counters.join(F.broadcast(pb), ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "user_id",
+            "true_n",
+            "cms_n",
+            F.lit(6).cast("long").alias("n_batches"),
+        )
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+    )
