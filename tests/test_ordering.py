@@ -337,6 +337,61 @@ def test_grouped_row_number_null_group(spark):
     assert {r.uid: r.rn for r in rows} == want
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_grouped_vals)
+def test_rank_family_arithmetic_property(spark, rows):
+    """q39's derivation — rank family from grouped row number +
+    per-group totals — vs the plain-window truth on arbitrary skewed
+    inputs (hypothesis twin of the fixed-data q39 test below).
+    With the unique-uid tiebreak every row is its own peer group, so
+    dense_rank == rn; ntile/percent_rank/cume_dist are the integer
+    arithmetic the query uses."""
+    data = [(i, g, k) for i, (g, k, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, g long, k long")
+    ranked = grouped_row_number(
+        df, "g", [F.desc("k"), F.asc("uid")], out_col="rn",
+        num_partitions=4,
+    )
+    totals = df.groupBy("g").agg(F.count("*").alias("n"))
+    rn, n = F.col("rn"), F.col("n")
+    q, r = F.floor(n / 4), n % 4
+    big = r * (q + 1)
+    tile = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / F.greatest(q, F.lit(1)))
+    )
+    prank = F.when(n == 1, F.lit(0.0)).otherwise(
+        F.round((rn - 1) / (n - 1), 6)
+    )
+    got = {
+        row.uid: (row.drank, row.quartile, row.prank, row.cdist)
+        for row in ranked.join(F.broadcast(totals), "g")
+        .select(
+            "uid",
+            rn.cast("int").alias("drank"),
+            tile.cast("int").alias("quartile"),
+            prank.alias("prank"),
+            F.round(rn / n, 6).alias("cdist"),
+        )
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("k"), F.asc("uid"))
+    want = {
+        row.uid: (row.drank, row.quartile, row.prank, row.cdist)
+        for row in df.select(
+            "uid",
+            F.dense_rank().over(w).alias("drank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_q39_rank_family_matches_plain_window(spark):
     """q39's derived rank family (dense_rank/ntile/percent_rank/
     cume_dist from grouped_row_number + broadcast totals) must equal
