@@ -62,6 +62,8 @@ HEADLINE = [
     "q104_kmv_set_intersection", # sketch merge + inclusion-exclusion algebra
     "ss23_filtered_ivfpq_probe", # filtered ANN serving path (pruned code scan)
     "q106_mergeable_quantile_sketch",  # bottom-k merge -> quantile estimates
+    "q108_priority_weighted_sample",   # weighted bottom-k + subset-sum estimate
+    "q110_cms_join_cardinality",       # sketch dot-product join-size estimate
 ]
 
 
