@@ -165,6 +165,24 @@ def test_countmin_exact_when_no_collisions(spark):
     assert all(r.cnt == 25 for r in rows) and len(rows) == 4
 
 
+def test_bottomk_grouped_plan_has_partial_group_limit(spark):
+    """The per-shard bottom-k (q106/q107/st28's sketch builder) must
+    keep the map-side top-k push-down: every task forwards at most k
+    rows per group before the shuffle."""
+    from cdc_spark.operators.sketches import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], "uid long, shard string"
+    )
+    plan = (
+        bottomk_sample(df, "uid", 8, group_col="shard")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 @settings(
     max_examples=10,
     deadline=None,
