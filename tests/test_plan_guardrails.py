@@ -24,6 +24,17 @@ be provably bounded:
   count, not by data) — a global window straight over a table scan is
   THE single-reducer shape that cannot survive 100 TB.
 
+Known lint boundary (documented, not silent): a ``localCheckpoint``'ed
+subtree prints as an opaque ``Scan ExistingRDD`` — exchanges and
+projections below it are invisible to every plan walk, so a broadcast
+whose only scan is an ExistingRDD passes the boundedness check
+vacuously (the ordering primitives' offsets ride this; their
+boundedness is pinned by tests/test_ordering.py instead, and the
+``__ord_pid`` grouping key is accepted as their marker). A future
+data-sized checkpoint+broadcast would evade this lint — reviewers
+should treat any new ``localCheckpoint`` + ``F.broadcast`` pairing as
+requiring its own bound argument.
+
 Streaming-tagged queries can't be linted through their returned frame
 (a memory-sink scan), so they get their own audit: every SQL execution
 a streaming entry triggers — micro-batch plans AND foreachBatch-body
