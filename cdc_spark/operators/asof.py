@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType as T_DateType
+from pyspark.sql.types import NumericType as T_NumericType
 from pyspark.sql.types import TimestampType as T_TimestampType
 
 _SIDE = "__asof_side"
@@ -35,7 +36,7 @@ _SIDE = "__asof_side"
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str | Sequence[str],
+    on: str | Sequence[str] | None,
     left_ts: str,
     right_ts: str,
     right_payload: Sequence[str],
@@ -64,8 +65,26 @@ def asof_join(
     directions under one ascending sort), and a single WindowExec
     evaluates the preceding-frame ``last`` and following-frame
     ``first`` over the same sort — |L| + 2|R| rows, linear.
+
+    ``on=None`` (or ``[]``) is the *global* as-of — ``pd.merge_asof``
+    with no ``by``: every left row matches against the whole right
+    side. The window then partitions on nothing, i.e. ONE sorted
+    partition holding |L| + |R| rows. That is inherent to the
+    semantics (a total order over everything), not an implementation
+    shortcut — use it for dimension-sized inputs (rate curves,
+    calibration tables), never for fact-fact; the keyed form is the
+    scale path.
     """
-    keys = [on] if isinstance(on, str) else list(on)
+    keys = (
+        []
+        if on is None
+        else [on] if isinstance(on, str) else list(on)
+    )
+    if tolerance is not None or direction == "nearest":
+        _require_distance_metric(left.schema[left_ts].dataType, "left", left_ts)
+        _require_distance_metric(
+            right.schema[right_ts].dataType, "right", right_ts
+        )
     if direction == "nearest":
         return _asof_nearest(
             left,
@@ -172,10 +191,37 @@ def asof_join(
 
 def _ts_num(c: Column, dtype) -> Column:
     """Numeric view of an ordering column: epoch seconds for
-    timestamps/dates, the value itself otherwise."""
-    if isinstance(dtype, (T_TimestampType, T_DateType)):
-        return c.cast("double")
+    timestamps and dates, the value itself for numeric types.
+
+    Dates cannot cast straight to double (disallowed since Spark 3),
+    so they go through an intermediate timestamp cast — distance is
+    then measured in seconds, matching the docstring contract.
+    Callers that need a distance metric at all (``'nearest'`` or any
+    ``tolerance``) must have passed :func:`_require_distance_metric`
+    first, so this never sees a type whose cast would yield NULLs.
+    """
+    if isinstance(dtype, T_DateType):
+        return c.cast("timestamp").cast("double")
     return c.cast("double")
+
+
+def _require_distance_metric(dtype, side: str, name: str) -> None:
+    """Reject ordering columns with no numeric distance.
+
+    backward/forward without tolerance only ever *sort* the ordering
+    column, so any orderable type (e.g. ISO-8601 strings) works there.
+    ``'nearest'`` and ``tolerance`` additionally *subtract* it; for a
+    string column that cast yields NULL, which would silently turn
+    'nearest' into 'backward' and tolerance into null-everything —
+    fail loudly instead."""
+    if isinstance(dtype, (T_TimestampType, T_DateType, T_NumericType)):
+        return
+    raise ValueError(
+        f"as-of {side} ordering column {name!r} has type "
+        f"{dtype.simpleString()}, which has no numeric distance; "
+        "direction='nearest' and tolerance need a timestamp, date, or "
+        "numeric ordering column (strings sort, but cannot measure)"
+    )
 
 
 def _asof_nearest(

@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 from cdc_spark.operators.similarity import cosine_topk, dot
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL text
+    (doubling embedded backticks, the Spark escape)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _nearest_centroid(emb: Column, centroids: list[list[float]]) -> Column:
     """Index of the max-dot-product centroid (unit vectors ⇒ cosine).
 
@@ -186,27 +192,33 @@ def ivf_assign(
     stage in the IVF-PQ build (4 `Failed to compile` regressions),
     while HOF expressions evaluate outside that budget. Same integer
     arithmetic, same first-max tiebreak — bit-identical output."""
+    if not centroids:
+        raise ValueError("ivf_assign needs at least one centroid")
     if scale is None:
         return df.withColumn(
             cluster_col, _nearest_centroid(F.col(embedding_col), centroids)
         )
-    q = (
-        f"transform({embedding_col}, x ->"
-        f" floor(CAST(x AS DOUBLE) * {scale} + 0.5))"
-    )
+    # the column names are interpolated into SQL text — backtick-quote
+    # so dotted/hyphenated/spaced names parse as one identifier, like
+    # the Column-API path above handles them
+    emb_q = _quote_ident(embedding_col)
     cells = ", ".join(
         "aggregate(zip_with(__ivq, array("
         + ", ".join(f"{int(x)}L" for x in c)
         + "), (x, y) -> x * y), 0L, (a, x) -> a + x)"
         for c in centroids
     )
-    base = list(df.columns)
-    cur = df.selectExpr(*base, f"{q} AS __ivq")
+    base = [_quote_ident(c) for c in df.columns]
+    cur = df.selectExpr(
+        *base,
+        f"transform({emb_q}, x ->"
+        f" floor(CAST(x AS DOUBLE) * {int(scale)} + 0.5)) AS __ivq",
+    )
     cur = cur.selectExpr(*base, f"array({cells}) AS __ivd")
     return cur.selectExpr(
         *base,
         f"CAST(array_position(__ivd, array_max(__ivd)) - 1 AS INT)"
-        f" AS {cluster_col}",
+        f" AS {_quote_ident(cluster_col)}",
     )
 
 

@@ -154,9 +154,15 @@ def sample_quantiles(
     spec = sample.sparkSession.createDataFrame(
         list(quantiles), "quantile string, num long, den long"
     )
-    rank = F.floor(
-        (F.col("num") * F.col("_n") + F.col("den") - 1) / F.col("den")
-    ).cast("long")
+    # an empty sample would compute rank 0 and element_at(_arr, 0)
+    # throws at runtime — gate on _n so empty input yields NULL
+    # estimates (element_at with a NULL index is NULL, never an error)
+    rank = F.when(
+        F.col("_n") > 0,
+        F.floor(
+            (F.col("num") * F.col("_n") + F.col("den") - 1) / F.col("den")
+        ).cast("long"),
+    )
     return (
         spec.crossJoin(F.broadcast(packed))
         .withColumn("sample_rank", rank)

@@ -1037,7 +1037,7 @@ _JC_D, _JC_W = 4, 8192
     note="join-size estimation from sketches (the AMS/count-min "
     "inner-product estimate, Alon-Matias-Szegedy '96 / "
     "Cormode-Muthukrishnan '05): |A JOIN B on k| = sum_k a_k*b_k, "
-    "estimated as min over rows j of the d=4xw=256 counter grids' "
+    "estimated as min over rows j of the d=4 x w=8192 counter grids' "
     "dot products — always >= truth (same one-sided guarantee as "
     "CMS point queries). THE pre-flight planner question at 100 TB "
     "— 'can I afford this fact-fact join / which side do I "

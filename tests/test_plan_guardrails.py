@@ -464,16 +464,38 @@ _LOW_CARD_WINDOW_OK = {
 # Forced broadcasts of GROUPED aggregates whose group count is bounded
 # by a fixed value domain the lint cannot read from the plan. Each
 # entry documents its bound; anything not listed stays flagged.
+# name -> the DOCUMENTED bounded grouping columns. The exemption only
+# holds when every grouped aggregate under the broadcast groups by a
+# subset of these (checked structurally in _agg_grouped_only_by) — a
+# future data-sized grouped aggregate in the same query must NOT ride
+# the exemption (round-8 ADVICE).
 _BOUNDED_GROUP_BROADCAST_OK = {
     # per-o_orderstatus totals: 3-value domain (TPC-H spec; pinned by
     # q102's domain-audit check) — the broadcast is <= 3 rows, and a
     # shuffle join keyed on a 3-value column would be the very
     # single-reducer shape the grouped rank family exists to avoid
-    "q39_rank_functions",
+    "q39_rank_functions": {"o_orderstatus"},
     # per-source rank targets: documents.source is a fixed ingest
     # registry (sources x quantile-spec rows), not data-sized
-    "q107_stratified_sample_quantiles",
+    "q107_stratified_sample_quantiles": {"source"},
 }
+
+
+def _agg_grouped_only_by(subtree, allowed: set[str]) -> bool:
+    """True iff the subtree holds at least one aggregate and every
+    grouped aggregate below groups ONLY by `allowed` columns
+    (ungrouped aggregates are 1-row, always fine)."""
+    saw_agg = False
+    for n in _walk(subtree):
+        if "AggregateExec" not in _cls(n):
+            continue
+        saw_agg = True
+        ge = n.groupingExpressions()
+        for i in range(ge.size()):
+            names = re.findall(r"(\w+)#\d+", ge.apply(i).toString())
+            if not names or any(nm not in allowed for nm in names):
+                return False
+    return saw_agg
 
 
 def _window_partition_names(node) -> list[str]:
@@ -540,9 +562,8 @@ def _audit_batch_plan(name: str, plan) -> list[str]:
                     "build side (unbounded nested loop)"
                 )
         elif cls == "BroadcastExchangeExec":
-            if (
-                name in _BOUNDED_GROUP_BROADCAST_OK
-                and _has_any_agg(node)
+            if name in _BOUNDED_GROUP_BROADCAST_OK and _agg_grouped_only_by(
+                node, _BOUNDED_GROUP_BROADCAST_OK[name]
             ):
                 continue  # domain-bounded grouped totals (see list)
             if not _broadcast_subtree_bounded(node):
@@ -594,6 +615,30 @@ def test_plan_guardrails(guard_spark, name):
     plan = df._jdf.queryExecution().executedPlan()
     problems = _audit_batch_plan(name, plan)
     assert not problems, f"{name}: {'; '.join(problems)}"
+
+
+def test_bounded_group_broadcast_exemption_is_narrow(guard_spark):
+    """Red: a forced broadcast of a DATA-SIZED grouped aggregate must
+    be flagged even under an exempted query name — the exemption only
+    covers the documented bounded grouping columns."""
+    from pyspark.sql import functions as F
+
+    orders = guard_spark.read.parquet(f"{SF}/orders.parquet")
+    li = guard_spark.read.parquet(f"{SF}/lineitem.parquet")
+    per_key = F.broadcast(
+        orders.groupBy("o_orderkey").agg(F.sum("o_totalprice").alias("t"))
+    )
+    df = li.join(per_key, li.l_orderkey == per_key.o_orderkey)
+    plan = df._jdf.queryExecution().executedPlan()
+    problems = _audit_batch_plan("q39_rank_functions", plan)
+    assert any("forced broadcast" in p for p in problems), problems
+    # the same plan under the bounded column IS exempt
+    per_status = F.broadcast(
+        orders.groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("t"))
+    )
+    df2 = orders.join(per_status, "o_orderstatus")
+    plan2 = df2._jdf.queryExecution().executedPlan()
+    assert not _audit_batch_plan("q39_rank_functions", plan2)
 
 
 def test_batch_audit_catches_low_cardinality_window(guard_spark):
