@@ -23,15 +23,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 8: the driver samples a 50-row prefix, so the
-# ordering below IS the gate. Tier 0 (_R8_PREFIX) is exactly 50
-# entries: the 39 never-gated oracled round-7 additions (q31 stays
-# excluded — no oracle by design, a slot would only record a
-# guaranteed no_oracle row) plus 11 freshness re-gates:
-# q39_rank_functions (rebuilt this round on the grouped rank family —
-# oracle unchanged, plan changed) and 10 of the oldest r1-era rows.
-# Tier 1 (_R9_NEXT) is this round's new additions, staged for the
-# round-9 gate; tier 2 the previous prefix; tier 3 everything else.
+# Rotated for round 9: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 (_R9_PREFIX) is exactly 50
+# entries: the 9 never-gated round-8 additions (staged last round as
+# _R9_NEXT), q53_collect_sorted (rebuilt this round on bounded
+# (user, type)->count state — oracle unchanged, plan changed), and 40
+# freshness re-gates: every entry whose last driver row is r1- or
+# r3-era (35 + 3) plus the 2 oldest r4-era rows (cdc01, cdc02). This
+# drives cumulative driver coverage to its terminal 289/292 (only
+# q31/dp01/dp02 stay ungated — no oracle by design; a slot would only
+# record a guaranteed no_oracle row). Tier 1 (_R10_NEXT) is this
+# round's new additions, staged for the round-10 gate; tier 2 the
+# previous prefix; tier 3 everything else.
+_R9_PREFIX = (
+    # 9 round-8 additions — never gated, first in line
+    "q106_mergeable_quantile_sketch",
+    "q107_stratified_sample_quantiles",
+    "q108_priority_weighted_sample",
+    "st28_streaming_quantile_sketch",
+    "q109_asof_nearest_tolerance",
+    "q110_cms_join_cardinality",
+    "q111_kmv_accuracy_sweep",
+    "io25_nested_schema_evolution",
+    "st29_streaming_cms_maintenance",
+    # rebuilt this round (bounded collect state; oracle unchanged)
+    "q53_collect_sorted",
+    # 35 r1-era freshness re-gates (oldest driver rows, gate order)
+    "q11_group_distinct",
+    "q13_cube",
+    "q32_grouping_sets",
+    "q05_local_supplier_volume",
+    "q07_broadcast_dim_join",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q10_full_outer",
+    "q15_window_running",
+    "q16_window_lag",
+    "q18_set_except",
+    "q19_set_intersect",
+    "q20_union_distinct",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_json_extract",
+    "q33_math_funcs",
+    "q34_case_bucketing",
+    "q24_orderby_limit",
+    "q27_pivot",
+    "q35_array_funcs",
+    "q36_map_funcs",
+    "q37_unpivot",
+    "q38_window_range_frame",
+    "q40_first_last_value",
+    "q42_strangler_merge",
+    "q43_snapshot_backfill",
+    "q44_debezium_roundtrip",
+    "q45_returned_items",
+    "q46_nation_trade_volume",
+    "q48_promo_share",
+    "q49_large_orders",
+    "q50_supplier_part_stats",
+    "q51_disjunctive_predicates",
+    "q55_intersect_all_multiset",
+    # 3 r3-era re-gates
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    # 2 oldest r4-era re-gates
+    "cdc01_golden_replay",
+    "cdc02_events_merge",
+)
+
+# Round-9 additions — never gated; first in line for the round-10
+# rotation (tier 1, immediately after this round's 50-entry prefix).
+_R10_NEXT = (
+    "q112_cms_heavy_hitters",
+    "st30_streaming_heavy_hitters",
+)
+
 _R8_PREFIX = (
     # 39 round-7 additions — never gated, first in line
     "q30_percentiles",
@@ -88,91 +156,18 @@ _R8_PREFIX = (
     "q54_except_all_multiset",
 )
 
-# Round-8 additions — never gated; first in line for the round-9
-# rotation (tier 1, immediately after this round's 50-entry prefix).
-_R9_NEXT = (
-    "q106_mergeable_quantile_sketch",
-    "q107_stratified_sample_quantiles",
-    "q108_priority_weighted_sample",
-    "st28_streaming_quantile_sketch",
-    "q109_asof_nearest_tolerance",
-    "q110_cms_join_cardinality",
-    "q111_kmv_accuracy_sweep",
-    "io25_nested_schema_evolution",
-    "st29_streaming_cms_maintenance",
-)
-
-_R7_PREFIX = (
-    # new in round 6 — never gated, first in line
-    "ss15_pq_adc_topk",
-    "dp07_curriculum_shard_write",
-    "mm06_scene_segmentation",
-    "io15_zorder_layout",
-    "dp08_striped_packing",
-    "pu06_map_in_arrow",
-    "q85_pivot_matrix",
-    # stale r4 no_oracle rows — oracles exist since r5; re-gate
-    "st06_stateful_running_counts",
-    "dd03_minhash_lsh",
-    "dd04_simhash",
-    "ss16_pq_persisted_index",
-    "ss17_ivfpq_index",
-    "cdc27_overlap_replay_dedup",
-    "q86_sql_scalar_udf",
-    "st20_stream_vector_index_ingest",
-    "dd15_fuzzy_decontamination",
-    "q87_variant_shred",
-    "io16_python_datasource_writer",
-    "q88_recursive_cte",
-    "st21_state_store_inspection",
-    "mm07_pair_similarity_filter",
-    "q89_unpivot_api",
-    "q90_null_safe_join",
-    "cdc28_as_of_lsn_read",
-    "dp09_token_budget_mixture",
-    "q91_year_over_year",
-    "ss18_binary_quantization",
-    "cdc29_vacuum_survivor_state",
-    "q92_multiset_set_ops",
-    "io17_type_widening_read",
-    "tx25_paragraph_dedup",
-    "st22_stream_scd2_build",
-    "ss19_radius_search",
-    "io18_write_audit_publish",
-    "q93_trailing_window_features",
-    "st23_stream_watchlist_alerts",
-    "io19_python_stream_sink",
-    "dd16_quality_keeper_dedup",
-    "cdc30_idempotent_consumer",
-    "q75_funnel_conversion",
-    "q76_cohort_retention",
-    "q78_anomaly_zscore",
-    "q80_observed_metrics",
-    "q81_grouping_id",
-    "q82_outer_explode",
-    "q83_ignore_nulls_locf",
-    "q26_range_join",
-    "q28_tumbling_window",
-    "q29_sliding_window",
-    # semantics changed round 7 (unit_cost -> fixed-point unit_cost_e4
-    # after the sf0.1 rounding-boundary fix): its r1 driver row is
-    # schema-stale, so it re-enters the gate; q30 moved to the front
-    # of the round-8 tier to make room
-    "q61_min_cost_supplier",
-)
-
-_R7_RANK = {n: i for i, n in enumerate(_R7_PREFIX)}
 _R8_RANK = {n: i for i, n in enumerate(_R8_PREFIX)}
-_R9_RANK = {n: i for i, n in enumerate(_R9_NEXT)}
+_R9_RANK = {n: i for i, n in enumerate(_R9_PREFIX)}
+_R10_RANK = {n: i for i, n in enumerate(_R10_NEXT)}
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R8_RANK:
-        return (0, _R8_RANK[name], name)
     if name in _R9_RANK:
-        return (1, _R9_RANK[name], name)
-    if name in _R7_RANK:
-        return (2, _R7_RANK[name], name)
+        return (0, _R9_RANK[name], name)
+    if name in _R10_RANK:
+        return (1, _R10_RANK[name], name)
+    if name in _R8_RANK:
+        return (2, _R8_RANK[name], name)
     return (3, 0, name)
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "q106_mergeable_quantile_sketch",  # bottom-k merge -> quantile estimates
     "q108_priority_weighted_sample",   # weighted bottom-k + subset-sum estimate
     "q110_cms_join_cardinality",       # sketch dot-product join-size estimate
+    "q112_cms_heavy_hitters",          # sharded candidate pass + CMS verify
 ]
 
 

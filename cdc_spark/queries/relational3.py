@@ -346,20 +346,42 @@ def q52_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS distinct_types
     FROM events GROUP BY user_id
     """,
-    note="collect_list/collect_set made deterministic by sorting before "
-    "serialization (collection aggregates). NB: the per-key array is "
-    "UNBOUNDED — a Zipf-head hot key materializes its whole history in "
-    "one aggregation buffer. Inherent to collect_list semantics; for "
-    "pipelines use the bounded q62 variant",
+    note="deterministic sorted collect WITHOUT an unbounded per-key "
+    "buffer (rebuilt round 9; output and oracle unchanged). The "
+    "sorted full list over a LOW-CARDINALITY element domain is each "
+    "distinct type repeated by its count, so the plan aggregates "
+    "(user, type) -> count — fixed-size, map-side-combinable state — "
+    "and reconstructs the identical string with array_repeat; the "
+    "second aggregate's collect_list is bounded by the type domain "
+    "(5 values), never by a hot key's event count. The only "
+    "data-sized thing left is the output string itself, inherent to "
+    "the requested semantics. For data-sized element domains use the "
+    "bounded top-n q62 variant",
     tags=("agg", "collect"),
 )
 def q53_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("user_id").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list("event_type"))).alias(
-            "types_sorted"
-        ),
-        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    packed = per_type.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("event_type").alias("t"), F.col("n"))
+            )
+        ).alias("tc")
+    )
+    return packed.select(
+        "user_id",
+        F.concat_ws(
+            ",",
+            F.flatten(
+                F.transform(
+                    "tc", lambda s: F.array_repeat(s["t"], s["n"].cast("int"))
+                )
+            ),
+        ).alias("types_sorted"),
+        F.concat_ws(",", F.transform("tc", lambda s: s["t"])).alias(
             "distinct_types"
         ),
     )

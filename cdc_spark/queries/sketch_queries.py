@@ -1176,3 +1176,165 @@ def q111_kmv_accuracy_sweep(
         )
         .orderBy("k")
     )
+
+
+_HH_D, _HH_W, _HH_SHARDS, _HH_DEN = 4, 1024, 32, 20
+_HH_KEY = (
+    "CASE WHEN user_id % 4 = 0 THEN user_id ELSE user_id % 7 END"
+)
+
+
+@register(
+    "q112_cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {_HH_KEY} AS hot_key, event_id FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+    sharded AS (
+        SELECT hot_key,
+               ({h60_sql("CAST(event_id AS VARCHAR)")}) % {_HH_SHARDS}
+                   AS shard
+        FROM keyed
+    ),
+    shard_tot AS (
+        SELECT shard, COUNT(*) AS st FROM sharded GROUP BY shard
+    ),
+    local AS (
+        SELECT shard, hot_key, COUNT(*) AS c
+        FROM sharded GROUP BY shard, hot_key
+    ),
+    cand AS (
+        SELECT DISTINCT l.hot_key
+        FROM local l JOIN shard_tot s ON l.shard = s.shard
+        WHERE {_HH_DEN} * l.c >= s.st
+    ),
+    counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT t.j AS j,
+                   {countmin_bucket_sql('t.j', 'hot_key', _HH_W)}
+                       AS bucket
+            FROM keyed, range({_HH_D}) t(j)
+        )
+        GROUP BY j, bucket
+    ),
+    pb AS (
+        SELECT c.hot_key, t.j AS j,
+               {countmin_bucket_sql('t.j', 'c.hot_key', _HH_W)}
+                   AS bucket
+        FROM cand c, range({_HH_D}) t(j)
+    ),
+    est AS (
+        SELECT pb.hot_key, MIN(co.cnt) AS est_n
+        FROM pb JOIN counters co
+            ON pb.j = co.j AND pb.bucket = co.bucket
+        GROUP BY pb.hot_key
+    ),
+    exact AS (
+        SELECT k.hot_key, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM keyed k JOIN cand USING (hot_key)
+        GROUP BY k.hot_key
+    )
+    SELECT est.hot_key, est.est_n, exact.exact_n,
+           ({_HH_DEN} * exact.exact_n >= t.n) AS truly_heavy
+    FROM est
+    JOIN exact ON est.hot_key = exact.hot_key
+    CROSS JOIN tot t
+    WHERE {_HH_DEN} * est.est_n >= t.n
+    """,
+    note="CMS heavy hitters (Cormode-Muthukrishnan '05 SS4) - the "
+    "skew-detection pre-flight the sketch family could not answer "
+    "alone: q100 probes KNOWN keys, this EXTRACTS the hot ones. "
+    "Candidate pass: a deterministic hash shard (32-way on "
+    "event_id, engine-portable md5) and per-(shard,key) counts - "
+    "one map-side-combinable aggregate; a key is a candidate where "
+    "20*local_cnt >= shard_total. Pigeonhole guarantees the "
+    "candidate set is a SUPERSET of every key with global share "
+    ">= 1/20 (if cnt_s < N_s/20 in every shard, summing gives "
+    "global < N/20), and each shard admits <= 20 keys, so "
+    "candidates are bounded at 640 rows whatever the corpus size - "
+    "the LIMIT below records that proof for the plan lint, it can "
+    "never truncate. Verification: point-estimate candidates "
+    "against the d=4 x w=1024 CMS grid (min over rows, never "
+    "undercounts => no false negatives at the same threshold); "
+    "exact_n and truly_heavy grade precision - synthetic Zipf head "
+    "(7 hot keys ~10% each) makes the answer non-trivial. At "
+    "100 TB: two bounded-output aggregates + one fixed-size grid, "
+    "no all-pairs, no driver loop; this is the 'which keys need "
+    "salting' planner feeding q52's salted agg and the AQE "
+    "skew-join knobs",
+    tags=("agg", "sketch", "approx", "skew"),
+)
+def q112_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.when(F.col("user_id") % 4 == 0, F.col("user_id"))
+        .otherwise(F.col("user_id") % 7)
+        .alias("hot_key"),
+        "event_id",
+    )
+    total = keyed.agg(F.count("*").cast("long").alias("n"))
+
+    sharded = keyed.withColumn(
+        "shard",
+        portable_hash60(F.col("event_id").cast("string")) % _HH_SHARDS,
+    )
+    shard_tot = sharded.groupBy("shard").agg(F.count("*").alias("st"))
+    local = sharded.groupBy("shard", "hot_key").agg(
+        F.count("*").alias("c")
+    )
+    # no broadcast hint on shard_tot: it is 32 rows (shard = h % 32),
+    # but the plan lint cannot prove a modulo-literal bound — stats /
+    # AQE broadcast it at runtime anyway, and a 32-key shuffle join is
+    # equally fine at any scale
+    cand = (
+        local.join(shard_tot, "shard")
+        .where(F.lit(_HH_DEN) * F.col("c") >= F.col("st"))
+        .select("hot_key")
+        .distinct()
+        # provably <= shards * den rows (see note); the LIMIT only
+        # hands the plan lint the bound, it cannot truncate
+        .limit(_HH_SHARDS * _HH_DEN)
+    )
+
+    counters = countmin_counters(keyed, "hot_key", _HH_D, _HH_W)
+    pb = cand.select(
+        "hot_key",
+        F.explode(F.array(*[F.lit(j) for j in range(_HH_D)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col("j").cast("string"),
+                F.col("hot_key").cast("string"),
+            )
+        )
+        % _HH_W,
+    )
+    est = (
+        counters.join(F.broadcast(pb), ["j", "bucket"])
+        .groupBy("hot_key")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    exact = (
+        keyed.join(F.broadcast(cand), "hot_key")
+        .groupBy("hot_key")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    return (
+        est.join(exact, "hot_key")
+        .crossJoin(F.broadcast(total))
+        .where(F.lit(_HH_DEN) * F.col("est_n") >= F.col("n"))
+        .select(
+            "hot_key",
+            "est_n",
+            "exact_n",
+            (F.lit(_HH_DEN) * F.col("exact_n") >= F.col("n")).alias(
+                "truly_heavy"
+            ),
+        )
+    )

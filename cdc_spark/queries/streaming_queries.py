@@ -2539,3 +2539,219 @@ def st29_streaming_cms_maintenance(
         )
         .orderBy(F.desc("true_n"), F.asc("user_id"))
     )
+
+
+_ST30_D, _ST30_W, _ST30_SHARDS, _ST30_DEN = 4, 256, 6, 20
+_ST30_KEY = (
+    "CASE WHEN user_id % 4 = 0 THEN user_id ELSE user_id % 7 END"
+)
+
+
+@register(
+    "st30_streaming_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {_ST30_KEY} AS hot_key, event_id FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keyed),
+    sharded AS (
+        SELECT hot_key,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_ST30_SHARDS} AS shard
+        FROM keyed
+    ),
+    shard_tot AS (
+        SELECT shard, COUNT(*) AS st FROM sharded GROUP BY shard
+    ),
+    cand AS (
+        SELECT DISTINCT l.hot_key
+        FROM (
+            SELECT shard, hot_key, COUNT(*) AS c
+            FROM sharded GROUP BY shard, hot_key
+        ) l JOIN shard_tot s ON l.shard = s.shard
+        WHERE {_ST30_DEN} * l.c >= s.st
+    ),
+    counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT t.j AS j,
+                   CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
+                        || CAST(hot_key AS VARCHAR)), 1, 15) AS BIGINT)
+                       % {_ST30_W} AS bucket
+            FROM keyed, range({_ST30_D}) t(j)
+        )
+        GROUP BY j, bucket
+    ),
+    pb AS (
+        SELECT c.hot_key, t.j AS j,
+               CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':'
+                    || CAST(c.hot_key AS VARCHAR)), 1, 15) AS BIGINT)
+                   % {_ST30_W} AS bucket
+        FROM cand c, range({_ST30_D}) t(j)
+    ),
+    est AS (
+        SELECT pb.hot_key, MIN(co.cnt) AS est_n
+        FROM pb JOIN counters co
+            ON pb.j = co.j AND pb.bucket = co.bucket
+        GROUP BY pb.hot_key
+    ),
+    exact AS (
+        SELECT k.hot_key, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM keyed k JOIN cand USING (hot_key)
+        GROUP BY k.hot_key
+    )
+    SELECT est.hot_key, est.est_n, exact.exact_n,
+           CAST({_ST30_SHARDS} AS BIGINT) AS n_batches
+    FROM est
+    JOIN exact ON est.hot_key = exact.hot_key
+    CROSS JOIN tot t
+    WHERE {_ST30_DEN} * est.est_n >= t.n
+    ORDER BY est.est_n DESC, est.hot_key
+    """,
+    note="streaming heavy hitters - q112's extractor as a "
+    "maintenance loop, the fourth streaming sketch beside "
+    "st27/st28/st29. Each micro-batch IS the pigeonhole shard "
+    "(source files are written one per deterministic md5 shard of "
+    "event_id, so the oracle recomputes the exact batch "
+    "decomposition - round-robin repartition would make candidate "
+    "sets irreproducible): the batch folds its d=4 x w=256 CMS "
+    "grid into the persisted grid by cell-wise ADD and appends its "
+    "local candidates (keys with 20*batch_cnt >= batch_total, "
+    "<= 20 rows per batch by the q112 counting argument). "
+    "Pigeonhole over batches guarantees the accumulated candidate "
+    "set is a superset of every key with global share >= 1/20; "
+    "read time point-estimates candidates against the final grid "
+    "(never undercounts => no false negatives) - state is "
+    "d*w + 20*batches rows forever, per-trigger cost "
+    "O(batch + d*w + 20). exact_n grades precision; batch count "
+    "hash-gated like st26-st29",
+    tags=("streaming", "sketch", "approx", "incremental", "skew"),
+)
+def st30_streaming_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.sketches import countmin_counters
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.when(F.col("user_id") % 4 == 0, F.col("user_id"))
+        .otherwise(F.col("user_id") % 7)
+        .alias("hot_key"),
+        "event_id",
+    )
+    src_dir = tempfile.mkdtemp(prefix="st30_src_")
+    # one FILE per deterministic shard: each micro-batch then holds
+    # exactly one shard's rows, so the oracle can recompute the
+    # per-batch candidate extraction
+    sharded = keyed.withColumn(
+        "shard",
+        portable_hash60(F.col("event_id").cast("string")) % _ST30_SHARDS,
+    )
+    for s in range(_ST30_SHARDS):
+        sharded.where(F.col("shard") == s).drop("shard").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+    state_dir = tempfile.mkdtemp(prefix="st30_state_")
+    n_batches = [0]
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_ = batch_df.sparkSession
+        batch_grid = countmin_counters(
+            batch_df, "hot_key", _ST30_D, _ST30_W
+        )
+        cur = os.path.join(state_dir, "grid")
+        if os.path.isdir(cur):
+            merged = (
+                spark_.read.parquet(cur)
+                .unionByName(batch_grid)
+                .groupBy("j", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = batch_grid
+        nxt = os.path.join(state_dir, f"grid_v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        import shutil
+
+        if os.path.isdir(cur):
+            shutil.rmtree(cur)
+        os.rename(nxt, cur)
+        # local candidate extraction: <= _ST30_DEN keys per batch
+        btot = batch_df.agg(F.count("*").alias("bt"))
+        cand = (
+            batch_df.groupBy("hot_key")
+            .agg(F.count("*").alias("c"))
+            .crossJoin(F.broadcast(btot))
+            .where(F.lit(_ST30_DEN) * F.col("c") >= F.col("bt"))
+            .select("hot_key")
+        )
+        cand.write.mode("append").parquet(
+            os.path.join(state_dir, "cand")
+        )
+        n_batches[0] += 1
+
+    q = (
+        spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st30_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if n_batches[0] != _ST30_SHARDS:
+        raise AssertionError(
+            f"expected {_ST30_SHARDS} one-shard micro-batches, "
+            f"got {n_batches[0]}"
+        )
+    counters = spark.read.parquet(os.path.join(state_dir, "grid"))
+    cand = (
+        spark.read.parquet(os.path.join(state_dir, "cand"))
+        .distinct()
+        .limit(_ST30_SHARDS * _ST30_DEN)  # provable bound, never cuts
+    )
+    total = keyed.agg(F.count("*").cast("long").alias("n"))
+    pb = cand.select(
+        "hot_key",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_ST30_D)])
+        ).alias("j"),
+    ).withColumn(
+        "bucket",
+        portable_hash60(
+            F.concat_ws(
+                ":",
+                F.col("j").cast("string"),
+                F.col("hot_key").cast("string"),
+            )
+        )
+        % _ST30_W,
+    )
+    est = (
+        counters.join(F.broadcast(pb), ["j", "bucket"])
+        .groupBy("hot_key")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    exact = (
+        keyed.join(F.broadcast(cand), "hot_key")
+        .groupBy("hot_key")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    return (
+        est.join(exact, "hot_key")
+        .crossJoin(F.broadcast(total))
+        .where(F.lit(_ST30_DEN) * F.col("est_n") >= F.col("n"))
+        .select(
+            "hot_key",
+            "est_n",
+            "exact_n",
+            F.lit(_ST30_SHARDS).cast("long").alias("n_batches"),
+        )
+        .orderBy(F.desc("est_n"), F.asc("hot_key"))
+    )
