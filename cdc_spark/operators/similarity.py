@@ -187,6 +187,29 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_planes(
+    n_rows: int, *, target_cluster_rows: int = 125, lo: int = 4, hi: int = 24
+) -> int:
+    """Corpus-sized hyperplane count for SemDeDup-style hard
+    partitioning: 2^planes cells ≈ n / target, i.e. the cluster COUNT
+    scales with the corpus so within-cluster pairwise work
+    sum(cluster²) ≈ n·target stays LINEAR in n. With a fixed plane
+    count the same pipeline is n²/2^k — quadratic, the shape the round-9
+    sf1 probe measured as x71 on x10 data before this knob existed.
+
+    The recall tradeoff is the standard LSH one: more planes → smaller
+    cells → more cross-cell misses for a single table; production
+    compensates with n_tables (union of partitions) exactly as the
+    SemDeDup paper accepts cross-cluster misses at its k ∝ n codebook
+    sizes. Bounded to [lo, hi]: 2^24 cells is plenty for any corpus
+    whose per-cell target is hundreds of rows."""
+    import math
+
+    if n_rows <= target_cluster_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_cluster_rows))))
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     embedding_col: str,

@@ -85,7 +85,13 @@ def dsum(col: Column | str, scale: int = 6) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     hi, lo = _split_sums(c, scale)
     total = F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT) + F.sum(lo)
-    return (total / F.lit(10**scale)).cast("double")
+    # convert EXACTLY like DuckDB's CAST(DECIMAL AS DOUBLE): first the
+    # scaled integer to double (correctly rounded on both engines for
+    # |V| < 2^63), THEN divide by 10^scale in double. Decimal division
+    # before the cast is one correctly-rounded conversion of V/10^s —
+    # one ulp off DuckDB's two-step once totals pass 2^53 scaled units
+    # (the round-9 sf1 q01 sum_charge mismatch; invisible at gate SFs)
+    return total.cast("double") / F.lit(float(10**scale))
 
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
@@ -97,8 +103,13 @@ def davg(col: Column | str, scale: int = 6, ndigits: int = 6) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     hi, lo = _split_sums(c, scale)
     total = F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT) + F.sum(lo)
+    # same two-step conversion as dsum (match the oracle's
+    # CAST(SUM(...) AS DOUBLE) / COUNT exactly at every magnitude)
     return F.round(
-        (total / F.lit(10**scale)).cast("double") / F.count(c), ndigits
+        total.cast("double")
+        / F.lit(float(10**scale))
+        / F.count(c),
+        ndigits,
     )
 
 

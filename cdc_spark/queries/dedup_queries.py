@@ -758,8 +758,14 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is HARD-PARTITIONED into clusters (here a seeded 4-hyperplane "
     "signature = 16 cells standing in for the paper's k-means "
     "codebook), pairwise cosine runs WITHIN a cluster only — cost "
-    "sum(cluster_size^2) = n^2/k, never all-pairs, and k scales with "
-    "the corpus — pairs above the semantic threshold are linked by "
+    "sum(cluster_size^2) = n^2/k, never all-pairs. The 4 planes are "
+    "PINNED here so the oracle's embedded plane literals stay static "
+    "at gate SFs; at scale k MUST grow with the corpus "
+    "(operators/similarity.py::semantic_dedup_planes sizes 2^planes "
+    "cells to ~n/target, keeping the pairwise term linear — the "
+    "round-9 sf1 probe measured x71 on x10 data at fixed k=16 and "
+    "x6.4 with the sized k, on data where every vector has 9 exact "
+    "twins) — pairs above the semantic threshold are linked by "
     "min-label propagation and one canonical member (min id) survives "
     "per group. Cross-cluster near-dups are missed BY DESIGN (the "
     "paper's tradeoff: at production thresholds ~0.95 true dups "

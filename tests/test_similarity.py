@@ -168,3 +168,22 @@ def test_batch_topk_join_variant_is_bhj_and_matches_literal(spark, emb):
     a = sorted((r.q_id, r.vec_id, r.sim) for r in joined.collect())
     b = sorted((r.q_id, r.vec_id, r.sim) for r in lit.collect())
     assert a == b
+
+
+def test_semantic_dedup_planes_sizing():
+    """2^planes cells track ~n/target so within-cluster pairwise work
+    stays linear; bounded at [lo, hi]; tiny corpora keep the floor."""
+    from cdc_spark.operators.similarity import semantic_dedup_planes
+
+    assert semantic_dedup_planes(0) == 4
+    assert semantic_dedup_planes(125) == 4
+    assert semantic_dedup_planes(2_000) == 4       # 2^4=16 cells ~ n/125
+    assert semantic_dedup_planes(20_000) == 8      # the sf1 probe point
+    assert semantic_dedup_planes(2_000_000) == 14
+    assert semantic_dedup_planes(10**12) == 24     # hi clamp
+    # monotone non-decreasing in n
+    last = 0
+    for n in (1, 10, 10**3, 10**5, 10**7, 10**9):
+        p = semantic_dedup_planes(n)
+        assert p >= last
+        last = p
