@@ -98,6 +98,7 @@ _R9_PREFIX = (
 _R10_NEXT = (
     "q112_cms_heavy_hitters",
     "st30_streaming_heavy_hitters",
+    "io26_runtime_bloom_join_filter",
 )
 
 _R8_PREFIX = (

@@ -1525,3 +1525,93 @@ def io25_nested_schema_evolution(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "io26_runtime_bloom_join_filter",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    note="runtime bloom-filter join injection - the OTHER 100 TB "
+    "shuffle lever beside io24's DPP: when a selective dim filter "
+    "feeds a SHUFFLE join (dim too big to broadcast), Spark builds a "
+    "bloom_filter_agg over the creation side's join keys and injects "
+    "bloom_filter_might_contain(xxhash64(key)) as a pre-shuffle "
+    "filter on the fact side, so ~75% of fact rows here never enter "
+    "the exchange (at 100 TB: never leave the scan stage). Asserted "
+    "in-query on the compiled plan - both the creation-side "
+    "bloom_filter_agg and the probe-side might_contain must be "
+    "present - under the documented production knobs "
+    "(applicationSideScanSizeThreshold floors the fact size that "
+    "qualifies; broadcast disabled to force the shuffle-join regime "
+    "the feature exists for). Session confs are restored before "
+    "returning; the compiled plan keeps the bloom, so the gate "
+    "EXECUTES the filtered join. Bloom is semantically transparent: "
+    "the oracle is the plain join",
+    tags=("io", "join", "bloom", "pushdown"),
+)
+def io26_runtime_bloom_join_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="io26_")
+    fact_path = os.path.join(base, "fact")
+    dim_path = os.path.join(base, "orders_side")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    ).write.mode("overwrite").parquet(fact_path)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "true")
+        # test-scale stand-ins for the production thresholds: a 100 TB
+        # fact passes the 10 GB default on its own
+        spark.conf.set(keys[1], "0")
+        spark.conf.set(keys[2], "-1")
+        spark.conf.set(keys[3], "-1")
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+        )
+        # compiling the plan NOW (confs active) pins the bloom into
+        # this Dataset's cached queryExecution; later conf restore
+        # cannot un-inject it
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "no creation-side bloom_filter_agg in plan"
+            )
+        if "might_contain" not in plan:
+            raise AssertionError(
+                "no probe-side bloom_filter_might_contain in plan"
+            )
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
