@@ -54,6 +54,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__ord_pid"
+_BKT = "__ord_bkt"
 _MID = "__ord_mid"
 _LOCAL = "__ord_local"
 _CNT = "__ord_cnt"
@@ -225,6 +226,7 @@ def grouped_prefix_sum(
     out_col: str = "prefix_sum",
     inclusive: bool = True,
     num_partitions: int = 32,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Per-group running sum of ``value_col`` — the distributed twin of
     ``Window.partitionBy(group).orderBy(...)`` cumsum — without ever
@@ -257,7 +259,32 @@ def grouped_prefix_sum(
     cardinality must be broadcast-safe — the intended regime (data
     mixtures, sources, shards: G ≪ rows). For a data-sized group
     column a plain partitioned window is already parallel enough.
+
+    ``bucket`` (optional, round 9) is the DETERMINISTIC fast path:
+    when the caller can name a slice id that is a pure expression of
+    the row — monotone non-decreasing in ``order_cols`` within each
+    group, bounded distinct count B with G×B broadcast-safe (the
+    canonical form: ``floor(dense_id * B / N)``) — the decomposition
+    keys on (group, bucket) hash partitioning instead of sampled
+    ranges. Two consequences at scale: the ``localCheckpoint`` layout
+    pin DISAPPEARS (re-evaluating a hash-partitioned subtree always
+    reproduces the same row→slice assignment, so the round-7 resample
+    hazard is structurally impossible — no pinned materialization,
+    which at 100 TB is a full extra write of the dataset), and the
+    boundary-sampling pass is skipped. Same bit-identical contract,
+    same skew story (a hot group spans many buckets; each window
+    partition is one (bucket, group) cell bounded by bucket width).
     """
+    if bucket is not None:
+        return _grouped_prefix_sum_bucketed(
+            df,
+            group_col,
+            order_cols,
+            value_col,
+            bucket,
+            out_col=out_col,
+            inclusive=inclusive,
+        )
     ranged = df.repartitionByRange(
         num_partitions, group_col, *order_cols
     ).withColumn(_PID, F.spark_partition_id())
@@ -299,6 +326,61 @@ def grouped_prefix_sum(
         prefix = prefix - F.col(value_col)
     return out.withColumn(out_col, prefix.cast("long")).drop(
         _PID, _LOCAL, _OFF, _OPID, _OGRP
+    )
+
+
+def _grouped_prefix_sum_bucketed(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    bucket: Column,
+    *,
+    out_col: str,
+    inclusive: bool,
+) -> DataFrame:
+    """Deterministic-slice variant of :func:`grouped_prefix_sum` (see
+    its ``bucket`` contract). Identical algebra with the caller's
+    bucket id standing in for the sampled range-partition id: local
+    cumsum per (bucket, group) window cell, per-cell totals, exclusive
+    offsets ordered by bucket within each group, broadcast join back.
+    Every key is a pure row expression, so the two consumers of the
+    local frame may be planned as two exchanges safely — both compute
+    the same partitioning. No checkpoint, no sampling pass."""
+    b = df.withColumn(_BKT, bucket.cast("long"))
+    w_local = (
+        Window.partitionBy(_BKT, group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn(
+        _LOCAL, F.sum(value_col).over(w_local).cast("long")
+    )
+    totals = local.groupBy(_BKT, group_col).agg(
+        F.sum(value_col).cast("long").alias(_CNT)
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(_BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        F.col(_BKT).alias(_OPID),
+        F.col(group_col).alias(_OGRP),
+        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0))
+        .cast("long")
+        .alias(_OFF),
+    )
+    out = local.join(
+        F.broadcast(offsets),
+        (F.col(_BKT) == F.col(_OPID))
+        & F.col(group_col).eqNullSafe(F.col(_OGRP)),
+    )
+    prefix = F.col(_LOCAL) + F.col(_OFF)
+    if not inclusive:
+        prefix = prefix - F.col(value_col)
+    return out.withColumn(out_col, prefix.cast("long")).drop(
+        _BKT, _LOCAL, _OFF, _OPID, _OGRP
     )
 
 

@@ -116,10 +116,14 @@ def concat_chunk_plan(
     ``operators/ordering.py::grouped_prefix_sum`` — a
     ``Window.partitionBy(pack_group)`` would bound parallelism at
     ``n_groups`` reducers each holding corpus/n_groups rows (the q39
-    class); the grouped two-pass decomposition range-partitions on
-    ``(pack_group, id)`` instead, so a group spans as many contiguous
-    partitions as its size needs. Bit-identical output, so the dp03
-    oracle keeps its plain ``SUM() OVER (PARTITION BY ...)`` SQL.
+    class). Since ids are DENSE, it takes the deterministic-slice
+    fast path (round 9): bucket = floor(id·32/N) hash-keys the
+    two-pass decomposition, so there is no sampled range exchange and
+    no localCheckpoint layout pin — at 100 TB that pin is a full
+    extra write of the dataset; the cost moved to one extra columnar
+    scan feeding a map-side-combined B×G-row totals aggregate.
+    Bit-identical output, so the dp03 oracle keeps its plain
+    ``SUM() OVER (PARTITION BY ...)`` SQL.
 
     Group assignment is ``id % n_groups`` (not xxhash64) so external
     engines can recompute the layout bit-for-bit; ids are synthetic
@@ -134,6 +138,16 @@ def concat_chunk_plan(
         F.col(tokens_col).cast("long").alias(tokens_col),
         F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("pack_group"),
     )
+    # ids are dense, so a deterministic slice id exists: floor(id*B/N)
+    # is monotone in id within every group with <= B=32 values — the
+    # grouped_prefix_sum bucket fast path (no sampled ranges, no
+    # localCheckpoint layout pin; at 100 TB the pin is a full extra
+    # write). max(id) is one planning-time 1-row aggregate, the same
+    # bounded-collect class as the ANN codebook seeds.
+    max_id = sized.agg(F.max(id_col)).first()[0]
+    n_ids = (max_id or 0) + 1
+    slice_width = max(1, -(-n_ids // 32))  # ceil(N/32)
+    bucket = F.floor(F.col(id_col) / F.lit(slice_width))
     out = grouped_prefix_sum(
         sized,
         "pack_group",
@@ -141,6 +155,7 @@ def concat_chunk_plan(
         tokens_col,
         out_col="start_offset",
         inclusive=False,
+        bucket=bucket,
     ).select(id_col, tokens_col, "pack_group", "start_offset")
     first_bin = F.floor(F.col("start_offset") / budget).alias("first_bin")
     # empty docs (n_tokens=0) occupy no tokens: pin them to first_bin

@@ -485,3 +485,96 @@ def test_row_number_correct_under_asymmetric_pruning(spark):
     rows = both.collect()
     assert all(r.lsn_rank == truth1[r.lsn] for r in rows)
     assert all(r.arrival_rank == truth2[r.lsn] for r in rows)
+
+
+def test_grouped_prefix_sum_bucketed_matches_per_group_window(spark):
+    """The deterministic-slice fast path must be bit-identical to the
+    per-group window — including NULL groups and both inclusive
+    modes. bucket = floor(doc_id / width) is the canonical monotone
+    slice id over the dense-id order column."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ).alias("source"),
+        (F.col("doc_id") % 17 + 1).cast("long").alias("n"),
+    )
+    bucket = F.floor(F.col("doc_id") / F.lit(37))
+    for inclusive in (True, False):
+        got = {
+            (r.doc_id, r.ps)
+            for r in grouped_prefix_sum(
+                docs,
+                "source",
+                ["doc_id"],
+                "n",
+                out_col="ps",
+                inclusive=inclusive,
+                bucket=bucket,
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expr = F.sum("n").over(w)
+        if not inclusive:
+            expr = expr - F.col("n")
+        want = {
+            (r.doc_id, r.ps)
+            for r in docs.select(
+                "doc_id", expr.cast("long").alias("ps")
+            ).collect()
+        }
+        assert got == want, f"inclusive={inclusive}"
+
+
+def test_grouped_prefix_sum_bucketed_safe_under_asymmetric_pruning(spark):
+    """The round-7 resample trap cannot occur on the bucket path: the
+    slice id is a pure row expression, so even when the two consumers
+    of the local frame are planned as separate exchanges (asymmetric
+    pruning), both compute the same row→slice assignment. Composition
+    with an extra carried column — the exact shape that corrupted the
+    pid path without its checkpoint — must stay exact, with NO
+    checkpoint in the bucketed plan."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/../sf0.01/events.parquet").select(
+        F.col("event_id").alias("eid"),
+        (F.col("user_id") % 5).cast("int").alias("g"),
+        (F.col("event_id") % 13 + 1).cast("long").alias("n"),
+        (F.col("event_id") * 37 % 1000).alias("carried"),
+    )
+    bucket = F.floor(F.col("eid") / F.lit(211))
+    one = grouped_prefix_sum(
+        ev, "g", ["eid"], "n", out_col="ps1", bucket=bucket
+    )
+    # second pass composes on the first's output AND carries an extra
+    # column only one consumer needs (asymmetric pruning bait)
+    two = grouped_prefix_sum(
+        one.withColumn("m", F.col("ps1") % 7 + 1),
+        "g",
+        ["eid"],
+        "m",
+        out_col="ps2",
+        bucket=bucket,
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.eid, r.ps1, r.ps2)
+        for r in ev.select(
+            "eid",
+            F.sum("n").over(w).cast("long").alias("ps1"),
+            F.sum(
+                (F.sum("n").over(w) % 7 + 1)
+            ).over(w).cast("long").alias("ps2"),
+        ).collect()
+    }
+    got = {(r.eid, r.ps1, r.ps2) for r in two.select("eid", "ps1", "ps2").collect()}
+    assert got == want
+    # and the plan really is checkpoint-free (no opaque ExistingRDD)
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan

@@ -48,6 +48,7 @@ three; ``WindowGroupLimit`` leads with its partitionSpec group).
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -105,6 +106,13 @@ def _has_any_agg(subtree) -> bool:
     return any("AggregateExec" in _cls(n) for n in _walk(subtree))
 
 
+# the ordering primitives' deterministic slice id: a FLOOR(...)
+# projection aliased to the module-private __ord_bkt name (only
+# operators/ordering.py emits it; monotone-in-order + bounded-count is
+# its documented caller contract, pinned in tests/test_ordering.py)
+_ORD_BKT_DEF = re.compile(r"FLOOR\([^\n]*\) AS __ord_bkt#")
+
+
 def _has_partition_id_agg(subtree) -> bool:
     """Aggregate whose grouping keys include a SPARK_PARTITION_ID-
     derived key (the operators/ordering.py offsets pattern). Grouped
@@ -140,6 +148,14 @@ def _has_partition_id_agg(subtree) -> bool:
             names = [ge.apply(i).name() for i in range(ge.size())]
             below = n.child().toString()
             if "__ord_pid" in names and "Scan ExistingRDD" in below:
+                return True
+            # deterministic-slice path (round 9): __ord_bkt is
+            # module-private to operators/ordering.py, and its
+            # defining projection — FLOOR(order_key / width) — must be
+            # visible below; the bucket contract bounds distinct
+            # (bucket, group) combos at B×G (broadcast-safe by the
+            # primitive's precondition, like the pid+group rule)
+            if "__ord_bkt" in names and _ORD_BKT_DEF.search(below):
                 return True
             pid = [
                 name
@@ -595,6 +611,13 @@ def _audit_batch_plan(name: str, plan) -> list[str]:
                 ):
                     continue  # input bounded below the window
                 keys = _window_partition_names(node)
+                if "__ord_bkt" in keys and _ORD_BKT_DEF.search(
+                    child.toString()
+                ):
+                    # ordering primitive's deterministic-slice window:
+                    # each (bucket, group) cell is bounded by the
+                    # slice width, not by group popularity
+                    continue
                 if not any(
                     _ID_LIKE.search(k) and not _LOW_CARD_KEY.search(k)
                     for k in keys
