@@ -26,10 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotated for round 9: the driver samples a 50-row prefix, so the
 # ordering below IS the gate. Tier 0 (_R9_PREFIX) is exactly 50
 # entries: the 9 never-gated round-8 additions (staged last round as
-# _R9_NEXT), q53_collect_sorted (rebuilt this round on bounded
-# (user, type)->count state — oracle unchanged, plan changed), and 40
-# freshness re-gates: every entry whose last driver row is r1- or
-# r3-era (35 + 3) plus the 2 oldest r4-era rows (cdc01, cdc02). This
+# _R9_NEXT), the two entries REBUILT this round with unchanged oracles
+# (q53's bounded collect state, dp03's deterministic-slice cumsum),
+# and 39 freshness re-gates: every entry whose last driver row is r1-
+# or r3-era (35 + 3) plus the oldest r4-era row (cdc01). This
 # drives cumulative driver coverage to its terminal 289/292 (only
 # q31/dp01/dp02 stay ungated — no oracle by design; a slot would only
 # record a guaranteed no_oracle row). Tier 1 (_R10_NEXT) is this
@@ -88,9 +88,11 @@ _R9_PREFIX = (
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q04_order_priority",
-    # 2 oldest r4-era re-gates
+    # oldest r4-era re-gate
     "cdc01_golden_replay",
-    "cdc02_events_merge",
+    # rebuilt this round (deterministic-slice bucket path; oracle
+    # unchanged, plan changed) — outranks a second r4 freshness slot
+    "dp03_concat_chunk_plan",
 )
 
 # Round-9 additions — never gated; first in line for the round-10
