@@ -101,6 +101,7 @@ _R10_NEXT = (
     "q112_cms_heavy_hitters",
     "st30_streaming_heavy_hitters",
     "io26_runtime_bloom_join_filter",
+    "q113_salted_skew_join",
 )
 
 _R8_PREFIX = (

@@ -69,3 +69,54 @@ def salted_agg(
         _, final_fn = _ALGEBRAIC[kind]
         finals.append(final_fn(F.col(f"__p_{name}")).alias(name))
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt equi join: split a hot join key across
+    ``salt`` shuffle partitions.
+
+    AQE already splits skewed sort-merge partitions at runtime in
+    BATCH plans — but AQE is disabled in stateful streaming workloads,
+    so a stream-static join with one hot key (the viral-document
+    enrichment, the mega-customer feed) serializes on one task with no
+    runtime rescue. This is the deterministic, plan-time fix: the big
+    (skewed) side gets a content-derived salt in [0, salt) — the same
+    recomputation-stable discipline as :func:`salted_agg`, never a
+    nondeterministic id — and the small side is replicated ``salt``
+    times, so the join keys become (key, salt) and the hot key's rows
+    spread across ``salt`` tasks. Cost: |right| × salt extra rows
+    through the shuffle — the intended regime is a dim-like right side
+    too big (or a plan too static) to broadcast.
+
+    Exact for ``inner``, ``left``, ``left_semi``, ``left_anti``: each
+    left row carries ONE salt value and the right side covers all of
+    them, so every matching pair appears exactly once and unmatched
+    left rows survive exactly once. ``right``/``full`` would emit
+    unmatched RIGHT rows once per replica — rejected loudly.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got "
+            f"{how!r}: unmatched right rows would appear once per "
+            "replica under right/full joins"
+        )
+    salted = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+        ).cast("int"),
+    )
+    replicated = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(salt)])),
+    )
+    out = salted.join(replicated, keys + ["__salt"], how)
+    return out.drop("__salt")

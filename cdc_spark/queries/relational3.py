@@ -2122,3 +2122,75 @@ def q102_data_quality_audit(
         F.col("n").alias("checked"),
     )
     return o_checks.unionByName(ref).unionByName(li_checks)
+
+
+@register(
+    "q113_salted_skew_join",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('e.value')} AS total
+    FROM events e
+    JOIN nation n
+      ON n.n_nationkey = CASE WHEN e.user_id % 3 = 0
+                              THEN 0 ELSE e.user_id % 25 END
+    GROUP BY n.n_name
+    """,
+    note="replicate-and-salt skew JOIN (operators/skew.py::salted_join"
+    " - salted_agg's q52 twin for the join side): the fact side's "
+    "synthetic hot key (~33% of events on nationkey 0) gets a "
+    "content-derived salt in [0,16) and the dim side is replicated "
+    "16x, so the join keys become (key, salt) and the hot key's rows "
+    "spread across 16 tasks instead of pinning one. AQE's skew-split "
+    "covers this in BATCH sort-merge plans; the explicit salt is the "
+    "regime AQE cannot reach - stream-static joins (AQE is disabled "
+    "in stateful workloads) and plans that must be deterministic at "
+    "compile time. Broadcast is suppressed while COMPILING this "
+    "entry's plan (then restored) because a 25-row dim would "
+    "broadcast at test scale and erase the demonstration; the "
+    "compiled plan is asserted to shuffle-join on the salted keys. "
+    "Exact for inner/left/semi/anti (each fact row carries ONE salt, "
+    "the dim covers all) - oracle is the plain join",
+    tags=("join", "skew"),
+)
+def q113_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("int")
+        .alias("n_nationkey"),
+        "value",
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        joined = salted_join(events, nation, "n_nationkey", salt=16)
+        out = joined.groupBy("n_name").agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("value").alias("total"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "__salt" not in plan:
+            raise AssertionError("salted join keys missing from plan")
+        if "BroadcastHashJoin" in plan:
+            raise AssertionError(
+                "dim broadcast despite suppression - the salted "
+                "shuffle-join demonstration did not compile"
+            )
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

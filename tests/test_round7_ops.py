@@ -163,3 +163,37 @@ def test_widening_decision_lattice():
     assert w("int8", "text") == "incompatible"
     assert w("text", "int8") == "incompatible"
     assert w("text", "text") == "keep"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be multiset-identical to the plain join for
+    every supported how — including NULL keys (never match, survive
+    left joins once) and a hot key — and reject right/full loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 7)
+        .cast("int")
+        .alias("k"),
+        "event_id",
+    )
+    dim = spark.range(5).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("g"), F.col("id")).alias("tag"),
+    )
+    key = lambda t: tuple(str(x) for x in t)  # noqa: E731
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(
+            map(tuple, salted_join(ev, dim, "k", salt=8, how=how).collect()),
+            key=key,
+        )
+        want = sorted(map(tuple, ev.join(dim, "k", how).collect()), key=key)
+        assert got == want, how
+    with pytest.raises(ValueError, match="right/full"):
+        salted_join(ev, dim, "k", how="full")
