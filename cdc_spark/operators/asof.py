@@ -387,9 +387,10 @@ def asof_join_bucketed(
     payload = list(right_payload)
 
     def bucket(ts: str, df: DataFrame) -> Column:
-        c = F.col(ts)
-        if isinstance(df.schema[ts].dataType, (T_TimestampType, T_DateType)):
-            c = c.cast("double")  # epoch seconds
+        # _ts_num handles DateType via an intermediate timestamp cast
+        # (a raw date->double cast raises AnalysisException since
+        # Spark 3); timestamps and numerics cast straight to double.
+        c = _ts_num(F.col(ts), df.schema[ts].dataType)
         return F.floor(c / F.lit(float(bucket_width))).cast("long")
 
     lb = left.withColumn("__b", bucket(left_ts, left))

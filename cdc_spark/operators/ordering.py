@@ -371,9 +371,15 @@ def _grouped_prefix_sum_bucketed(
         .cast("long")
         .alias(_OFF),
     )
+    # eqNullSafe on the bucket key too: a caller's bucket expression
+    # may evaluate NULL (e.g. a null order column feeding floor()); a
+    # plain == would silently drop those rows, diverging from the
+    # non-bucketed path whose spark_partition_id key is never null.
+    # Null buckets sort first in the offset window (Spark ASC NULLS
+    # FIRST), so they consistently read as "before every real bucket".
     out = local.join(
         F.broadcast(offsets),
-        (F.col(_BKT) == F.col(_OPID))
+        F.col(_BKT).eqNullSafe(F.col(_OPID))
         & F.col(group_col).eqNullSafe(F.col(_OGRP)),
     )
     prefix = F.col(_LOCAL) + F.col(_OFF)

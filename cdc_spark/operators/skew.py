@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType as T_MapType
 
 # (partial_agg, final_merge) pairs per supported algebraic aggregate
 _ALGEBRAIC = {
@@ -78,6 +79,7 @@ def salted_join(
     *,
     salt: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Replicate-and-salt equi join: split a hot join key across
     ``salt`` shuffle partitions.
@@ -100,6 +102,17 @@ def salted_join(
     them, so every matching pair appears exactly once and unmatched
     left rows survive exactly once. ``right``/``full`` would emit
     unmatched RIGHT rows once per replica — rejected loudly.
+
+    ``salt_cols`` picks which left columns feed the content hash
+    (default: every xxhash64-hashable left column — maps are skipped,
+    since xxhash64 rejects MapType at analysis time). Pass a
+    higher-entropy subset explicitly when the defaults are dominated
+    by the join key itself. Limitation (same as :func:`salted_agg`):
+    rows that are full duplicates across ``salt_cols`` hash to ONE
+    salt value and do not spread — real hot keys are hot through
+    *distinct* rows (distinct event ids, timestamps), which spread
+    fine; for literal-duplicate floods, include a pre-assigned unique
+    id column in ``salt_cols``.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
@@ -108,10 +121,29 @@ def salted_join(
             f"{how!r}: unmatched right rows would appear once per "
             "replica under right/full joins"
         )
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError(
+            "salted_join reserves the column name '__salt'; rename the "
+            "existing __salt column on the input first"
+        )
+    if salt_cols is None:
+        # xxhash64 supports atomics, arrays and structs but not maps —
+        # skip unhashable columns rather than fail at analysis time.
+        hashable = [
+            f.name
+            for f in left.schema.fields
+            if not isinstance(f.dataType, T_MapType)
+        ]
+        if not hashable:
+            raise ValueError(
+                "salted_join found no xxhash64-hashable left columns; "
+                "pass salt_cols explicitly"
+            )
+        salt_cols = hashable
     salted = left.withColumn(
         "__salt",
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)
         ).cast("int"),
     )
     replicated = right.withColumn(

@@ -2653,45 +2653,73 @@ def st30_streaming_heavy_hitters(
             1
         ).write.mode("append").parquet(src_dir)
     state_dir = tempfile.mkdtemp(prefix="st30_state_")
-    n_batches = [0]
+    done_dir = os.path.join(state_dir, "done")
+    os.makedirs(done_dir, exist_ok=True)
 
+    def _done_ids() -> list[int]:
+        return sorted(int(x) for x in os.listdir(done_dir))
+
+    # Retry-idempotent fold: foreachBatch replays a micro-batch after
+    # a failure with the SAME batch_id, so every effect must be safe
+    # to repeat. (1) a per-batch done-marker (written LAST) skips
+    # fully-folded replays outright; (2) the merged grid is written to
+    # a batch-VERSIONED dir with mode=overwrite and the merge always
+    # reads the predecessor version (never its own), so a partial
+    # write simply overwrites itself on replay — no double-merge;
+    # (3) candidate appends are deterministic rows deduped by the
+    # read-time distinct(), so a replayed append is absorbed. Empty
+    # micro-batches (an empty shard file) still write their marker and
+    # count toward n_batches — skipping them would trip the shard
+    # assertion below.
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark_ = batch_df.sparkSession
-        batch_grid = countmin_counters(
-            batch_df, "hot_key", _ST30_D, _ST30_W
-        )
-        cur = os.path.join(state_dir, "grid")
-        if os.path.isdir(cur):
-            merged = (
-                spark_.read.parquet(cur)
-                .unionByName(batch_grid)
-                .groupBy("j", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
+        marker = os.path.join(done_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed micro-batch: already fully folded
+        if not batch_df.isEmpty():
+            spark_ = batch_df.sparkSession
+            batch_grid = countmin_counters(
+                batch_df, "hot_key", _ST30_D, _ST30_W
             )
-        else:
-            merged = batch_grid
-        nxt = os.path.join(state_dir, f"grid_v{batch_id}")
-        merged.write.mode("overwrite").parquet(nxt)
+            prev = [
+                i
+                for i in _done_ids()
+                if os.path.isdir(os.path.join(state_dir, f"grid_v{i}"))
+            ]
+            if prev:
+                merged = (
+                    spark_.read.parquet(
+                        os.path.join(state_dir, f"grid_v{max(prev)}")
+                    )
+                    .unionByName(batch_grid)
+                    .groupBy("j", "bucket")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            else:
+                merged = batch_grid
+            merged.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"grid_v{batch_id}")
+            )
+            # local candidate extraction: <= _ST30_DEN keys per batch
+            btot = batch_df.agg(F.count("*").alias("bt"))
+            cand = (
+                batch_df.groupBy("hot_key")
+                .agg(F.count("*").alias("c"))
+                .crossJoin(F.broadcast(btot))
+                .where(F.lit(_ST30_DEN) * F.col("c") >= F.col("bt"))
+                .select("hot_key")
+            )
+            cand.write.mode("append").parquet(
+                os.path.join(state_dir, "cand")
+            )
+        open(marker, "w").close()
+        # GC: once batch_id's marker exists, no future batch reads any
+        # older version — state stays d*w rows, not d*w*batches
         import shutil
 
-        if os.path.isdir(cur):
-            shutil.rmtree(cur)
-        os.rename(nxt, cur)
-        # local candidate extraction: <= _ST30_DEN keys per batch
-        btot = batch_df.agg(F.count("*").alias("bt"))
-        cand = (
-            batch_df.groupBy("hot_key")
-            .agg(F.count("*").alias("c"))
-            .crossJoin(F.broadcast(btot))
-            .where(F.lit(_ST30_DEN) * F.col("c") >= F.col("bt"))
-            .select("hot_key")
-        )
-        cand.write.mode("append").parquet(
-            os.path.join(state_dir, "cand")
-        )
-        n_batches[0] += 1
+        for i in _done_ids():
+            old = os.path.join(state_dir, f"grid_v{i}")
+            if i < batch_id and os.path.isdir(old):
+                shutil.rmtree(old)
 
     q = (
         spark.readStream.schema(keyed.schema)
@@ -2705,12 +2733,20 @@ def st30_streaming_heavy_hitters(
         .start()
     )
     q.awaitTermination(300)
-    if n_batches[0] != _ST30_SHARDS:
+    done = _done_ids()
+    if len(done) != _ST30_SHARDS:
         raise AssertionError(
             f"expected {_ST30_SHARDS} one-shard micro-batches, "
-            f"got {n_batches[0]}"
+            f"got {len(done)}"
         )
-    counters = spark.read.parquet(os.path.join(state_dir, "grid"))
+    grids = [
+        i
+        for i in done
+        if os.path.isdir(os.path.join(state_dir, f"grid_v{i}"))
+    ]
+    counters = spark.read.parquet(
+        os.path.join(state_dir, f"grid_v{max(grids)}")
+    )
     cand = (
         spark.read.parquet(os.path.join(state_dir, "cand"))
         .distinct()

@@ -92,6 +92,25 @@ def test_bucketed_no_match_stays_null(spark):
     assert out[0].px_matched is None
 
 
+def test_bucketed_date_column(spark):
+    """DateType ordering columns must bucket via the timestamp
+    intermediate cast — a raw date->double cast raises
+    AnalysisException since Spark 3 (same seam test_asof_date_
+    ordering_column pins for the plain operator)."""
+    left = spark.createDataFrame(
+        [(1, "2024-03-10", 1)], "key int, ts string, row_id long"
+    ).select("key", F.col("ts").cast("date").alias("ts"), "row_id")
+    right = spark.createDataFrame(
+        [(1, "2024-03-01", 5.0, 0), (1, "2024-03-20", 7.0, 1)],
+        "key int, ts string, px double, rid int",
+    ).select("key", F.col("ts").cast("date").alias("ts"), "px", "rid")
+    out = asof_join_bucketed(
+        left, right, "key", "ts", "ts", ["px"],
+        bucket_width=86_400.0 * 7,
+    ).collect()
+    assert out[0].px_matched == 5.0
+
+
 def test_bucketed_timestamp_column(spark):
     left = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00", 1)], "key int, ts string, row_id long"

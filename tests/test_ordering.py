@@ -530,6 +530,43 @@ def test_grouped_prefix_sum_bucketed_matches_per_group_window(spark):
         assert got == want, f"inclusive={inclusive}"
 
 
+def test_grouped_prefix_sum_bucketed_null_bucket_rows_survive(spark):
+    """A bucket expression that evaluates NULL for some rows (e.g. a
+    null order column feeding floor()) must not silently drop those
+    rows: the offset join is eqNullSafe on the bucket key, and null
+    buckets sort before every real bucket (Spark ASC NULLS FIRST) —
+    matching the window's own NULLS FIRST order over the same column."""
+    rows = [
+        ("a", None, 10),
+        ("a", 1, 1),
+        ("a", 2, 2),
+        ("b", None, 5),
+        ("b", 3, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, n long")
+    bucket = F.floor(F.col("k") / F.lit(2))  # NULL k -> NULL bucket
+    got = {
+        (r.g, r.k, r.ps)
+        for r in grouped_prefix_sum(
+            df, "g", [F.asc_nulls_first("k")], "n",
+            out_col="ps", bucket=bucket,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.asc_nulls_first("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.k, r.ps)
+        for r in df.select(
+            "g", "k", F.sum("n").over(w).cast("long").alias("ps")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)  # no row silently dropped
+
+
 def test_grouped_prefix_sum_bucketed_safe_under_asymmetric_pruning(spark):
     """The round-7 resample trap cannot occur on the bucket path: the
     slice id is a pure row expression, so even when the two consumers

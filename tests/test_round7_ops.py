@@ -197,3 +197,53 @@ def test_salted_join_matches_plain_join(spark):
         assert got == want, how
     with pytest.raises(ValueError, match="right/full"):
         salted_join(ev, dim, "k", how="full")
+
+
+def test_salted_join_salt_cols_and_guards(spark):
+    """Round-10 hardening: explicit salt_cols, MapType columns skipped
+    from the default hash (xxhash64 rejects maps at analysis time),
+    and a pre-existing __salt column rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_spark.operators.skew import salted_join
+
+    left = spark.range(200).select(
+        (F.col("id") % 3).cast("int").alias("k"),
+        F.col("id").alias("rid"),
+        F.create_map(F.lit("a"), F.col("id")).alias("m"),
+    )
+    dim = spark.range(3).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("g"), F.col("id")).alias("tag"),
+    )
+    want = sorted(
+        (r.k, r.rid, r.tag)
+        for r in left.drop("m").join(dim, "k", "inner").collect()
+    )
+    # default salt_cols: the map column is skipped, join still exact
+    got = sorted(
+        (r.k, r.rid, r.tag)
+        for r in salted_join(left, dim, "k", salt=4).drop("m").collect()
+    )
+    assert got == want
+    # explicit salt_cols
+    got2 = sorted(
+        (r.k, r.rid, r.tag)
+        for r in salted_join(
+            left, dim, "k", salt=4, salt_cols=["rid"]
+        ).drop("m").collect()
+    )
+    assert got2 == want
+    # explicit high-entropy salt_cols actually spread a hot key
+    spread = (
+        salted_join(left, dim, "k", salt=4, salt_cols=["rid"])
+        .drop("m")
+        .count()
+    )
+    assert spread == len(want)
+    # pre-existing __salt rejected on either side
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(left.withColumn("__salt", F.lit(1)), dim, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(left, dim.withColumn("__salt", F.lit(1)), "k")
