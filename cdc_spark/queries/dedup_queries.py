@@ -727,15 +727,67 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "text", "doc_id", k_shingle=3, threshold=0.9)
 
 
+def _semantic_dedup_sized_oracle(
+    *,
+    dim: int = _EMB_DIM,
+    lo: int = 4,
+    hi: int = 24,
+    target: int = 125,
+    seed: int = 11,
+    threshold: float = 0.45,
+) -> str:
+    """DuckDB twin of the SIZED SemDeDup partition: the plane count is
+    derived from the corpus row count with the same clamp formula as
+    ``semantic_dedup_planes`` (2^planes cells ~ n/target), and the
+    bucket expression embeds the first ``hi`` plane literals from the
+    SAME seeded ``hyperplanes`` stream the engine draws from (the
+    generator is sequential, so hyperplanes(dim, k, seed) is a prefix
+    of hyperplanes(dim, hi, seed) for any k <= hi — pinned by
+    tests/test_similarity.py), each term gated by ``i < planes`` so
+    only the sized prefix contributes bits. Both engines therefore
+    compute identical cells at ANY scale factor — including the sf1
+    probe where the sized k exceeds the small-SF value."""
+    planes = hyperplanes(dim, hi, seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN {i} < k.planes AND "
+            f"list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n          + ".join(terms)
+    return f"""
+    SELECT id_a, id_b FROM (
+        WITH k AS (
+            SELECT GREATEST({lo}, LEAST({hi},
+                   CAST(CEIL(LOG2(COUNT(*) / {target}.0)) AS INT)))
+                   AS planes
+            FROM embeddings
+        ),
+        banded AS (
+            SELECT vec_id, embedding,
+                   {bucket} AS bucket
+            FROM embeddings CROSS JOIN k
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+              b.embedding::DOUBLE[]), 4) >= {threshold}
+    )
+    """
+
+
 @register(
     "dd12_semantic_dedup",
     oracle=f"""
     WITH RECURSIVE e AS (
         SELECT id_a AS a, id_b AS b
-        FROM ({_lsh_neardup_oracle(n_tables=1, threshold=0.45)})
+        FROM ({_semantic_dedup_sized_oracle()})
         UNION
         SELECT id_b, id_a
-        FROM ({_lsh_neardup_oracle(n_tables=1, threshold=0.45)})
+        FROM ({_semantic_dedup_sized_oracle()})
     ),
     reach(a, b) AS (
         SELECT a, b FROM e
@@ -755,32 +807,42 @@ def dd11_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     note="SemDeDup semantic dedup (Abbas et al. 2023, "
     "arXiv:2303.09540), faithful to the paper's structure: the corpus "
-    "is HARD-PARTITIONED into clusters (here a seeded 4-hyperplane "
-    "signature = 16 cells standing in for the paper's k-means "
-    "codebook), pairwise cosine runs WITHIN a cluster only — cost "
-    "sum(cluster_size^2) = n^2/k, never all-pairs. The 4 planes are "
-    "PINNED here so the oracle's embedded plane literals stay static "
-    "at gate SFs; at scale k MUST grow with the corpus "
-    "(operators/similarity.py::semantic_dedup_planes sizes 2^planes "
-    "cells to ~n/target, keeping the pairwise term linear — the "
-    "round-9 sf1 probe measured x71 on x10 data at fixed k=16 and "
-    "x6.4 with the sized k, on data where every vector has 9 exact "
-    "twins) — pairs above the semantic threshold are linked by "
-    "min-label propagation and one canonical member (min id) survives "
-    "per group. Cross-cluster near-dups are missed BY DESIGN (the "
-    "paper's tradeoff: at production thresholds ~0.95 true dups "
-    "co-cluster almost surely). Oracle embeds the same plane "
-    "literals, recomputes the partition + cosine in SQL and closes "
-    "the pair graph with a recursive CTE — the approximate structure "
-    "itself is hash-checked",
+    "is HARD-PARTITIONED into clusters (a seeded hyperplane signature "
+    "standing in for the paper's k-means codebook), pairwise cosine "
+    "runs WITHIN a cluster only. Round 10: the gated plan now runs "
+    "the SIZED path — the plane count comes from "
+    "operators/similarity.py::semantic_dedup_planes(count), which "
+    "sizes 2^planes cells to ~n/125 so within-cluster pairwise work "
+    "sum(cluster^2) ~ n*125 stays LINEAR in n (the round-9 sf1 probe "
+    "measured x71 on x10 data at the old fixed k=16 vs x6.4 sized). "
+    "The oracle derives the SAME plane count from COUNT(*) with the "
+    "identical clamp formula and gates each embedded plane literal "
+    "by its index, so both engines compute identical cells at any "
+    "SF — at sf0.01/sf0.1 the sized k collapses to the lo-clamp 4; "
+    "at sf1 (20k vectors) it is 8, and the sf1 oracle gate exercises "
+    "that branch for real. Pairs above the semantic threshold are "
+    "linked by min-label propagation and one canonical member (min "
+    "id) survives per group. Cross-cluster near-dups are missed BY "
+    "DESIGN (the paper's tradeoff: at production thresholds ~0.95 "
+    "true dups co-cluster almost surely)",
     tags=("dedup", "semantic", "embedding", "cluster"),
 )
 def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_spark.operators.cluster import connected_components
+    from cdc_spark.operators.similarity import semantic_dedup_planes
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # one cheap count job sizes the partition to the corpus: 2^planes
+    # cells ~ n/125 keeps the within-cell pairwise term linear in n
+    planes = semantic_dedup_planes(emb.count())
     pairs = embedding_near_dup_pairs_lsh(
-        emb, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.45, n_tables=1
+        emb,
+        "embedding",
+        "vec_id",
+        dim=_EMB_DIM,
+        threshold=0.45,
+        n_tables=1,
+        n_planes=planes,
     )
     labels = connected_components(pairs.select("id_a", "id_b"))
     return labels.groupBy(F.col("cluster_id")).agg(

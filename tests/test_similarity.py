@@ -187,3 +187,34 @@ def test_semantic_dedup_planes_sizing():
         p = semantic_dedup_planes(n)
         assert p >= last
         last = p
+
+
+def test_hyperplanes_prefix_stable():
+    """The dd12 sized oracle embeds hyperplanes(dim, hi, seed) and
+    gates terms by index, relying on the generator being a sequential
+    draw from one seeded RNG: the first k planes of an hi-plane draw
+    must equal the k-plane draw the engine uses."""
+    from cdc_spark.operators.similarity import hyperplanes
+
+    full = hyperplanes(64, 24, 11)
+    for k in (1, 4, 8):
+        assert hyperplanes(64, k, 11) == full[:k]
+
+
+def test_semantic_dedup_planes_matches_sql_clamp():
+    """The dd12 oracle recomputes the plane count in DuckDB as
+    GREATEST(lo, LEAST(hi, CEIL(LOG2(n/target)))) — assert the SQL
+    arithmetic agrees with the Python function across magnitudes
+    including exact power-of-two ratios (the only values where a
+    log2 ulp could flip CEIL)."""
+    import duckdb
+
+    from cdc_spark.operators.similarity import semantic_dedup_planes
+
+    for n in (1, 125, 126, 250, 500, 2_000, 16_000, 20_000,
+              125 * 2**10, 125 * 2**10 + 1, 10**9):
+        sql = duckdb.sql(
+            f"SELECT GREATEST(4, LEAST(24, "
+            f"CAST(CEIL(LOG2({n} / 125.0)) AS INT)))"
+        ).fetchone()[0]
+        assert sql == semantic_dedup_planes(n), n
