@@ -2791,3 +2791,97 @@ def st30_streaming_heavy_hitters(
         )
         .orderBy(F.desc("est_n"), F.asc("hot_key"))
     )
+
+
+@register(
+    "st31_salted_stream_enrichment",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('e.value')} AS total
+    FROM events e
+    JOIN nation n
+      ON n.n_nationkey = CASE WHEN e.user_id % 2 = 0
+                              THEN 7 ELSE e.user_id % 25 END
+    GROUP BY n.n_name
+    """,
+    note="salted_join in its STATED regime (q113's docstring case): a "
+    "REAL stream-static enrichment where ~50% of events ride one hot "
+    "nationkey. AQE's runtime skew-split never sees this plan - "
+    "adaptive execution is disabled inside streaming micro-batches - "
+    "so the compile-time replicate-and-salt is the only rescue: the "
+    "stream side gets a content-derived salt in [0,16), the 25-row "
+    "dim is replicated 16x, and the hot key spreads across 16 tasks "
+    "in EVERY micro-batch. Broadcast is suppressed for the run (a "
+    "25-row dim would broadcast at test scale and erase the "
+    "demonstration); the streaming query's own executed plan "
+    "(explainInternal after the run) is asserted to shuffle-join on "
+    "the salted keys with no BroadcastHashJoin. Drained via append "
+    "memory sink, aggregated batch-side; oracle is the plain join",
+    tags=("streaming", "join", "skew"),
+)
+def st31_salted_stream_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.skew import salted_join
+    from cdc_spark.queries.base import dsum
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("user_id") % 25)
+        .cast("int")
+        .alias("n_nationkey"),
+        "value",
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        joined = salted_join(
+            stream, nation, "n_nationkey", salt=16,
+            salt_cols=["n_nationkey", "value"],
+        )
+        name = f"q_{uuid.uuid4().hex[:10]}"
+        q = (
+            joined.select("n_name", "value")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="st31_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        plan = q._jsq.explainInternal(True)
+        if "__salt" not in plan:
+            raise AssertionError(
+                "salted join keys missing from the streaming plan"
+            )
+        if "BroadcastHashJoin" in plan:
+            raise AssertionError(
+                "dim broadcast despite suppression - the salted "
+                "stream-static shuffle-join did not compile"
+            )
+        return (
+            spark.sql(f"SELECT * FROM {name}")
+            .groupBy("n_name")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                dsum("value").alias("total"),
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
