@@ -23,18 +23,82 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 9: the driver samples a 50-row prefix, so the
-# ordering below IS the gate. Tier 0 (_R9_PREFIX) is exactly 50
-# entries: the 9 never-gated round-8 additions (staged last round as
-# _R9_NEXT), the two entries REBUILT this round with unchanged oracles
-# (q53's bounded collect state, dp03's deterministic-slice cumsum),
-# and 39 freshness re-gates: every entry whose last driver row is r1-
-# or r3-era (35 + 3) plus the oldest r4-era row (cdc01). This
-# drives cumulative driver coverage to its terminal 289/292 (only
-# q31/dp01/dp02 stay ungated — no oracle by design; a slot would only
-# record a guaranteed no_oracle row). Tier 1 (_R10_NEXT) is this
-# round's new additions, staged for the round-10 gate; tier 2 the
-# previous prefix; tier 3 everything else.
+# Rotated for round 10: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 (_R10_PREFIX) is exactly 50
+# entries: the 4 never-driver-gated round-9 additions (staged last
+# round as _R10_NEXT), dd12 REBUILT this round (sized-k SemDeDup
+# partition — oracle changed to derive the plane count from COUNT(*)),
+# and 45 freshness re-gates drawn from the 46 entries whose last
+# driver row is r4-era (all other rows are r5+; tx14_url_domain_stats
+# is the one r4 entry deferred to round 11 — the prefix holds 50).
+# This takes cumulative driver coverage to its terminal 293/293-
+# oracled (only q31/dp01/dp02 stay ungated — no oracle by design).
+# Tier 1 (_R11_NEXT) is this round's new addition, staged for the
+# round-11 gate; tier 2 the previous prefix; tier 3 everything else.
+_R10_PREFIX = (
+    # 4 round-9 additions — never driver-gated, first in line
+    "q112_cms_heavy_hitters",
+    "st30_streaming_heavy_hitters",
+    "io26_runtime_bloom_join_filter",
+    "q113_salted_skew_join",
+    # rebuilt this round: sized-k semantic dedup (oracle CHANGED)
+    "dd12_semantic_dedup",
+    # 45 r4-era freshness re-gates (oldest driver rows, gate order)
+    "cdc02_events_merge",
+    "cdc03_snapshot_diff",
+    "cdc04_log_compaction",
+    "cdc05_outbox_route",
+    "cdc06_schema_evolution",
+    "cdc07_dedup_at_least_once",
+    "cdc08_wide_type_decode",
+    "cdc09_pipeline_e2e",
+    "cdc10_pgoutput_binary",
+    "cdc11_incremental_apply",
+    "cdc12_scd2_history",
+    "cdc13_ivm_agg",
+    "cdc14_txn_barrier",
+    "cdc15_replication_progress",
+    "cdc16_maxwell_roundtrip",
+    "dd01_exact_dedup",
+    "dd02_ngram_jaccard",
+    "dd05_embedding_neardup",
+    "dd06_dedup_clusters",
+    "dd07_url_dedup",
+    "pu01_grouped_map_centroids",
+    "pu02_grouped_agg_mad",
+    "st01_stream_tumbling",
+    "st02_stream_sessions",
+    "st03_stream_dedup",
+    "st04_stream_static_join",
+    "st05_continuous_rollup",
+    "st07_stream_stream_join",
+    "st08_cdc_pipeline_bucketed",
+    "st09_stream_ivm_agg",
+    "st10_stream_outer_join",
+    "st11_timeout_sessions",
+    "tx01_language_id",
+    "tx02_quality_score",
+    "tx03_token_stats",
+    "tx04_tfidf_top_terms",
+    "tx05_fingerprint",
+    "tx06_quality_filter",
+    "tx07_hash_split",
+    "tx08_repetition_stats",
+    "tx09_stratified_sample",
+    "tx10_pii_redaction",
+    "tx11_decontamination",
+    "tx12_chunking",
+    "tx13_unicode_normalize",
+)
+
+# Round-10 addition — never gated; first in line for the round-11
+# rotation (tier 1, immediately after this round's 50-entry prefix),
+# followed by the one r4-era entry the round-10 prefix couldn't hold.
+_R11_NEXT = (
+    "st31_salted_stream_enrichment",
+    "tx14_url_domain_stats",
+)
+
 _R9_PREFIX = (
     # 9 round-8 additions — never gated, first in line
     "q106_mergeable_quantile_sketch",
@@ -95,83 +159,18 @@ _R9_PREFIX = (
     "dp03_concat_chunk_plan",
 )
 
-# Round-9 additions — never gated; first in line for the round-10
-# rotation (tier 1, immediately after this round's 50-entry prefix).
-_R10_NEXT = (
-    "q112_cms_heavy_hitters",
-    "st30_streaming_heavy_hitters",
-    "io26_runtime_bloom_join_filter",
-    "q113_salted_skew_join",
-)
-
-_R8_PREFIX = (
-    # 39 round-7 additions — never gated, first in line
-    "q30_percentiles",
-    "ss20_pq_refine_rerank",
-    "ss21_maxsim_multivector",
-    "ss22_ivf_nprobe_sweep",
-    "ss23_filtered_ivfpq_probe",
-    "dd17_minhash_accuracy_eval",
-    "dd18_soft_dedup_weights",
-    "dd19_jaccard_threshold_curve",
-    "dp10_strided_chunking",
-    "dp11_anneal_mixture_schedule",
-    "tx26_gopher_quality_rules",
-    "tx27_segment_language_consistency",
-    "mm08_aspect_bucket_batching",
-    "st24_stream_partitioned_sink",
-    "st25_rocksdb_state_backend",
-    "cdc31_schema_compat_gate",
-    "cdc32_arrival_disorder_metrics",
-    "io20_max_records_per_file",
-    "io21_codec_matrix_roundtrip",
-    "io22_nested_column_pruning",
-    "io23_cbo_stats_broadcast",
-    "mm09_modality_router",
-    "pu07_iterator_scalar_udf",
-    "q94_group_order_by_all",
-    "q95_lateral_join_api",
-    "q96_equiwidth_histogram",
-    "q97_skyline_frontier",
-    "io24_dynamic_partition_pruning",
-    "cdc33_consistent_cut_read",
-    "q98_quantile_binning",
-    "st26_rate_limited_backfill",
-    "q99_kmv_distinct",
-    "q100_countmin_freq",
-    "q101_kmv_merge",
-    "q102_data_quality_audit",
-    "q103_bloom_membership",
-    "st27_streaming_kmv_cardinality",
-    "q104_kmv_set_intersection",
-    "q105_bottomk_sample",
-    # rebuilt this round (grouped rank family; oracle unchanged)
-    "q39_rank_functions",
-    # 10 freshness re-gates — oldest (r1-era) driver rows
-    "q06_revenue_filter",
-    "q12_rollup",
-    "q14_window_topk",
-    "q17_sessionization",
-    "q25_asof_join",
-    "q41_correlated_scalar_subquery",
-    "q47_market_share",
-    "q52_salted_skew_agg",
-    "q53_collect_sorted",
-    "q54_except_all_multiset",
-)
-
-_R8_RANK = {n: i for i, n in enumerate(_R8_PREFIX)}
 _R9_RANK = {n: i for i, n in enumerate(_R9_PREFIX)}
-_R10_RANK = {n: i for i, n in enumerate(_R10_NEXT)}
+_R10_RANK = {n: i for i, n in enumerate(_R10_PREFIX)}
+_R11_RANK = {n: i for i, n in enumerate(_R11_NEXT)}
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R9_RANK:
-        return (0, _R9_RANK[name], name)
     if name in _R10_RANK:
-        return (1, _R10_RANK[name], name)
-    if name in _R8_RANK:
-        return (2, _R8_RANK[name], name)
+        return (0, _R10_RANK[name], name)
+    if name in _R11_RANK:
+        return (1, _R11_RANK[name], name)
+    if name in _R9_RANK:
+        return (2, _R9_RANK[name], name)
     return (3, 0, name)
 
 
