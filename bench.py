@@ -257,6 +257,74 @@ def bench_skewed_hot_key_apply(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_skew_join_pair(spark, sf_dir: str) -> tuple[float, float]:
+    """Plain vs salted shuffle join under one hot key — the q113/st31
+    regime as a NUMBER. Broadcast and AQE skew handling are suppressed
+    for both sides (the stream-static regime where neither rescue
+    exists), so the only variable is the plan: the plain join funnels
+    the hot key through one task, the salted join spreads it 16 ways.
+    """
+    from pyspark.sql import functions as F
+
+    from cdc_spark.catalog import load_table
+    from cdc_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("int")
+        .alias("n_nationkey"),
+        "value",
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+    )
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+
+    def run(df) -> float:
+        agg = df.groupBy("n_name").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        agg.write.format("noop").mode("overwrite").save()  # warm-up
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            agg.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    try:
+        spark.conf.set(keys[0], "-1")
+        spark.conf.set(keys[1], "-1")
+        spark.conf.set(keys[2], "false")
+        plain = run(events.join(nation, "n_nationkey"))
+        salted = run(salted_join(events, nation, "n_nationkey", salt=16))
+        return plain, salted
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# Fixed-plan, scan-bound controls: their plans have not changed since
+# round 7, so round-over-round movement in their times measures the
+# BOX, not the code. control_mean normalizes every other entry.
+CONTROLS = (
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "tx02_quality_score",
+    "cdc04_log_compaction",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("cdc_spark_bench")
@@ -299,6 +367,21 @@ def main() -> None:
     timings["cdc_skewed_hot_key_apply"] = bench_skewed_hot_key_apply(
         spark, sf_dir
     )
+    plain, salted = bench_skew_join_pair(spark, sf_dir)
+    timings["skew_join_plain_hot"] = plain
+    timings["skew_join_salted_hot"] = salted
+
+    # Control normalization in the ARTIFACT, not the narrative: the
+    # four fixed-plan controls measure the box; normalized values
+    # (sec / control_mean) are comparable across rounds even when the
+    # host is contaminated (round 8/9 saw uniform +11-34% control
+    # drift with zero code change).
+    control_mean = round(
+        sum(timings[c] for c in CONTROLS) / len(CONTROLS), 4
+    )
+    normalized = {
+        k: round(v / control_mean, 3) for k, v in timings.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -308,6 +391,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "controls": list(CONTROLS),
+                "control_mean": control_mean,
+                "normalized": normalized,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

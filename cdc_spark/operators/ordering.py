@@ -62,6 +62,7 @@ _OFF = "__ord_off"
 _ONE = "__ord_one"
 _OPID = "__ord_opid"
 _OGRP = "__ord_ogrp"
+_CGRP = "__ord_cgrp"  # constant group: ungrouped ops on the bucketed path
 
 
 def _offsets(counts: DataFrame, total_col: str) -> DataFrame:
@@ -86,6 +87,7 @@ def distributed_row_number(
     *,
     out_col: str = "position",
     num_partitions: int = 32,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Global 1-based row number by ``order_cols`` without a global
     window.
@@ -99,7 +101,30 @@ def distributed_row_number(
     so no range partition approaches that (at 100 TB that is ~40
     bytes/row/partition at the minimum legal partition count; any
     sane sizing is orders of magnitude below the bound).
+
+    ``bucket`` (optional, round 10) is the DETERMINISTIC fast path —
+    :func:`grouped_prefix_sum`'s slice contract applied to the global
+    order: a pure row expression, monotone non-decreasing along
+    ``order_cols``, replaces the sampled range partitioning, so the
+    plan needs no ``localCheckpoint`` layout pin (at 100 TB the pin
+    is a full extra write of the dataset). Derive it from the order
+    key itself — e.g. the leading hex digits of an md5 sort key, or
+    ``(band_count-1-band)*cells + hex_prefix`` for a banded DESC
+    order.
     """
+    if bucket is not None:
+        ones = df.withColumn(_ONE, F.lit(1).cast("long")).withColumn(
+            _CGRP, F.lit(0)
+        )
+        return _grouped_prefix_sum_bucketed(
+            ones,
+            _CGRP,
+            order_cols,
+            _ONE,
+            bucket,
+            out_col=out_col,
+            inclusive=True,
+        ).drop(_ONE, _CGRP)
     ranged = df.repartitionByRange(
         num_partitions, *order_cols
     ).sortWithinPartitions(*order_cols)
@@ -144,10 +169,27 @@ def distributed_prefix_sum(
     out_col: str = "prefix_sum",
     inclusive: bool = True,
     num_partitions: int = 32,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Global running sum of ``value_col`` by ``order_cols`` without a
     global window: per-range-partition cumsum + broadcast partition
-    offsets (the textbook distributed prefix sum)."""
+    offsets (the textbook distributed prefix sum).
+
+    ``bucket`` selects the deterministic-slice fast path — see
+    :func:`distributed_row_number`: a pure-row, order-monotone slice
+    id replaces the sampled range partitioning and removes the
+    ``localCheckpoint`` layout pin."""
+    if bucket is not None:
+        const = df.withColumn(_CGRP, F.lit(0))
+        return _grouped_prefix_sum_bucketed(
+            const,
+            _CGRP,
+            order_cols,
+            value_col,
+            bucket,
+            out_col=out_col,
+            inclusive=inclusive,
+        ).drop(_CGRP)
     ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )

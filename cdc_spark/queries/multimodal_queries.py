@@ -293,11 +293,13 @@ def mm04_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assigns each item's start offset, and items bin into 512-token "
     "context windows by start (boundary spans allowed, dp03's "
     "convention). Per-window modality accounting is exact integers. "
-    "The cumsum is the distributed two-pass prefix sum "
-    "(range-partition on the order key, per-partition running sum, "
-    "broadcast partition offsets; operators/ordering.py) — no "
-    "single-reducer global window; the oracle's plain SUM OVER is "
-    "bit-identical",
+    "The cumsum is the distributed two-pass prefix sum on the "
+    "DETERMINISTIC-SLICE bucket path (operators/ordering.py, round "
+    "10): the slice id is the md5 order key's leading 3 hex digits — "
+    "a pure row expression, monotone along the order — so the plan "
+    "needs no localCheckpoint layout pin (at 100 TB the pin was a "
+    "full extra write). No single-reducer global window; the "
+    "oracle's plain SUM OVER is bit-identical",
     tags=("multimodal", "packing", "interleave"),
 )
 def mm05_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +326,9 @@ def mm05_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         out_col="start_off",
         inclusive=False,
+        # md5 is fixed-width lowercase hex: the 3-digit prefix is
+        # numerically monotone with the string order — 4096 slices
+        bucket=F.conv(F.substring("ord_key", 1, 3), 16, 10).cast("long"),
     )
     t, i = F.col("modality") == "text", F.col("modality") == "image"
     return placed.groupBy(

@@ -176,10 +176,14 @@ def dp04_length_bucket_batching(
     "by an md5 key (seeded-shuffle reproducibility across engines "
     "and runs — tx15's trick applied to curriculum learning). The "
     "global position is a total order any trainer can replay — "
-    "computed as a distributed two-pass row number (range-partition "
-    "on the sort key, per-partition rank, broadcast partition "
-    "offsets; operators/ordering.py), never a single-reducer global "
-    "window; the oracle's plain ROW_NUMBER is bit-identical",
+    "computed as a distributed two-pass row number on the "
+    "DETERMINISTIC-SLICE bucket path (operators/ordering.py, round "
+    "10): the slice id (9-band)*4096 + the md5 key's leading 3 hex "
+    "digits is a pure row expression, monotone along the (band DESC, "
+    "md5 ASC) order, so the plan needs no localCheckpoint layout pin "
+    "— at 100 TB the pin was a full extra write of the dataset. "
+    "Never a single-reducer global window; the oracle's plain "
+    "ROW_NUMBER is bit-identical",
     tags=("packing", "curriculum", "ordering"),
 )
 def dp05_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,10 +197,17 @@ def dp05_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(q * 10), F.lit(9)).cast("long").alias("band"),
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
     )
+    # monotone along (band DESC, shuffle_key ASC): bands are [0,9],
+    # and md5 is fixed-width lowercase hex so the lexicographic order
+    # of the string equals the numeric order of its 3-digit prefix
+    bucket = (F.lit(9) - F.col("band")) * 4096 + F.conv(
+        F.substring("shuffle_key", 1, 3), 16, 10
+    ).cast("long")
     ordered = distributed_row_number(
         banded,
         [F.desc("band"), F.asc("shuffle_key"), F.asc("doc_id")],
         out_col="position",
+        bucket=bucket,
     )
     return ordered.select("doc_id", "band", "position")
 

@@ -615,3 +615,59 @@ def test_grouped_prefix_sum_bucketed_safe_under_asymmetric_pruning(spark):
     # and the plan really is checkpoint-free (no opaque ExistingRDD)
     plan = two._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" not in plan
+
+
+def test_ungrouped_bucketed_row_number_and_prefix_sum(spark):
+    """Round 10: the deterministic-slice bucket mode on the UNGROUPED
+    primitives (dp05/mm05's md5-hex-prefix slices) must be
+    bit-identical to the global window — including a banded DESC
+    order whose bucket is (9-band)*cells + hex prefix."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 10).cast("long").alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        (F.col("doc_id") % 13 + 1).cast("long").alias("n"),
+    )
+    order = [F.desc("band"), F.asc("k"), F.asc("doc_id")]
+    bucket = (F.lit(9) - F.col("band")) * 256 + F.conv(
+        F.substring("k", 1, 2), 16, 10
+    ).cast("long")
+    got_rn = {
+        (r.doc_id, r.pos)
+        for r in distributed_row_number(
+            docs, order, out_col="pos", bucket=bucket
+        ).collect()
+    }
+    w = Window.orderBy(*order)
+    want_rn = {
+        (r.doc_id, r.pos)
+        for r in docs.select(
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("pos"),
+        ).collect()
+    }
+    assert got_rn == want_rn
+
+    for inclusive in (True, False):
+        got_ps = {
+            (r.doc_id, r.ps)
+            for r in distributed_prefix_sum(
+                docs, [F.asc("k"), F.asc("doc_id")], "n",
+                out_col="ps", inclusive=inclusive,
+                bucket=F.conv(F.substring("k", 1, 2), 16, 10).cast("long"),
+            ).collect()
+        }
+        wf = (
+            Window.orderBy(F.asc("k"), F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expr = F.sum("n").over(wf)
+        if not inclusive:
+            expr = expr - F.col("n")
+        want_ps = {
+            (r.doc_id, r.ps)
+            for r in docs.select(
+                "doc_id", expr.cast("long").alias("ps")
+            ).collect()
+        }
+        assert got_ps == want_ps, f"inclusive={inclusive}"

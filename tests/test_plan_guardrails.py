@@ -106,11 +106,17 @@ def _has_any_agg(subtree) -> bool:
     return any("AggregateExec" in _cls(n) for n in _walk(subtree))
 
 
-# the ordering primitives' deterministic slice id: a FLOOR(...)
-# projection aliased to the module-private __ord_bkt name (only
-# operators/ordering.py emits it; monotone-in-order + bounded-count is
-# its documented caller contract, pinned in tests/test_ordering.py)
-_ORD_BKT_DEF = re.compile(r"FLOOR\([^\n]*\) AS __ord_bkt#")
+# the ordering primitives' deterministic slice id: a projection
+# aliased to the module-private __ord_bkt name, VISIBLE below the
+# consumer (not an opaque scan). Only operators/ordering.py emits the
+# name (always bucket.cast('long') of the caller's contracted
+# expression); monotone-in-order + bounded-count is its documented
+# caller contract, pinned in tests/test_ordering.py. Round 9 required
+# a literal FLOOR(...) shape, but round 10's callers derive slices
+# from md5 hex prefixes (CONV/arithmetic), so the evidence is the
+# private name + visible definition — the same argument __ord_pid
+# rests on.
+_ORD_BKT_DEF = re.compile(r" AS __ord_bkt#")
 
 
 def _has_partition_id_agg(subtree) -> bool:
