@@ -181,7 +181,10 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n,
            {dsum_sql('value')} AS sum_value,
-           ROUND({dsum_sql('value')} / COUNT(*), 6) AS avg_value,
+           -- fixed-point half-up, not ROUND(x,6): engines disagree on
+           -- ROUND at exact half-way doubles (q61 class, sf1 catch)
+           FLOOR({dsum_sql('value')} / COUNT(*) * 1e6 + 0.5) / 1e6
+               AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events GROUP BY 1, 2

@@ -92,8 +92,17 @@ class ContinuousRollup:
             *self.dims,
             F.col("n").cast("long").alias("n"),
             F.col("sum_value").cast("double").alias("sum_value"),
-            F.round(
-                F.col("sum_value").cast("double") / F.col("n"), 6
+            # fixed-point half-up instead of round(x, 6): engines
+            # disagree on ROUND at exact half-way doubles (the q61
+            # class; sf1 hit 43.4728125 → .812 vs .813), while
+            # x*1e6 + 0.5 then FLOOR is the same IEEE arithmetic
+            # everywhere (values are non-negative here)
+            (
+                F.floor(
+                    F.col("sum_value").cast("double") / F.col("n") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
             ).alias("avg_value"),
             "min_value",
             "max_value",
