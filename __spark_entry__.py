@@ -26,15 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotated for round 10: the driver samples a 50-row prefix, so the
 # ordering below IS the gate. Tier 0 (_R10_PREFIX) is exactly 50
 # entries: the 4 never-driver-gated round-9 additions (staged last
-# round as _R10_NEXT), dd12 REBUILT this round (sized-k SemDeDup
-# partition — oracle changed to derive the plane count from COUNT(*)),
-# and 45 freshness re-gates drawn from the 46 entries whose last
-# driver row is r4-era (all other rows are r5+; tx14_url_domain_stats
-# is the one r4 entry deferred to round 11 — the prefix holds 50).
-# This takes cumulative driver coverage to its terminal 293/293-
-# oracled (only q31/dp01/dp02 stay ungated — no oracle by design).
-# Tier 1 (_R11_NEXT) is this round's new addition, staged for the
-# round-11 gate; tier 2 the previous prefix; tier 3 everything else.
+# round as _R10_NEXT), the two entries REBUILT this round with
+# CHANGED oracles (dd12's and ss13's sized partitions derive the
+# plane count from COUNT(*)), and 44 freshness re-gates drawn from
+# the 46 entries whose last driver row is r4-era (all other rows are
+# r5+; tx13/tx14 are the two r4 entries deferred to round 11 — the
+# prefix holds 50). Tier 1 (_R11_NEXT) is this round's new addition
+# plus the deferred pair, staged for the round-11 gate; tier 2 the
+# previous prefix; tier 3 everything else.
 _R10_PREFIX = (
     # 4 round-9 additions — never driver-gated, first in line
     "q112_cms_heavy_hitters",
@@ -88,7 +87,9 @@ _R10_PREFIX = (
     "tx10_pii_redaction",
     "tx11_decontamination",
     "tx12_chunking",
-    "tx13_unicode_normalize",
+    # rebuilt this round: sized-partition KNN graph (oracle CHANGED)
+    # — outranks the last r4 freshness slot (tx13, deferred to r11)
+    "ss13_knn_graph",
 )
 
 # Round-10 addition — never gated; first in line for the round-11
@@ -96,6 +97,7 @@ _R10_PREFIX = (
 # followed by the one r4-era entry the round-10 prefix couldn't hold.
 _R11_NEXT = (
     "st31_salted_stream_enrichment",
+    "tx13_unicode_normalize",
     "tx14_url_domain_stats",
 )
 

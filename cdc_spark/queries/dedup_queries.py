@@ -335,7 +335,18 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the 100 TB path: candidates = bucket collisions, not all pairs; "
     "oracle recomputes the same seeded planes in SQL, so the bucketing "
     "itself is hash-checked; exact all-pairs stays the tests' recall "
-    "baseline)",
+    "baseline). Scale disposition (round 10): k=4 planes is PINNED "
+    "here because recall 1-(1-p^k)^L collapses with k at this "
+    "deliberately permissive 0.4 threshold (p~0.63) — the standard "
+    "LSH tradeoff, L must grow exponentially to compensate. At "
+    "production near-dup thresholds (0.85+, p~0.82) k grows with the "
+    "corpus at modest L; for corpus-sized partitions see dd12/ss13 "
+    "(semantic_dedup_planes), for the text path dd03's minhash bands. "
+    "Because both engines deliberately evaluate n^2/16-per-table "
+    "candidate sets, this entry is excluded from the full sf1 oracle "
+    "sweep (the DuckDB side is an hour-class single-node grind at "
+    "20k vectors); it is magnitude-insensitive (unit-norm cosines, "
+    "no sums that grow with SF)",
     tags=("dedup", "embedding", "lsh"),
 )
 def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

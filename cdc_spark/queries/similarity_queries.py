@@ -867,23 +867,41 @@ def ss12_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_oracle(
-    *, dim: int = _EMB_DIM, n_planes: int = 4, seed: int = 11, k: int = 3
+    *,
+    dim: int = _EMB_DIM,
+    lo: int = 4,
+    hi: int = 24,
+    target: int = 125,
+    seed: int = 11,
+    k: int = 3,
 ) -> str:
+    """Sized-partition twin (round 10, same scheme as dd12's oracle):
+    the plane count is derived from COUNT(*) with the exact
+    ``semantic_dedup_planes`` clamp, and each embedded plane literal
+    is gated by its index, so both engines compute identical cells at
+    any scale factor."""
+
     def bucket_expr(col: str) -> str:
         terms = []
-        for i, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        for i, plane in enumerate(hyperplanes(dim, hi, seed)):
             arr = "[" + ",".join(repr(x) for x in plane) + "]"
             terms.append(
-                f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr})"
+                f"(CASE WHEN {i} < kk.planes AND "
+                f"list_dot_product({col}::DOUBLE[], {arr})"
                 f" >= 0 THEN {1 << i} ELSE 0 END)"
             )
         return "(" + " + ".join(terms) + ")"
 
     return f"""
-    WITH b AS (
+    WITH kk AS (
+        SELECT GREATEST({lo}, LEAST({hi},
+               CAST(CEIL(LOG2(COUNT(*) / {target}.0)) AS INT))) AS planes
+        FROM embeddings
+    ),
+    b AS (
         SELECT vec_id, embedding,
                {bucket_expr("embedding")} AS bucket
-        FROM embeddings
+        FROM embeddings CROSS JOIN kk
     ),
     scored AS (
         SELECT s.vec_id AS src, d.vec_id AS dst,
@@ -906,21 +924,31 @@ def _knn_graph_oracle(
     oracle=_knn_graph_oracle(),
     note="KNN-graph construction — the artifact graph-based ANN "
     "(HNSW/NSG-style serving) and SemDeDup both start from: every "
-    "vector's top-3 neighbors computed WITHIN its cluster partition "
-    "(the seeded 4-plane signature; same n^2/k scope and the same "
-    "cross-cluster-miss tradeoff as dd12, documented). Per-source "
-    "ranking windows partition on the vector id, so no sort exceeds "
-    "one vector's candidate list; oracle re-derives the partition "
-    "and every edge bit-for-bit",
+    "vector's top-3 neighbors computed WITHIN its cluster partition. "
+    "Round 10: the partition is SIZED like dd12's — "
+    "semantic_dedup_planes(count) gives 2^planes cells ~ n/125, so "
+    "per-cell pairwise work stays linear in corpus size (fixed 16 "
+    "cells was the n^2/16 shape the round-9 sf1 probe flagged on "
+    "dd12); the oracle derives the same plane count from COUNT(*) "
+    "with index-gated plane literals. Cross-cluster neighbor misses "
+    "remain the documented SemDeDup tradeoff. Per-source ranking "
+    "windows partition on the vector id, so no sort exceeds one "
+    "vector's candidate list; oracle re-derives the partition and "
+    "every edge bit-for-bit",
     tags=("similarity", "knn", "graph"),
 )
 def ss13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from cdc_spark.operators.similarity import cosine, hyperplanes, lsh_bucket
+    from cdc_spark.operators.similarity import (
+        cosine,
+        hyperplanes,
+        lsh_bucket,
+        semantic_dedup_planes,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = hyperplanes(_EMB_DIM, 4, 11)
+    planes = hyperplanes(_EMB_DIM, semantic_dedup_planes(emb.count()), 11)
     b = emb.select(
         "vec_id",
         "embedding",
