@@ -97,6 +97,7 @@ _R10_PREFIX = (
 # followed by the one r4-era entry the round-10 prefix couldn't hold.
 _R11_NEXT = (
     "st31_salted_stream_enrichment",
+    "ss24_ivf_sized_nlist",
     "tx13_unicode_normalize",
     "tx14_url_domain_stats",
 )

@@ -90,6 +90,24 @@ def deterministic_codebook(
     return [quantize_vec(r[0], scale) for r in rows]
 
 
+def ivf_sized_nlist(n_rows: int, *, lo: int = 16, hi: int = 4096) -> int:
+    """Corpus-sized coarse-cluster count: nlist ≈ sqrt(n) rounded up
+    to a power of two, clamped to [lo, hi] — the standard IVF sizing
+    (FAISS guideline nlist ~ sqrt(n)). With nlist fixed, a probe
+    scans n_probe·n/nlist rows — LINEAR in corpus size; sized, the
+    per-probe scan is n_probe·sqrt(n). The formula is
+    ``2^ceil(log2(sqrt(n)))`` so a SQL oracle recomputes it exactly:
+    sqrt and the power are correctly-rounded in every engine, and
+    log2 can only sit at an integer (the one ulp-sensitive spot) when
+    n is an exact power of 4 — where both sqrt and log2 are exact
+    (pinned against DuckDB in tests/test_similarity.py)."""
+    import math
+
+    if n_rows <= lo * lo:
+        return lo
+    return max(lo, min(hi, 1 << math.ceil(math.log2(math.sqrt(n_rows)))))
+
+
 def _int_dot(vec: Sequence[int], centroid: Sequence[int]) -> int:
     return sum(int(x) * int(y) for x, y in zip(vec, centroid))
 

@@ -153,6 +153,100 @@ def _ivf_det_oracle(
     """
 
 
+def _ivf_sized_oracle(
+    *,
+    lo: int = 16,
+    hi: int = 4096,
+    scale: int = 64,
+    n_probe: int = 4,
+    k: int = 10,
+) -> str:
+    """_ivf_det_oracle with the centroid count derived from COUNT(*)
+    by the exact ``ivf_sized_nlist`` clamp — every CTE is data-derived
+    (no embedded literals), so the oracle sizes with the corpus just
+    like the engine does."""
+    return f"""
+    WITH kk AS (
+        SELECT CASE WHEN COUNT(*) <= {lo * lo} THEN {lo}
+               ELSE GREATEST({lo}, LEAST({hi},
+                    CAST(POWER(2, CEIL(LOG2(SQRT(COUNT(*))))) AS INT)))
+               END AS nlist
+        FROM embeddings
+    ),
+    iq AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * {scale} + 0.5)) AS e
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT vec_id AS cid, e AS c FROM iq CROSS JOIN kk
+        WHERE vec_id < kk.nlist
+    ),
+    qv AS (SELECT e AS qe, embedding AS qemb FROM iq WHERE vec_id = 0),
+    probes AS (
+        SELECT cid FROM (
+            SELECT cb.cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(cb.c, qv.qe) DESC, cb.cid
+                   ) AS rn
+            FROM cb, qv
+        ) WHERE rn <= {n_probe}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT iq.vec_id, iq.embedding, cb.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY iq.vec_id
+                       ORDER BY list_dot_product(iq.e, cb.c) DESC, cb.cid
+                   ) AS rn
+            FROM iq, cb
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        qv.qemb::DOUBLE[]), 4) AS cosine_sim
+    FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN qv
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ss24_ivf_sized_nlist",
+    oracle=_ivf_sized_oracle(),
+    note="IVF ANN top-10 with the coarse-cluster count SIZED to the "
+    "corpus — the knob ss03's fixed 16 clusters leaves unturned and "
+    "the ANN analog of dd12/ss13's sized partitions: "
+    "operators/ivf.py::ivf_sized_nlist gives nlist ~ sqrt(n) rounded "
+    "up to a power of two (the FAISS guideline), so a probe scans "
+    "n_probe*sqrt(n) rows instead of n_probe*n/16 — sublinear per "
+    "probe at any corpus size (32 cells at sf0.01, 64 at sf0.1, 256 "
+    "at sf1). The oracle derives the SAME nlist from COUNT(*) and "
+    "recomputes centroids/assignment/pruning/ranking entirely from "
+    "data (no embedded literals), so the sized path is hash-checked "
+    "at every SF. At scale the corpus is written partitioned by the "
+    "sized cluster id exactly as ss17's IVF-PQ layout",
+    tags=("similarity", "ann", "ivf", "scale"),
+)
+def ss24_ivf_sized_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.ivf import (
+        deterministic_codebook,
+        ivf_sized_nlist,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlist = ivf_sized_nlist(emb.count())
+    q = _query_vector(spark, sf_dir, 0)
+    codebook = deterministic_codebook(
+        emb, "embedding", "vec_id", k=nlist, scale=64
+    )
+    return ivf_topk(
+        emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4, scale=64
+    )
+
+
 @register(
     "ss03_ivf_topk",
     oracle=_ivf_det_oracle(),

@@ -218,3 +218,26 @@ def test_semantic_dedup_planes_matches_sql_clamp():
             f"CAST(CEIL(LOG2({n} / 125.0)) AS INT)))"
         ).fetchone()[0]
         assert sql == semantic_dedup_planes(n), n
+
+
+def test_ivf_sized_nlist_matches_sql_clamp():
+    """ss24's oracle recomputes nlist in DuckDB as
+    POWER(2, CEIL(LOG2(SQRT(n)))) clamped — assert the SQL arithmetic
+    agrees with the Python function across magnitudes including exact
+    powers of 4 (the only values where a log2 ulp could flip CEIL)."""
+    import duckdb
+
+    from cdc_spark.operators.ivf import ivf_sized_nlist
+
+    for n in (1, 256, 257, 500, 2_000, 20_000, 4**6, 4**6 + 1,
+              4**10, 10**9):
+        sql = duckdb.sql(
+            f"SELECT CASE WHEN {n} <= 256 THEN 16 ELSE "
+            f"GREATEST(16, LEAST(4096, CAST(POWER(2, "
+            f"CEIL(LOG2(SQRT({n})))) AS INT))) END"
+        ).fetchone()[0]
+        assert sql == ivf_sized_nlist(n), n
+    # monotone non-decreasing, plausible values at the gate SFs
+    assert ivf_sized_nlist(500) == 32
+    assert ivf_sized_nlist(2_000) == 64
+    assert ivf_sized_nlist(20_000) == 256
