@@ -98,6 +98,7 @@ _R10_PREFIX = (
 _R11_NEXT = (
     "st31_salted_stream_enrichment",
     "ss24_ivf_sized_nlist",
+    "st32_streaming_semantic_dedup",
     "tx13_unicode_normalize",
     "tx14_url_domain_stats",
 )

@@ -2888,3 +2888,227 @@ def st31_salted_stream_enrichment(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_ST32_SHARDS, _ST32_THRESH, _ST32_DIM = 5, 0.45, 64
+
+
+def _st32_oracle() -> str:
+    """DuckDB twin of the streaming semantic near-dup detector: the
+    sized-cell partition (dd12's COUNT(*)-derived plane clamp with
+    index-gated literals), the md5 shard decomposition (micro-batch =
+    shard, st30's trick), and the 'seen a similar vector before'
+    predicate — a vector is a duplicate iff some vector EARLIER in
+    processing order ((shard, vec_id) lexicographic) shares its cell
+    within the cosine threshold."""
+    from cdc_spark.operators.similarity import hyperplanes
+
+    lo, hi, target, seed = 4, 24, 125, 11
+    terms = []
+    for i, plane in enumerate(hyperplanes(_ST32_DIM, hi, seed)):
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN {i} < kk.planes AND "
+            f"list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n          + ".join(terms)
+    return f"""
+    WITH kk AS (
+        SELECT GREATEST({lo}, LEAST({hi},
+               CAST(CEIL(LOG2(COUNT(*) / {target}.0)) AS INT))) AS planes
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket,
+               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {_ST32_SHARDS} AS shard
+        FROM embeddings CROSS JOIN kk
+    ),
+    dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM b a JOIN b e
+          ON a.bucket = e.bucket
+         AND (e.shard < a.shard
+              OR (e.shard = a.shard AND e.vec_id < a.vec_id))
+         AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                   e.embedding::DOUBLE[]), 4) >= {_ST32_THRESH}
+    )
+    SELECT CAST(b.shard AS BIGINT) AS batch_id,
+           CAST(COUNT(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT)
+               AS n_new,
+           CAST(COUNT(*) FILTER (WHERE d.vec_id IS NOT NULL) AS BIGINT)
+               AS n_dup
+    FROM b LEFT JOIN dup d ON b.vec_id = d.vec_id
+    GROUP BY b.shard
+    ORDER BY batch_id
+    """
+
+
+@register(
+    "st32_streaming_semantic_dedup",
+    oracle=_st32_oracle(),
+    note="streaming SemDeDup-style near-dup DETECTION — the "
+    "embeddings analog of dd13's continuous corpus membership and "
+    "the maintenance loop dd12's batch pass implies: vectors arrive "
+    "in micro-batches (one per deterministic md5 shard of vec_id, "
+    "st30's reproducible decomposition), each batch is assigned to "
+    "SIZED cells (semantic_dedup_planes over the provisioned corpus "
+    "count — 2^planes cells ~ n/125, the dd12 clamp), and a vector "
+    "is flagged duplicate iff some earlier-processed vector shares "
+    "its cell within cosine 0.45 — candidates are per-cell only, "
+    "never cross-cell, so per-trigger work is |batch| x cell "
+    "occupancy. State holds the full history PARTITIONED BY cell; "
+    "each batch's probe reads only its own touched cells (partition-"
+    "pruned, asserted via inputFiles like dd13) and appends its "
+    "vectors to a batch-versioned dir (overwrite-idempotent, st30's "
+    "replay discipline with done-markers written last). Oracle "
+    "recomputes cells, shards and the earlier-in-order predicate in "
+    "one self-join",
+    tags=("streaming", "dedup", "semantic", "embedding", "incremental"),
+)
+def st32_streaming_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.similarity import (
+        cosine,
+        hyperplanes,
+        lsh_bucket,
+        semantic_dedup_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # provisioned-capacity sizing: one count job before the stream
+    # starts, exactly how a production deployment sizes its codebook
+    planes = hyperplanes(
+        _ST32_DIM, semantic_dedup_planes(emb.count()), 11
+    )
+    shard = (
+        portable_hash60(F.col("vec_id").cast("string")) % _ST32_SHARDS
+    ).cast("long")
+
+    src_dir = tempfile.mkdtemp(prefix="st32_src_")
+    sharded = emb.select("vec_id", "embedding").withColumn("s", shard)
+    for s in range(_ST32_SHARDS):
+        sharded.where(F.col("s") == s).drop("s").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state_dir = tempfile.mkdtemp(prefix="st32_state_")
+    done_dir = os.path.join(state_dir, "done")
+    os.makedirs(done_dir, exist_ok=True)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_ = batch_df.sparkSession
+        b = batch_df.withColumn(
+            "bucket", lsh_bucket(F.col("embedding"), planes)
+        ).withColumn("s", shard)
+        my_shard = int(b.select("s").first()[0])
+        marker = os.path.join(done_dir, str(my_shard))
+        if os.path.exists(marker):
+            return  # replayed micro-batch: already folded
+        b = b.localCheckpoint(eager=True)  # reused 4x below
+        touched = [
+            int(r.bucket) for r in b.select("bucket").distinct().collect()
+        ]
+        prior_dirs = [
+            os.path.join(state_dir, f"shard_{p}")
+            for p in sorted(int(x) for x in os.listdir(done_dir))
+            if os.path.isdir(os.path.join(state_dir, f"shard_{p}"))
+        ]
+        dup = None
+        if prior_dirs:
+            prior = None
+            for d in prior_dirs:
+                part = spark_.read.parquet(d).where(
+                    F.col("bucket").isin(touched)
+                )
+                prior = part if prior is None else prior.unionByName(part)
+            # the dd14 mechanism assert (inputFiles ignores pushed
+            # filters, so read the compiled plan instead): every state
+            # scan must carry a bucket PartitionFilter — the probe is
+            # pruned to the batch's own touched cells at planning time
+            plan = prior._jdf.queryExecution().executedPlan().toString()
+            chunks = plan.split("PartitionFilters: [")
+            if len(chunks) < 2:
+                raise AssertionError("state probe plans no PartitionFilters")
+            for c in chunks[1:]:
+                if "bucket" not in c[: c.find("]") + 1]:
+                    raise AssertionError(
+                        "a state scan does not prune on bucket:\n"
+                        + c[:200]
+                    )
+            pv = prior.select(
+                F.col("embedding").alias("pe"), "bucket"
+            )
+            dup = (
+                b.join(pv, "bucket")
+                .where(
+                    F.round(cosine(F.col("embedding"), F.col("pe")), 4)
+                    >= _ST32_THRESH
+                )
+                .select("vec_id")
+                .distinct()
+            )
+        x, y = b.alias("x"), b.alias("y")
+        internal = (
+            x.join(
+                y,
+                (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("y.vec_id") < F.col("x.vec_id")),
+            )
+            .where(
+                F.round(
+                    cosine(F.col("x.embedding"), F.col("y.embedding")), 4
+                )
+                >= _ST32_THRESH
+            )
+            .select(F.col("x.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        dup = internal if dup is None else dup.unionByName(internal).distinct()
+        n = b.count()
+        n_dup = dup.count()
+        # batch-versioned, overwrite-idempotent effects; marker LAST
+        spark_.createDataFrame(
+            [(my_shard, n - n_dup, n_dup)], "batch_id long, n_new long, n_dup long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"res_{my_shard}")
+        )
+        b.select("vec_id", "embedding", "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(
+            os.path.join(state_dir, f"shard_{my_shard}")
+        )
+        open(marker, "w").close()
+
+    q = (
+        spark.readStream.schema(
+            emb.select("vec_id", "embedding").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="st32_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    done = sorted(int(x) for x in os.listdir(done_dir))
+    if len(done) != _ST32_SHARDS:
+        raise AssertionError(
+            f"expected {_ST32_SHARDS} one-shard micro-batches, "
+            f"got {len(done)}"
+        )
+    return (
+        spark.read.parquet(
+            *[os.path.join(state_dir, f"res_{s}") for s in done]
+        )
+        .orderBy("batch_id")
+    )
