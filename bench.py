@@ -257,6 +257,80 @@ def bench_skewed_hot_key_apply(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_ivf_sized_probe(spark, sf_dir: str) -> float:
+    """IVF serving-path cost with the corpus-sized nlist (ss24's
+    operator), measured the way an index is used: the BUILD (assign
+    every vector to its coarse cluster and write the corpus
+    partitioned by cluster id — n·nlist·dim work, n^1.5 with the
+    sized nlist, FAISS's own build/probe tradeoff) runs UNTIMED, and
+    the timed region is one query's probe: planning-time partition
+    pruning to the 4 nearest of nlist cluster directories + exact
+    cosine rank inside them — n_probe·sqrt(n) rows, SUBLINEAR in
+    corpus size. The ss24 gate entry times build+probe together (it
+    must rebuild per run to stay oracle-checkable); this number is
+    the steady-state serving cost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_spark.catalog import load_table
+    from cdc_spark.operators.ivf import (
+        deterministic_codebook,
+        ivf_assign,
+        ivf_sized_nlist,
+        probe_order,
+    )
+    from cdc_spark.operators.similarity import cosine
+
+    d = tempfile.mkdtemp(prefix="bench_ivf_sized_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        nlist = ivf_sized_nlist(emb.count())
+        cents = deterministic_codebook(
+            emb, "embedding", "vec_id", k=nlist, scale=64
+        )
+        # untimed build: one pass assigns + lays the corpus out by cluster
+        ivf_assign(emb, "embedding", cents, scale=64).write.partitionBy(
+            "cluster"
+        ).mode("overwrite").parquet(d)
+
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        probes = probe_order(q, cents, scale=64)[:4]
+        qcol = F.array(*[F.lit(x) for x in q])
+
+        def serve() -> None:
+            (
+                spark.read.parquet(d)
+                .where(F.col("cluster").isin(probes))
+                .select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), qcol), 4).alias(
+                        "cosine_sim"
+                    ),
+                )
+                .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+                .limit(10)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        serve()  # warm-up
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            serve()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def bench_skew_join_pair(spark, sf_dir: str) -> tuple[float, float]:
     """Plain vs salted shuffle join under one hot key — the q113/st31
     regime as a NUMBER. Broadcast and AQE skew handling are suppressed
@@ -370,6 +444,9 @@ def main() -> None:
     plain, salted = bench_skew_join_pair(spark, sf_dir)
     timings["skew_join_plain_hot"] = plain
     timings["skew_join_salted_hot"] = salted
+    timings["ivf_sized_probe_serving"] = bench_ivf_sized_probe(
+        spark, sf_dir
+    )
 
     # Control normalization in the ARTIFACT, not the narrative: the
     # four fixed-plan controls measure the box; normalized values

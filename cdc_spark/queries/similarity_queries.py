@@ -225,8 +225,14 @@ def _ivf_sized_oracle(
     "at sf1). The oracle derives the SAME nlist from COUNT(*) and "
     "recomputes centroids/assignment/pruning/ranking entirely from "
     "data (no embedded literals), so the sized path is hash-checked "
-    "at every SF. At scale the corpus is written partitioned by the "
-    "sized cluster id exactly as ss17's IVF-PQ layout",
+    "at every SF. Cost split (measured, BENCH_sf1): this gate entry "
+    "re-BUILDS the index per run to stay oracle-checkable, and build "
+    "is n*nlist*dim = n^1.5 with the sized nlist — FAISS's own "
+    "build/probe tradeoff; the steady-state SERVING cost (untimed "
+    "build, timed probe: bench.py::bench_ivf_sized_probe) is the "
+    "sublinear n_probe*sqrt(n) number. At scale the corpus is "
+    "written partitioned by the sized cluster id exactly as ss17's "
+    "IVF-PQ layout",
     tags=("similarity", "ann", "ivf", "scale"),
 )
 def ss24_ivf_sized_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,7 @@ ENTRIES = [
     "ss23_filtered_ivfpq_probe",
     "dd03_minhash_lsh",
     "dd12_semantic_dedup",
+    "dd13_incremental_dedup",
 ]
 
 
@@ -101,6 +102,7 @@ def main() -> None:
         ("cdc_incr_apply_small_batch", B.bench_incremental_apply),
         ("ivm_agg_maintenance_small_batch", B.bench_ivm_maintenance),
         ("cdc_skewed_hot_key_apply", B.bench_skewed_hot_key_apply),
+        ("ivf_sized_probe_serving", B.bench_ivf_sized_probe),
     ):
         t01 = fn(spark, args.sf01)
         t1 = fn(spark, args.sf1)
