@@ -3012,9 +3012,16 @@ def st32_streaming_semantic_dedup(
         if os.path.exists(marker):
             return  # replayed micro-batch: already folded
         b = b.localCheckpoint(eager=True)  # reused 4x below
+        # bounded collect: distinct cells touched by THIS batch, capped
+        # at min(|batch|, 2^planes). The cap guards the isin() literal
+        # list — a production-size batch touching >10k cells reads the
+        # state unpruned instead of compiling a 10k-literal filter
+        # (at that point the batch covers most cells anyway)
         touched = [
-            int(r.bucket) for r in b.select("bucket").distinct().collect()
+            int(r.bucket)
+            for r in b.select("bucket").distinct().limit(10_001).collect()
         ]
+        prune = len(touched) <= 10_000
         prior_dirs = [
             os.path.join(state_dir, f"shard_{p}")
             for p in sorted(int(x) for x in os.listdir(done_dir))
@@ -3024,24 +3031,30 @@ def st32_streaming_semantic_dedup(
         if prior_dirs:
             prior = None
             for d in prior_dirs:
-                part = spark_.read.parquet(d).where(
-                    F.col("bucket").isin(touched)
-                )
+                part = spark_.read.parquet(d)
+                if prune:
+                    part = part.where(F.col("bucket").isin(touched))
                 prior = part if prior is None else prior.unionByName(part)
-            # the dd14 mechanism assert (inputFiles ignores pushed
-            # filters, so read the compiled plan instead): every state
-            # scan must carry a bucket PartitionFilter — the probe is
-            # pruned to the batch's own touched cells at planning time
-            plan = prior._jdf.queryExecution().executedPlan().toString()
-            chunks = plan.split("PartitionFilters: [")
-            if len(chunks) < 2:
-                raise AssertionError("state probe plans no PartitionFilters")
-            for c in chunks[1:]:
-                if "bucket" not in c[: c.find("]") + 1]:
+            if prune:
+                # the dd14 mechanism assert (inputFiles ignores pushed
+                # filters, so read the compiled plan instead): every
+                # state scan must carry a bucket PartitionFilter — the
+                # probe is pruned to this batch's own touched cells at
+                # planning time
+                plan = (
+                    prior._jdf.queryExecution().executedPlan().toString()
+                )
+                chunks = plan.split("PartitionFilters: [")
+                if len(chunks) < 2:
                     raise AssertionError(
-                        "a state scan does not prune on bucket:\n"
-                        + c[:200]
+                        "state probe plans no PartitionFilters"
                     )
+                for c in chunks[1:]:
+                    if "bucket" not in c[: c.find("]") + 1]:
+                        raise AssertionError(
+                            "a state scan does not prune on bucket:\n"
+                            + c[:200]
+                        )
             pv = prior.select(
                 F.col("embedding").alias("pe"), "bucket"
             )
