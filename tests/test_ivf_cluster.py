@@ -157,3 +157,38 @@ def test_ivf_index_incremental_add(spark, emb, tmp_path):
     q = emb.where(F.col("vec_id") == 1).first().embedding
     ids = {r.vec_id for r in idx2.topk(q, k=5, n_probe=8).collect()}
     assert 1 in ids  # the appended query vector finds itself
+
+
+def test_ivf_assign_arrow_matches_hof(spark):
+    """The Arrow (numpy int64 matmul) assignment path must be
+    bit-identical to the JVM HOF argmax — same half-up quantization,
+    same first-max tiebreak — at a centroid count in its regime."""
+    from pyspark.sql import functions as F
+
+    from cdc_spark.operators.ivf import deterministic_codebook, ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = deterministic_codebook(
+        emb, "embedding", "vec_id", k=96, scale=64
+    )
+    hof = {
+        (r.vec_id, r.cluster)
+        for r in ivf_assign(
+            emb, "embedding", cents, scale=64, method="hof"
+        ).select("vec_id", "cluster").collect()
+    }
+    arrow = {
+        (r.vec_id, r.cluster)
+        for r in ivf_assign(
+            emb, "embedding", cents, scale=64, method="arrow"
+        ).select("vec_id", "cluster").collect()
+    }
+    assert arrow == hof
+    # auto picks arrow at k>=64 and hof below — both still exact
+    auto = {
+        (r.vec_id, r.cluster)
+        for r in ivf_assign(emb, "embedding", cents, scale=64)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert auto == hof
