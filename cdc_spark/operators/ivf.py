@@ -226,6 +226,11 @@ def ivf_assign(
         raise ValueError("ivf_assign needs at least one centroid")
     if method not in ("auto", "hof", "arrow"):
         raise ValueError(f"method must be auto|hof|arrow, got {method!r}")
+    if method == "arrow" and scale is None:
+        raise ValueError(
+            "method='arrow' requires scale: the numpy path runs the "
+            "integer-quantized argmax (the float path stays JVM-side)"
+        )
     if scale is not None and (
         method == "arrow" or (method == "auto" and len(centroids) >= 64)
     ):

@@ -2961,9 +2961,13 @@ def _st32_oracle() -> str:
     "never cross-cell, so per-trigger work is |batch| x cell "
     "occupancy. State holds the full history PARTITIONED BY cell; "
     "each batch's probe reads only its own touched cells (partition-"
-    "pruned, asserted via inputFiles like dd13) and appends its "
-    "vectors to a batch-versioned dir (overwrite-idempotent, st30's "
-    "replay discipline with done-markers written last). Oracle "
+    "pruned via an asserted PartitionFilter, the dd14 mechanism) and "
+    "appends its vectors to a batch-versioned dir (overwrite-"
+    "idempotent, st30's replay discipline with done-markers written "
+    "last). The probe unions one dir per prior batch - a long-lived "
+    "stream compacts those periodically exactly like "
+    "BucketedStateTable's maintenance (operators/maintenance.py), "
+    "keeping per-trigger listings O(cells), not O(batches). Oracle "
     "recomputes cells, shards and the earlier-in-order predicate in "
     "one self-join",
     tags=("streaming", "dedup", "semantic", "embedding", "incremental"),
