@@ -290,10 +290,12 @@ def bench_ivf_sized_probe(spark, sf_dir: str) -> float:
         cents = deterministic_codebook(
             emb, "embedding", "vec_id", k=nlist, scale=64
         )
-        # untimed build: one pass assigns + lays the corpus out by cluster
-        ivf_assign(emb, "embedding", cents, scale=64).write.partitionBy(
-            "cluster"
-        ).mode("overwrite").parquet(d)
+        # untimed build: one pass assigns + lays the corpus out by
+        # cluster (arrow opt-in: the bench box carries the executor
+        # pandas dependency, and the sized nlist is in its regime)
+        ivf_assign(
+            emb, "embedding", cents, scale=64, method="arrow"
+        ).write.partitionBy("cluster").mode("overwrite").parquet(d)
 
         q = [
             float(x)

@@ -194,7 +194,7 @@ def ivf_assign(
     *,
     cluster_col: str = "cluster",
     scale: int | None = None,
-    method: str = "auto",
+    method: str = "hof",
 ) -> DataFrame:
     """Attach the coarse-quantizer cluster id (at scale: write the
     corpus partitioned by this column). With ``scale`` set the
@@ -219,9 +219,13 @@ def ivf_assign(
     runs the same integer argmax as ONE numpy int64 matmul per Arrow
     batch (exact — int64 products bounded far below 2⁶³; numpy argmax
     picks the first max, the same tiebreak), ~two orders of magnitude
-    faster at large k. ``'auto'`` (default) picks arrow when the
-    quantized path has ≥ 64 centroids, HOF otherwise; ``'hof'``
-    forces the JVM form (no Python in the plan)."""
+    faster at large k — but it puts pandas/pyarrow/numpy on the
+    executors, so it is OPT-IN: the default ``'hof'`` keeps the plan
+    pure-JVM (the module's standing contract; IvfIndex/IvfPqIndex
+    build on it), and sized-nlist callers that accept the worker
+    dependency pass ``method='arrow'`` explicitly (ss24/ss25, the
+    bench serving path). ``'auto'`` picks arrow when the quantized
+    path has ≥ 64 centroids, HOF otherwise."""
     if not centroids:
         raise ValueError("ivf_assign needs at least one centroid")
     if method not in ("auto", "hof", "arrow"):
@@ -316,8 +320,13 @@ def ivf_topk(
     n_probe: int = 4,
     round_digits: int = 4,
     scale: int | None = None,
+    assign_method: str = "hof",
 ) -> DataFrame:
-    """ANN top-k scanning only the n_probe nearest clusters."""
+    """ANN top-k scanning only the n_probe nearest clusters.
+
+    ``assign_method`` passes through to :func:`ivf_assign` — sized-
+    nlist callers that accept the executor pandas dependency opt into
+    ``'arrow'``; the default keeps the plan pure-JVM."""
     import math
 
     if scale is not None:
@@ -331,7 +340,9 @@ def ivf_topk(
             range(len(centroids)), key=lambda i: -pdot(centroids[i])
         )
         probes = order[:n_probe]
-    assigned = ivf_assign(df, embedding_col, centroids, scale=scale)
+    assigned = ivf_assign(
+        df, embedding_col, centroids, scale=scale, method=assign_method
+    )
     near = assigned.where(F.col("cluster").isin(probes))
     return cosine_topk(
         near, embedding_col, id_col, query_vec, k, round_digits=round_digits
@@ -547,10 +558,14 @@ class IvfIndex:
         iterations: int = 3,
         codebook: list[list[int]] | None = None,
         scale: int | None = None,
+        assign_method: str = "hof",
     ) -> "IvfIndex":
         """Train (k-means) or adopt (``codebook`` + ``scale`` — the
         deterministic integer quantizer) a codebook, then write the
-        corpus cluster-partitioned."""
+        corpus cluster-partitioned. ``assign_method='arrow'`` opts the
+        one-off build into the numpy argmax (bit-identical; worth it
+        once the sized nlist reaches hundreds of centroids) without
+        changing the serving plan, which stays pure-JVM."""
         import json
         import os
 
@@ -560,7 +575,9 @@ class IvfIndex:
             centroids = train_codebook(
                 df, embedding_col, id_col, k=k, iterations=iterations
             )
-        assigned = ivf_assign(df, embedding_col, centroids, scale=scale)
+        assigned = ivf_assign(
+            df, embedding_col, centroids, scale=scale, method=assign_method
+        )
         # one file per cluster partition at this scale; at real scale
         # the repartition keys on cluster and AQE sizes the files
         assigned.repartition(len(centroids), F.col("cluster")).write.partitionBy(

@@ -316,6 +316,17 @@ def grouped_prefix_sum(
     boundary-sampling pass is skipped. Same bit-identical contract,
     same skew story (a hot group spans many buckets; each window
     partition is one (bucket, group) cell bounded by bucket width).
+
+    NULL buckets: a bucket expression that evaluates NULL is kept
+    (eqNullSafe join below) and the offset window places it FIRST
+    (Spark ASC = NULLS FIRST) — so a NULL bucket is only valid when
+    the deriving order column ALSO sorts NULLS FIRST (plain ASC). For
+    a DESC order (Spark desc = NULLS LAST) a NULL-producing bucket
+    expression would place those rows' slice before every real slice
+    while the in-cell sort places the rows last — silently shifted
+    positions, not an error. Callers with DESC components (dp05's
+    banded-DESC form) must make the bucket expression total
+    (coalesce the NULL case into the correct end of the slice range).
     """
     if bucket is not None:
         return _grouped_prefix_sum_bucketed(
@@ -418,7 +429,10 @@ def _grouped_prefix_sum_bucketed(
     # plain == would silently drop those rows, diverging from the
     # non-bucketed path whose spark_partition_id key is never null.
     # Null buckets sort first in the offset window (Spark ASC NULLS
-    # FIRST), so they consistently read as "before every real bucket".
+    # FIRST), so they consistently read as "before every real bucket"
+    # — which matches the data order ONLY when the deriving order
+    # column sorts NULLS FIRST too (see the bucket contract in
+    # grouped_prefix_sum: DESC orders need a total bucket expression).
     out = local.join(
         F.broadcast(offsets),
         F.col(_BKT).eqNullSafe(F.col(_OPID))

@@ -248,8 +248,20 @@ def ss24_ivf_sized_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = deterministic_codebook(
         emb, "embedding", "vec_id", k=nlist, scale=64
     )
+    # arrow assignment is an explicit opt-in (executor pandas/numpy
+    # dependency): bit-identical to the JVM HOF argmax, ~55 s → 7 s on
+    # the sf1 build at nlist=256 (tests/test_ivf_cluster.py pins the
+    # identity)
     return ivf_topk(
-        emb, "embedding", "vec_id", q, codebook, k=10, n_probe=4, scale=64
+        emb,
+        "embedding",
+        "vec_id",
+        q,
+        codebook,
+        k=10,
+        n_probe=4,
+        scale=64,
+        assign_method="arrow",
     )
 
 

@@ -184,10 +184,12 @@ def test_ivf_assign_arrow_matches_hof(spark):
         ).select("vec_id", "cluster").collect()
     }
     assert arrow == hof
-    # auto picks arrow at k>=64 and hof below — both still exact
+    # explicit 'auto' picks arrow at k>=64 and hof below — both still
+    # exact; the DEFAULT stays 'hof' so index builds remain pure-JVM
+    # unless the caller opts into the executor pandas dependency
     auto = {
         (r.vec_id, r.cluster)
-        for r in ivf_assign(emb, "embedding", cents, scale=64)
+        for r in ivf_assign(emb, "embedding", cents, scale=64, method="auto")
         .select("vec_id", "cluster")
         .collect()
     }

@@ -28,9 +28,6 @@ arrive at a roughly constant rate and pair counts grow linearly. So:
 This data is for SCALE PROBES only (BENCH_sf1 artifacts) — the
 correctness gate stays on the driver's own parquet.
 
-This data is for SCALE PROBES only (BENCH_sf1 artifacts) — the
-correctness gate stays on the driver's own parquet.
-
 Usage:
     python tools/gen_scale.py [--factor 10] [--src /root/testdata/sf0.1]
                               [--out /root/repo/.scale/sf1]
