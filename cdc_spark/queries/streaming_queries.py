@@ -2946,6 +2946,35 @@ def _st32_oracle() -> str:
     """
 
 
+# static-pruning literal budget: a batch touching more distinct cells
+# than this prunes the state via runtime DPP (broadcast batch) instead
+# of compiling a literal IN-list
+_ST32_ISIN_CAP = 1024
+# fold the per-batch state partitions into a fresh compacted version
+# every K micro-batches, keeping per-trigger listings O(cells)
+_ST32_COMPACT_EVERY = 2
+
+
+def _st32_assert_bucket_pruned(df: DataFrame, *, dynamic: bool) -> None:
+    """The dd14 mechanism assert (inputFiles ignores pushed filters,
+    so read the compiled plan): every parquet state scan must carry a
+    bucket PartitionFilter — static (IN-list) or runtime
+    (``dynamicpruningexpression``, the io24 mechanism) — so the probe
+    is pruned to the batch's own touched cells at planning time."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    chunks = plan.split("PartitionFilters: [")
+    if len(chunks) < 2:
+        raise AssertionError("state probe plans no PartitionFilters")
+    needle = "dynamicpruningexpression" if dynamic else "bucket"
+    for c in chunks[1:]:
+        head = c[: c.find("]") + 1]
+        if needle not in head:
+            raise AssertionError(
+                f"a state scan does not prune on bucket ({needle}):\n"
+                + c[:200]
+            )
+
+
 @register(
     "st32_streaming_semantic_dedup",
     oracle=_st32_oracle(),
@@ -2953,28 +2982,44 @@ def _st32_oracle() -> str:
     "embeddings analog of dd13's continuous corpus membership and "
     "the maintenance loop dd12's batch pass implies: vectors arrive "
     "in micro-batches (one per deterministic md5 shard of vec_id, "
-    "st30's reproducible decomposition), each batch is assigned to "
-    "SIZED cells (semantic_dedup_planes over the provisioned corpus "
-    "count — 2^planes cells ~ n/125, the dd12 clamp), and a vector "
-    "is flagged duplicate iff some earlier-processed vector shares "
-    "its cell within cosine 0.45 — candidates are per-cell only, "
-    "never cross-cell, so per-trigger work is |batch| x cell "
-    "occupancy. State holds the full history PARTITIONED BY cell; "
-    "each batch's probe reads only its own touched cells (partition-"
-    "pruned via an asserted PartitionFilter, the dd14 mechanism) and "
-    "appends its vectors to a batch-versioned dir (overwrite-"
-    "idempotent, st30's replay discipline with done-markers written "
-    "last). The probe unions one dir per prior batch - a long-lived "
-    "stream compacts those periodically exactly like "
-    "BucketedStateTable's maintenance (operators/maintenance.py), "
-    "keeping per-trigger listings O(cells), not O(batches). Oracle "
-    "recomputes cells, shards and the earlier-in-order predicate in "
-    "one self-join",
+    "st30's reproducible decomposition; shard files are NAMED and "
+    "mtime-sequenced so the file source's (modTime, path) order IS "
+    "shard order — batch_id indexes the shard sequence, asserted "
+    "against the data every batch), each batch is assigned to SIZED "
+    "cells (semantic_dedup_planes over the provisioned corpus count "
+    "— 2^planes cells ~ n/125, the dd12 clamp), and a vector is "
+    "flagged duplicate iff some earlier-processed vector shares its "
+    "cell within cosine 0.45 — candidates are per-cell only, never "
+    "cross-cell, so per-trigger work is |batch| x cell occupancy. "
+    "State is ONE hive-layout table vectors/shard=N/bucket=M (a "
+    "single FileScan, so pruning covers every state file at once; "
+    "live shards enter the scan at LISTING time, so superseded "
+    "partitions are never even listed); each batch's probe reads "
+    "only its own touched cells — a narrow "
+    "batch (<= 1024 cells) via a static PartitionFilter, a "
+    "production-wide batch via runtime dynamic partition pruning on "
+    "the broadcast batch itself (no literal list, no driver-side "
+    "cell collect — the io24 lever), both asserted in the compiled "
+    "plan. Effects are batch-versioned and overwrite-idempotent "
+    "with done-markers written last (st30's replay discipline; an "
+    "EMPTY micro-batch still publishes its empty result and its "
+    f"marker). Every {_ST32_COMPACT_EVERY} batches maintenance "
+    "FOLDS the accumulated shard partitions into a fresh compacted "
+    "version (written as shard=-v, atomic pointer swap, then the "
+    "superseded partitions are VACUUMED — the versioned publish + "
+    "budgeted rewrite from operators/maintenance.py) and the state "
+    "root provably shrinks to one live partition — asserted "
+    "in-stream — so per-trigger listings stay O(cells), not "
+    "O(batches). Oracle recomputes cells, shards and the "
+    "earlier-in-order predicate in one self-join",
     tags=("streaming", "dedup", "semantic", "embedding", "incremental"),
 )
 def st32_streaming_semantic_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    import json
+    import shutil
+
     from cdc_spark.operators.dedup import portable_hash60
     from cdc_spark.operators.similarity import (
         cosine,
@@ -2982,6 +3027,7 @@ def st32_streaming_semantic_dedup(
         lsh_bucket,
         semantic_dedup_planes,
     )
+    from cdc_spark.streaming.state import _fsync_replace
 
     emb = load_table(spark, sf_dir, "embeddings")
     # provisioned-capacity sizing: one count job before the stream
@@ -2995,82 +3041,172 @@ def st32_streaming_semantic_dedup(
 
     src_dir = tempfile.mkdtemp(prefix="st32_src_")
     sharded = emb.select("vec_id", "embedding").withColumn("s", shard)
-    for s in range(_ST32_SHARDS):
+    # deterministic processing order (round-10 advice): one NAMED file
+    # per non-empty shard with strictly increasing mtimes, so the file
+    # source's (modTime, path) ordering equals shard order and
+    # batch_id indexes shard_seq — no same-mtime path-tiebreak hazard
+    # from random part-file names. Empty shards write no file (they
+    # contribute no oracle row either); the bounded 5-row count
+    # aggregate decides which.
+    cnts = {
+        int(r.s): r.cnt
+        for r in sharded.groupBy("s").agg(F.count("*").alias("cnt")).collect()
+    }
+    shard_seq = [s for s in range(_ST32_SHARDS) if cnts.get(s, 0) > 0]
+    for i, s in enumerate(shard_seq):
+        tmp = os.path.join(src_dir, f"_tmp_{s}")
         sharded.where(F.col("s") == s).drop("s").coalesce(1).write.mode(
-            "append"
-        ).parquet(src_dir)
+            "overwrite"
+        ).parquet(tmp)
+        parts = [
+            f
+            for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        if len(parts) != 1:
+            raise AssertionError(
+                f"shard {s}: expected 1 part file, got {parts}"
+            )
+        dst = os.path.join(src_dir, f"shard_{s:02d}.parquet")
+        os.replace(os.path.join(tmp, parts[0]), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 + i * 60, 1_000_000 + i * 60))
 
     state_dir = tempfile.mkdtemp(prefix="st32_state_")
+    vec_root = os.path.join(state_dir, "vectors")
     done_dir = os.path.join(state_dir, "done")
     os.makedirs(done_dir, exist_ok=True)
+    os.makedirs(vec_root, exist_ok=True)
+    ptr = os.path.join(state_dir, "COMPACTED")
+
+    def _read_ptr() -> tuple[int, int]:
+        """(version, upto): vectors/shard=-version holds every vector
+        of shards < upto. (0, 0) before the first fold."""
+        if not os.path.exists(ptr):
+            return (0, 0)
+        meta = json.loads(open(ptr).read())
+        return (int(meta["version"]), int(meta["upto"]))
+
+    def _probe_shards() -> list[int]:
+        """Live state partitions a probe must read: the compacted
+        pseudo-shard plus only the post-compaction batch shards —
+        O(K), never O(batches)."""
+        version, upto = _read_ptr()
+        ids = [-version] if version else []
+        for p in sorted(int(x) for x in os.listdir(done_dir)):
+            if p >= upto and os.path.isdir(
+                os.path.join(vec_root, f"shard={p}")
+            ):
+                ids.append(p)
+        return ids
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         spark_ = batch_df.sparkSession
-        b = batch_df.withColumn(
-            "bucket", lsh_bucket(F.col("embedding"), planes)
-        ).withColumn("s", shard)
-        my_shard = int(b.select("s").first()[0])
+        if int(batch_id) >= len(shard_seq):
+            raise AssertionError(
+                f"batch {batch_id} beyond the {len(shard_seq)} source files"
+            )
+        my_shard = shard_seq[int(batch_id)]
         marker = os.path.join(done_dir, str(my_shard))
         if os.path.exists(marker):
             return  # replayed micro-batch: already folded
-        b = b.localCheckpoint(eager=True)  # reused 4x below
-        # bounded collect: distinct cells touched by THIS batch, capped
-        # at min(|batch|, 2^planes). The cap guards the isin() literal
-        # list — a production-size batch touching >10k cells reads the
-        # state unpruned instead of compiling a 10k-literal filter
-        # (at that point the batch covers most cells anyway)
-        touched = [
-            int(r.bucket)
-            for r in b.select("bucket").distinct().limit(10_001).collect()
-        ]
-        prune = len(touched) <= 10_000
-        prior_dirs = [
-            os.path.join(state_dir, f"shard_{p}")
-            for p in sorted(int(x) for x in os.listdir(done_dir))
-            if os.path.isdir(os.path.join(state_dir, f"shard_{p}"))
-        ]
+        res_path = os.path.join(state_dir, f"res_{my_shard}")
+        if batch_df.isEmpty():
+            # st30's discipline: an empty batch still publishes its
+            # (empty) result and its done-marker — the final
+            # trigger-count assert and res listing stay consistent.
+            # Our own source writes no empty files, so this is the
+            # defensive path for replayed/compacted sources.
+            spark_.createDataFrame(
+                [], "batch_id long, n_new long, n_dup long"
+            ).repartition(1).write.mode("overwrite").parquet(res_path)
+            open(marker, "w").close()
+            return
+        b = (
+            batch_df.withColumn(
+                "bucket", lsh_bucket(F.col("embedding"), planes)
+            )
+            .withColumn("s", shard)
+            .localCheckpoint(eager=True)  # reused 5x below
+        )
+        batch_shards = sorted(
+            int(r.s) for r in b.select("s").distinct().collect()
+        )
+        if batch_shards != [my_shard]:
+            raise AssertionError(
+                f"batch {batch_id} carries shards {batch_shards}, expected "
+                f"[{my_shard}] — source ordering broke"
+            )
+        live = _probe_shards()
         dup = None
-        if prior_dirs:
-            prior = None
-            for d in prior_dirs:
-                part = spark_.read.parquet(d)
-                if prune:
-                    part = part.where(F.col("bucket").isin(touched))
-                prior = part if prior is None else prior.unionByName(part)
-            if prune:
-                # the dd14 mechanism assert (inputFiles ignores pushed
-                # filters, so read the compiled plan instead): every
-                # state scan must carry a bucket PartitionFilter — the
-                # probe is pruned to this batch's own touched cells at
-                # planning time
-                plan = (
-                    prior._jdf.queryExecution().executedPlan().toString()
-                )
-                chunks = plan.split("PartitionFilters: [")
-                if len(chunks) < 2:
-                    raise AssertionError(
-                        "state probe plans no PartitionFilters"
-                    )
-                for c in chunks[1:]:
-                    if "bucket" not in c[: c.find("]") + 1]:
-                        raise AssertionError(
-                            "a state scan does not prune on bucket:\n"
-                            + c[:200]
-                        )
-            pv = prior.select(
-                F.col("embedding").alias("pe"), "bucket"
+        if live:
+            # ONE scan of the hive-layout state table: shard pruning
+            # happens at LISTING time (explicit kv-dir roots under a
+            # shared basePath — only the live partitions' files enter
+            # the file index), which matters twice over — no
+            # superseded dir is ever listed, and the scan carries no
+            # static shard filter expression, which would block the
+            # runtime-DPP insertion on bucket (measured: a static
+            # IN-filter on one partition column suppresses
+            # dynamicpruningexpression on another)
+            prior = spark_.read.option("basePath", vec_root).parquet(
+                *[os.path.join(vec_root, f"shard={p}") for p in live]
             )
-            dup = (
-                b.join(pv, "bucket")
-                .where(
-                    F.round(cosine(F.col("embedding"), F.col("pe")), 4)
-                    >= _ST32_THRESH
-                )
-                .select("vec_id")
+            # bounded collect: decides static-vs-dynamic bucket
+            # pruning only, capped at _ST32_ISIN_CAP+1 rows
+            touched = [
+                int(r.bucket)
+                for r in b.select("bucket")
                 .distinct()
-            )
+                .limit(_ST32_ISIN_CAP + 1)
+                .collect()
+            ]
+            if len(touched) <= _ST32_ISIN_CAP:
+                pruned = prior.where(F.col("bucket").isin(touched))
+                _st32_assert_bucket_pruned(pruned, dynamic=False)
+                pv = pruned.select(
+                    F.col("embedding").alias("pe"), "bucket"
+                )
+                dup = (
+                    b.join(pv, "bucket")
+                    .where(
+                        F.round(
+                            cosine(F.col("embedding"), F.col("pe")), 4
+                        )
+                        >= _ST32_THRESH
+                    )
+                    .select("vec_id")
+                    .distinct()
+                )
+            else:
+                # production-wide batch: broadcast the batch itself and
+                # let runtime dynamic partition pruning prune the state
+                # scan — no literal list, no driver-side cell collect.
+                # The between() is true by construction (cells live in
+                # [0, 2^planes)) and is what marks the broadcast side
+                # as selective for the DPP planner rule (io24's lever).
+                bb = F.broadcast(
+                    b.select(
+                        "vec_id",
+                        F.col("embedding").alias("be"),
+                        "bucket",
+                    ).where(
+                        F.col("bucket").between(0, (1 << len(planes)) - 1)
+                    )
+                )
+                dup = (
+                    prior.select(
+                        F.col("embedding").alias("pe"), "bucket"
+                    )
+                    .join(bb, "bucket")
+                    .where(
+                        F.round(cosine(F.col("be"), F.col("pe")), 4)
+                        >= _ST32_THRESH
+                    )
+                    .select("vec_id")
+                    .distinct()
+                )
+                _st32_assert_bucket_pruned(dup, dynamic=True)
         x, y = b.alias("x"), b.alias("y")
         internal = (
             x.join(
@@ -3092,16 +3228,62 @@ def st32_streaming_semantic_dedup(
         n_dup = dup.count()
         # batch-versioned, overwrite-idempotent effects; marker LAST
         spark_.createDataFrame(
-            [(my_shard, n - n_dup, n_dup)], "batch_id long, n_new long, n_dup long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"res_{my_shard}")
-        )
+            [(my_shard, n - n_dup, n_dup)],
+            "batch_id long, n_new long, n_dup long",
+        ).coalesce(1).write.mode("overwrite").parquet(res_path)
         b.select("vec_id", "embedding", "bucket").write.partitionBy(
             "bucket"
         ).mode("overwrite").parquet(
-            os.path.join(state_dir, f"shard_{my_shard}")
+            os.path.join(vec_root, f"shard={my_shard}")
         )
         open(marker, "w").close()
+        # maintenance: every K batches fold the live partitions into a
+        # fresh compacted version written as pseudo-shard -v, swap the
+        # pointer atomically, then vacuum the superseded partitions
+        # (operators/maintenance.py's versioned publish — readers
+        # never see a half-fold; a crash between marker and swap just
+        # defers the fold to the next cycle, replay skips at the
+        # marker above; a crash mid-vacuum leaves unreachable dirs the
+        # next vacuum removes)
+        done_now = sorted(int(x) for x in os.listdir(done_dir))
+        if len(done_now) % _ST32_COMPACT_EVERY == 0:
+            fold_ids = _probe_shards()
+            if len(fold_ids) > 1:
+                version, _upto = _read_ptr()
+                newv = version + 1
+                spark_.read.option("basePath", vec_root).parquet(
+                    *[
+                        os.path.join(vec_root, f"shard={p}")
+                        for p in fold_ids
+                    ]
+                ).select("vec_id", "embedding", "bucket").write.partitionBy(
+                    "bucket"
+                ).mode("overwrite").parquet(
+                    os.path.join(vec_root, f"shard=-{newv}")
+                )
+                _fsync_replace(
+                    ptr + ".tmp",
+                    ptr,
+                    json.dumps(
+                        {"version": newv, "upto": my_shard + 1}
+                    ),
+                )
+                for d in os.listdir(vec_root):
+                    sid = int(d.split("=", 1)[1])
+                    if sid != -newv:
+                        shutil.rmtree(os.path.join(vec_root, d))
+                # the listing provably SHRANK: the state root now
+                # holds exactly one live partition dir (the fresh
+                # compacted version), so the next probe lists
+                # O(cells) files no matter how many batches ran
+                left = os.listdir(vec_root)
+                if left != [f"shard=-{newv}"] or _probe_shards() != [
+                    -newv
+                ]:
+                    raise AssertionError(
+                        f"compaction did not shrink the state listing: "
+                        f"{len(fold_ids)} partitions -> {left}"
+                    )
 
     q = (
         spark.readStream.schema(
@@ -3118,10 +3300,10 @@ def st32_streaming_semantic_dedup(
     )
     q.awaitTermination(300)
     done = sorted(int(x) for x in os.listdir(done_dir))
-    if len(done) != _ST32_SHARDS:
+    if done != shard_seq:
         raise AssertionError(
-            f"expected {_ST32_SHARDS} one-shard micro-batches, "
-            f"got {len(done)}"
+            f"expected one micro-batch per non-empty shard {shard_seq}, "
+            f"got {done}"
         )
     return (
         spark.read.parquet(

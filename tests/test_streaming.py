@@ -655,3 +655,23 @@ def test_rocksdb_state_store_provider(spark, dirs):
         "RocksDBStateStoreProvider",
     )
     assert base == rocks == {("x", 3), ("y", 1), ("z", 1)}
+
+
+def test_st32_dpp_wide_batch_path_matches_static(spark, monkeypatch):
+    """Force every micro-batch down the production-wide path (cap=0):
+    the state probe must prune via runtime DPP (the in-query
+    dynamicpruningexpression assert fires if not) and the per-shard
+    new/dup counts must be bit-identical to the static IN-list path."""
+    from cdc_spark.queries import streaming_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r.batch_id, r.n_new, r.n_dup)
+        for r in sq.st32_streaming_semantic_dedup(spark, sf).collect()
+    }
+    monkeypatch.setattr(sq, "_ST32_ISIN_CAP", 0)
+    wide = {
+        (r.batch_id, r.n_new, r.n_dup)
+        for r in sq.st32_streaming_semantic_dedup(spark, sf).collect()
+    }
+    assert wide == base and len(base) == 5
