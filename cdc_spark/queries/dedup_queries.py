@@ -44,13 +44,21 @@ def _lsh_neardup_oracle(
     n_planes: int = 4,
     seed: int = 11,
     threshold: float = 0.4,
+    sample_cap: int = 2000,
 ) -> str:
     """DuckDB twin of ``embedding_near_dup_pairs_lsh``.
 
     The hyperplanes are deterministic (seeded), so the oracle embeds
     the SAME plane literals and recomputes the bucket signatures in
     SQL — the LSH candidate generation itself is hash-checked, not
-    just the exact-cosine verify."""
+    just the exact-cosine verify.
+
+    ``sample_cap`` mirrors dd05's bounded deterministic sample: the
+    recall-baseline demo runs on at most ~cap vectors (md5-uniform
+    1-in-m keep, m = ceil(n/cap) recomputed from COUNT(*) here), so
+    the deliberately permissive fixed-k pipeline stays gateable at
+    EVERY scale factor — at small SFs m = 1 and the sample is the
+    whole corpus."""
 
     def bucket_expr(t: int) -> str:
         terms = []
@@ -64,11 +72,21 @@ def _lsh_neardup_oracle(
 
     banded = "\n        UNION ALL\n        ".join(
         f"SELECT vec_id, embedding, {t} AS tbl, {bucket_expr(t)} AS bucket"
-        f" FROM embeddings"
+        f" FROM sampled"
         for t in range(n_tables)
     )
     return f"""
-    WITH banded AS (
+    WITH mm AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {sample_cap}.0) AS BIGINT))
+               AS m
+        FROM embeddings
+    ),
+    sampled AS (
+        SELECT vec_id, embedding FROM embeddings CROSS JOIN mm
+        WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % m = 0
+    ),
+    banded AS (
         {banded}
     ),
     pairs AS (
@@ -331,33 +349,176 @@ def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd05_embedding_neardup",
     oracle=_lsh_neardup_oracle(),
-    note="embedding-cosine near-dup pairs via hyperplane-LSH bucketing "
-    "(the 100 TB path: candidates = bucket collisions, not all pairs; "
-    "oracle recomputes the same seeded planes in SQL, so the bucketing "
-    "itself is hash-checked; exact all-pairs stays the tests' recall "
-    "baseline). Scale disposition (round 10): k=4 planes is PINNED "
-    "here because recall 1-(1-p^k)^L collapses with k at this "
-    "deliberately permissive 0.4 threshold (p~0.63) — the standard "
-    "LSH tradeoff, L must grow exponentially to compensate. At "
-    "production near-dup thresholds (0.85+, p~0.82) k grows with the "
-    "corpus at modest L; for corpus-sized partitions see dd12/ss13 "
-    "(semantic_dedup_planes), for the text path dd03's minhash bands. "
-    "Because both engines deliberately evaluate n^2/16-per-table "
-    "candidate sets, this entry is excluded from the full sf1 oracle "
-    "sweep (the DuckDB side is an hour-class single-node grind at "
-    "20k vectors); it is magnitude-insensitive (unit-norm cosines, "
-    "no sums that grow with SF)",
+    note="embedding-cosine near-dup RECALL-BASELINE DEMO at a "
+    "deliberately permissive 0.4 threshold (p~0.63): fixed k=4 "
+    "planes x L=14 tables give per-pair recall ~0.91 at the "
+    "boundary, measured vs the exact baseline in tests — the entry "
+    "exists to demonstrate the OR-amplification tradeoff itself, "
+    "not the production shape. At this threshold recall 1-(1-p^k)^L "
+    "collapses if k grows with the corpus (L must grow near-"
+    "exponentially), so fixed k is the only honest configuration — "
+    "and fixed k means n^2/2^k candidate work. Round 11: the demo "
+    "therefore runs on a BOUNDED deterministic sample (md5-uniform "
+    "1-in-m keep, m = ceil(n/2000), identity below ~2000 vectors), "
+    "so both engines' candidate sets are capped at ~2000^2/16 per "
+    "table at ANY scale factor and the entry joins the full sf1 "
+    "oracle sweep — no cost-based exclusions remain. The PRODUCTION "
+    "configuration is dd20: threshold 0.85 (p~0.82), corpus-sized "
+    "planes (semantic_dedup_planes), linear candidate work on the "
+    "full corpus. Oracle recomputes the sample predicate, the seeded "
+    "planes and the banding in SQL — the bucketing itself is "
+    "hash-checked",
     tags=("dedup", "embedding", "lsh"),
 )
 def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from cdc_spark.operators.dedup import portable_hash60
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # bounded deterministic sample: the fixed-k demo's candidate work
+    # is quadratic BY DESIGN (see note), so cap its input at ~2000
+    # vectors with an engine-portable md5 keep — identity at small SFs
+    m = max(1, math.ceil(emb.count() / 2000))
+    if m > 1:
+        emb = emb.where(
+            portable_hash60(F.col("vec_id").cast("string")) % m == 0
+        )
     # L=14 tables x 4 planes: recall 1-(1-p^4)^14 ≈ 0.91 at the 0.4-
     # cosine boundary (p = 1-acos(0.4)/pi ≈ 0.63), measured ≥ 0.90 vs
     # the exact baseline at sf0.001 and sf0.01 (tests/test_similarity).
-    # NB a 0.4 threshold is unusually permissive for "near-dup" — at a
-    # production 0.85+ threshold the same shape prunes far harder.
     return embedding_near_dup_pairs_lsh(
         emb, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.4, n_tables=14
+    )
+
+
+def _production_neardup_oracle(
+    *,
+    dim: int = _EMB_DIM,
+    n_tables: int = 10,
+    lo: int = 4,
+    hi: int = 16,
+    target: int = 125,
+    seed: int = 11,
+    threshold: float = 0.85,
+) -> str:
+    """DuckDB twin of dd20: the SIZED multi-table hyperplane LSH.
+
+    Per table, the plane count is derived from the corpus COUNT(*)
+    with the same clamp as ``semantic_dedup_planes`` (the dd12
+    pattern), each embedded plane literal gated by ``i < kk.planes``
+    — hyperplanes() is prefix-stable, so both engines compute
+    identical buckets at any SF including the sized branches the
+    small SFs never reach. The corpus unions a deterministic
+    simulated re-crawl (dd01's trick, embeddings edition): every
+    20th vector re-arrives with its every-5th coordinate zeroed
+    (cosine ≈ sqrt(0.8) ≈ 0.89 to its original — above the 0.85
+    production threshold), because the synthetic table has no
+    natural pairs that similar (max ≈ 0.60)."""
+    per_table = []
+    for t in range(n_tables):
+        terms = []
+        for i, plane in enumerate(hyperplanes(dim, hi, seed + 1000 * t)):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN {i} < kk.planes AND "
+                f"list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, embedding, {t} AS tbl,\n               "
+            + "\n             + ".join(terms)
+            + " AS bucket\n        FROM corpus CROSS JOIN kk"
+        )
+    banded = "\n        UNION ALL\n        ".join(per_table)
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CASE WHEN (i - 1) % 5 = 0 THEN CAST(0.0 AS FLOAT)
+                             ELSE embedding[i] END)
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    kk AS (
+        SELECT GREATEST({lo}, LEAST({hi},
+               CAST(CEIL(LOG2(COUNT(*) / {target}.0)) AS INT))) AS planes
+        FROM corpus
+    ),
+    banded AS (
+        {banded}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM banded a JOIN banded b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4)
+               AS cosine_sim
+    FROM pairs
+    WHERE ROUND(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4)
+          >= {threshold}
+    """
+
+
+@register(
+    "dd20_production_neardup",
+    oracle=_production_neardup_oracle(),
+    note="PRODUCTION-threshold embedding near-dup pairs (cosine >= "
+    "0.85, p = 1-acos(0.85)/pi ~ 0.82) with CORPUS-SIZED partitions "
+    "— the scale configuration dd05's permissive demo deliberately "
+    "is not: plane count = semantic_dedup_planes(count, hi=16) "
+    "(2^planes cells ~ n/125), so per-table candidate work "
+    "sum(cell^2) ~ n*125 stays LINEAR in n at any corpus size — the "
+    "dd12/ss13 cure applied to the pairwise near-dup shape, sf1-"
+    "sweep-inclusive by construction. L=10 tables OR-amplify recall "
+    "to 1-(1-p^k)^L ~ 0.998 at the lo-clamp (k=4) and ~0.91 at sf1's "
+    "k=8; because p^k = (n/125)^(log2 p) shrinks only polynomially "
+    "at this threshold (n^-0.28), production holds recall by growing "
+    "L ~ (n/125)^0.28 (86 tables at 10^9 vectors) or multiprobing — "
+    "the standard amplification, affordable exactly because the "
+    "per-table term is linear (contrast dd05's note: at 0.4 the same "
+    "exponent is n^-0.67 and sizing k is hopeless). The corpus "
+    "unions a deterministic simulated re-crawl (every 20th vector, "
+    "every-5th coordinate zeroed, cosine ~ 0.89) since the synthetic "
+    "table has no natural 0.85 pairs; expected output is one pair "
+    "per injected near-dup — linear in n. Oracle re-derives the "
+    "clamp from COUNT(*) with index-gated plane literals per table "
+    "(prefix-stable hyperplanes), recomputing the sized banding "
+    "bit-for-bit",
+    tags=("dedup", "embedding", "lsh", "scale"),
+)
+def dd20_production_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_spark.operators.similarity import semantic_dedup_planes
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    recrawl = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i % 5 == 0, F.lit(0.0).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(recrawl)
+    # one cheap count job sizes the partition to the corpus (the dd12
+    # discipline): 2^planes cells ~ n/125 keeps per-table candidate
+    # work linear in n
+    planes = semantic_dedup_planes(corpus.count(), hi=16)
+    return embedding_near_dup_pairs_lsh(
+        corpus,
+        "embedding",
+        "vec_id",
+        dim=_EMB_DIM,
+        threshold=0.85,
+        n_tables=10,
+        n_planes=planes,
     )
 
 

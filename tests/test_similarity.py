@@ -241,3 +241,59 @@ def test_ivf_sized_nlist_matches_sql_clamp():
     assert ivf_sized_nlist(500) == 32
     assert ivf_sized_nlist(2_000) == 64
     assert ivf_sized_nlist(20_000) == 256
+
+
+def test_dd20_clamp_hi16_matches_sql():
+    """dd20 clamps at hi=16 (the oracle's embedded-literal budget) —
+    assert the SQL arithmetic agrees with semantic_dedup_planes(hi=16)
+    across magnitudes including the hi-saturation region."""
+    import duckdb
+
+    from cdc_spark.operators.similarity import semantic_dedup_planes
+
+    for n in (1, 125, 525, 2_100, 21_000, 125 * 2**16,
+              125 * 2**16 + 1, 10**9):
+        sql = duckdb.sql(
+            f"SELECT GREATEST(4, LEAST(16, "
+            f"CAST(CEIL(LOG2({n} / 125.0)) AS INT)))"
+        ).fetchone()[0]
+        assert sql == semantic_dedup_planes(n, hi=16), n
+
+
+def test_dd20_production_neardup_recall(spark):
+    """dd20's sized multi-table LSH must capture >= 0.9 of the exact
+    0.85-threshold pairs on its injected-re-crawl corpus, and emit
+    nothing the exact baseline does not (candidates are verified by
+    exact cosine, so false positives are impossible by construction)."""
+    from cdc_spark.operators.similarity import embedding_near_dup_pairs
+    from cdc_spark.queries.dedup_queries import dd20_production_neardup
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd20_production_neardup(spark, sf).collect()
+    }
+    # rebuild the same corpus for the exact baseline
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    recrawl = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i % 5 == 0, F.lit(0.0).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb.unionByName(recrawl), "embedding", "vec_id", threshold=0.85
+        ).collect()
+    }
+    assert got <= exact
+    assert exact, "injection produced no 0.85 pairs — corpus drifted"
+    assert len(got) / len(exact) >= 0.9
