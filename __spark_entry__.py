@@ -23,17 +23,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 10: the driver samples a 50-row prefix, so the
-# ordering below IS the gate. Tier 0 (_R10_PREFIX) is exactly 50
-# entries: the 4 never-driver-gated round-9 additions (staged last
-# round as _R10_NEXT), the two entries REBUILT this round with
-# CHANGED oracles (dd12's and ss13's sized partitions derive the
-# plane count from COUNT(*)), and 44 freshness re-gates drawn from
-# the 46 entries whose last driver row is r4-era (all other rows are
-# r5+; tx13/tx14 are the two r4 entries deferred to round 11 — the
-# prefix holds 50). Tier 1 (_R11_NEXT) is this round's new addition
-# plus the deferred pair, staged for the round-11 gate; tier 2 the
-# previous prefix; tier 3 everything else.
+# Rotated for round 11: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 (_R11_PREFIX) is exactly 50
+# entries: the 3 never-driver-gated round-10 additions (staged last
+# round as _R11_NEXT), the two r4-era freshness re-gates round 10
+# could not hold (tx13/tx14), the two entries ADDED this round (dd20
+# production-threshold near-dup, ss25 persisted sized-IVF serving),
+# the one entry REBUILT this round with a CHANGED oracle (dd05's
+# bounded deterministic sample), and 42 freshness re-gates drawn
+# from the 44 oracled entries whose last driver row is r5-era
+# (ss08/ss09 are the two r5 entries deferred to round 12 — the
+# prefix holds 50; dp01/dp02 are rows-only by design and never take
+# a hash-gate slot). st32 also changed this round (deterministic
+# shard ordering, DPP wide-batch pruning, wired compaction) — it
+# sits in the prefix already as a never-gated entry. Tier 1
+# (_R12_NEXT) is the deferred pair, staged for the round-12 gate;
+# tier 2 the previous prefix; tier 3 everything else.
+_R11_PREFIX = (
+    # 3 round-10 additions — never driver-gated, first in line
+    # (st32 rebuilt this round: compaction + DPP + ordered shards)
+    "st31_salted_stream_enrichment",
+    "ss24_ivf_sized_nlist",
+    "st32_streaming_semantic_dedup",
+    # the two r4-era re-gates deferred by the round-10 prefix
+    "tx13_unicode_normalize",
+    "tx14_url_domain_stats",
+    # added this round
+    "dd20_production_neardup",
+    "ss25_ivf_sized_serving",
+    # rebuilt this round: bounded-sample recall demo (oracle CHANGED)
+    "dd05_embedding_neardup",
+    # 42 r5-era freshness re-gates (oldest oracled driver rows, gate
+    # order; ss08/ss09 deferred to round 12)
+    "cdc17_incremental_snapshot",
+    "cdc18_dead_letter_routing",
+    "cdc19_version_diff_feed",
+    "cdc20_stream_binary_wire",
+    "cdc21_wal2json_v2",
+    "cdc22_bidirectional_origin_filter",
+    "cdc23_checkpoint_resume",
+    "cdc24_multi_table_demux",
+    "cdc25_tombstone_retention",
+    "dp04_length_bucket_batching",
+    "io01_jsonl_roundtrip",
+    "io02_csv_roundtrip",
+    "io03_orc_roundtrip",
+    "io04_partitioned_pruned_read",
+    "io05_bucketed_colocated_join",
+    "io06_sorted_zonemap_read",
+    "io07_schema_evolution_read",
+    "io08_python_datasource",
+    "mm01_multimodal_features",
+    "mm02_resize_frame_sample",
+    "mm03_phash_neardup",
+    "q56_asof_forward",
+    "q57_lateral_topk",
+    "q58_asof_hotkey_bucketed",
+    "q59_gap_fill_locf",
+    "q60_ohlc_downsample",
+    "q62_bounded_collect_topn",
+    "q63_sole_late_supplier",
+    "q64_small_qty_revenue",
+    "q65_dormant_rich_customers",
+    "q66_top_revenue_supplier",
+    "q67_order_count_distribution",
+    "q68_product_type_profit",
+    "q69_important_stock",
+    "q70_shipmode_priority",
+    "q71_promotion_suppliers",
+    "q72_time_decayed_engagement",
+    "ss01_cosine_topk",
+    "ss02_ann_lsh_topk",
+    "ss04_int8_quantization",
+    "ss05_batch_cosine_topk",
+    "ss07_matryoshka_rerank",
+)
+
+# The two r5-era re-gates the round-11 prefix could not hold, staged
+# first for the round-12 rotation.
+_R12_NEXT = (
+    "ss08_quantized_rerank",
+    "ss09_filtered_topk",
+)
+
 _R10_PREFIX = (
     # 4 round-9 additions — never driver-gated, first in line
     "q112_cms_heavy_hitters",
@@ -92,89 +164,19 @@ _R10_PREFIX = (
     "ss13_knn_graph",
 )
 
-# Round-10 addition — never gated; first in line for the round-11
-# rotation (tier 1, immediately after this round's 50-entry prefix),
-# followed by the one r4-era entry the round-10 prefix couldn't hold.
-_R11_NEXT = (
-    "st31_salted_stream_enrichment",
-    "ss24_ivf_sized_nlist",
-    "st32_streaming_semantic_dedup",
-    "tx13_unicode_normalize",
-    "tx14_url_domain_stats",
-)
 
-_R9_PREFIX = (
-    # 9 round-8 additions — never gated, first in line
-    "q106_mergeable_quantile_sketch",
-    "q107_stratified_sample_quantiles",
-    "q108_priority_weighted_sample",
-    "st28_streaming_quantile_sketch",
-    "q109_asof_nearest_tolerance",
-    "q110_cms_join_cardinality",
-    "q111_kmv_accuracy_sweep",
-    "io25_nested_schema_evolution",
-    "st29_streaming_cms_maintenance",
-    # rebuilt this round (bounded collect state; oracle unchanged)
-    "q53_collect_sorted",
-    # 35 r1-era freshness re-gates (oldest driver rows, gate order)
-    "q11_group_distinct",
-    "q13_cube",
-    "q32_grouping_sets",
-    "q05_local_supplier_volume",
-    "q07_broadcast_dim_join",
-    "q08_semi_join",
-    "q09_anti_join",
-    "q10_full_outer",
-    "q15_window_running",
-    "q16_window_lag",
-    "q18_set_except",
-    "q19_set_intersect",
-    "q20_union_distinct",
-    "q21_string_funcs",
-    "q22_date_funcs",
-    "q23_json_extract",
-    "q33_math_funcs",
-    "q34_case_bucketing",
-    "q24_orderby_limit",
-    "q27_pivot",
-    "q35_array_funcs",
-    "q36_map_funcs",
-    "q37_unpivot",
-    "q38_window_range_frame",
-    "q40_first_last_value",
-    "q42_strangler_merge",
-    "q43_snapshot_backfill",
-    "q44_debezium_roundtrip",
-    "q45_returned_items",
-    "q46_nation_trade_volume",
-    "q48_promo_share",
-    "q49_large_orders",
-    "q50_supplier_part_stats",
-    "q51_disjunctive_predicates",
-    "q55_intersect_all_multiset",
-    # 3 r3-era re-gates
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    # oldest r4-era re-gate
-    "cdc01_golden_replay",
-    # rebuilt this round (deterministic-slice bucket path; oracle
-    # unchanged, plan changed) — outranks a second r4 freshness slot
-    "dp03_concat_chunk_plan",
-)
-
-_R9_RANK = {n: i for i, n in enumerate(_R9_PREFIX)}
 _R10_RANK = {n: i for i, n in enumerate(_R10_PREFIX)}
-_R11_RANK = {n: i for i, n in enumerate(_R11_NEXT)}
+_R11_RANK = {n: i for i, n in enumerate(_R11_PREFIX)}
+_R12_RANK = {n: i for i, n in enumerate(_R12_NEXT)}
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R10_RANK:
-        return (0, _R10_RANK[name], name)
     if name in _R11_RANK:
-        return (1, _R11_RANK[name], name)
-    if name in _R9_RANK:
-        return (2, _R9_RANK[name], name)
+        return (0, _R11_RANK[name], name)
+    if name in _R12_RANK:
+        return (1, _R12_RANK[name], name)
+    if name in _R10_RANK:
+        return (2, _R10_RANK[name], name)
     return (3, 0, name)
 
 

@@ -65,6 +65,10 @@ HEADLINE = [
     "q108_priority_weighted_sample",   # weighted bottom-k + subset-sum estimate
     "q110_cms_join_cardinality",       # sketch dot-product join-size estimate
     "q112_cms_heavy_hitters",          # sharded candidate pass + CMS verify
+    "dd20_production_neardup",         # sized multi-table LSH, 0.85 threshold
+    "ss25_ivf_sized_serving",          # persisted sized-IVF probe (min-of-3 =
+                                       # probe-only: the index builds once and
+                                       # is cached for the process)
 ]
 
 

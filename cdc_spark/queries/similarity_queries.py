@@ -265,6 +265,79 @@ def ss24_ivf_sized_nlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (sf_dir, nlist) -> built index path: ss25 builds its sized index
+# ONCE per process and every subsequent call (and the bench's timed
+# loop) pays only the probe — the steady-state serving cost
+_SS25_INDEX_PATHS: dict[tuple[str, int], str] = {}
+
+
+@register(
+    "ss25_ivf_sized_serving",
+    oracle=_ivf_sized_oracle(),
+    note="the SERVING twin of ss24: the sized-nlist IVF index is "
+    "built ONCE into the persisted lake layout (ss06's "
+    "cluster-partitioned corpus + sidecar codebook, arrow-assigned "
+    "at build per ivf_assign's opt-in) and cached per (sf_dir, "
+    "nlist) for the life of the process — the gated query then "
+    "measures what production actually serves: a probe that opens "
+    "n_probe of ~sqrt(n) cluster DIRECTORIES (static "
+    "PartitionFilters on the probed cluster ids, asserted in the "
+    "compiled plan — the dd14 mechanism) and scans n_probe*sqrt(n) "
+    "rows, sublinear at any corpus size. ss24 deliberately re-builds "
+    "per run so the BUILD path stays oracle-gated; this entry pins "
+    "the steady-state cost next to it (bench: "
+    "ivf_sized_probe_serving). Same oracle: the on-disk layout is a "
+    "pure function of the data, so probe-from-index and "
+    "assign-then-probe must agree bit-for-bit",
+    tags=("similarity", "ann", "ivf", "index", "scale"),
+)
+def ss25_ivf_sized_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_spark.operators.ivf import (
+        IvfIndex,
+        deterministic_codebook,
+        ivf_sized_nlist,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlist = ivf_sized_nlist(emb.count())
+    key = (sf_dir, nlist)
+    path = _SS25_INDEX_PATHS.get(key)
+    if path is None:
+        codebook = deterministic_codebook(
+            emb, "embedding", "vec_id", k=nlist, scale=64
+        )
+        path = tempfile.mkdtemp(prefix="ss25_ivf_")
+        IvfIndex.build(
+            spark,
+            path,
+            emb,
+            "embedding",
+            "vec_id",
+            codebook=codebook,
+            scale=64,
+            assign_method="arrow",
+        )
+        _SS25_INDEX_PATHS[key] = path
+    idx = IvfIndex(spark, path)
+    q = _query_vector(spark, sf_dir, 0)
+    out = idx.topk(q, k=10, n_probe=4)
+    # serving contract, asserted per query: the probe's corpus scan
+    # must carry a cluster PartitionFilter — only the probed cluster
+    # directories are planned, the other ~sqrt(n) are never opened
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    chunks = plan.split("PartitionFilters: [")
+    if len(chunks) < 2:
+        raise AssertionError("serving probe plans no PartitionFilters")
+    for c in chunks[1:]:
+        if "cluster" not in c[: c.find("]") + 1]:
+            raise AssertionError(
+                "a corpus scan does not prune on cluster:\n" + c[:200]
+            )
+    return out
+
+
 @register(
     "ss03_ivf_topk",
     oracle=_ivf_det_oracle(),
