@@ -407,7 +407,14 @@ CONTROLS = (
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("cdc_spark_bench")
+    # no console progress bars: the driver captures stdout+stderr with
+    # a bounded buffer, and round 10's capture was truncated MID-JSON
+    # by megabytes of \r stage-progress noise (BENCH_r10.json parsed:
+    # null) — the one JSON line must survive the capture
+    spark = get_spark(
+        "cdc_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (codegen/JIT) with one pass of every headline query
@@ -462,10 +469,11 @@ def main() -> None:
     control_mean = round(
         sum(timings[c] for c in CONTROLS) / len(CONTROLS), 4
     )
-    normalized = {
-        k: round(v / control_mean, 3) for k, v in timings.items()
-    }
 
+    # ONE compact JSON line (driver contract). The per-query normalized
+    # values are sec / control_mean — derivable, so NOT inlined: round
+    # 10's line doubled past the driver's capture budget and parsed as
+    # null; control_mean alone carries the normalization.
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -476,7 +484,6 @@ def main() -> None:
                 "queries": timings,
                 "controls": list(CONTROLS),
                 "control_mean": control_mean,
-                "normalized": normalized,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
