@@ -169,6 +169,13 @@ _R10_RANK = {n: i for i, n in enumerate(_R10_PREFIX)}
 _R11_RANK = {n: i for i, n in enumerate(_R11_PREFIX)}
 _R12_RANK = {n: i for i, n in enumerate(_R12_NEXT)}
 
+# Stable aliases for the CURRENT round's 50-slot gate prefix and the
+# tier staged for the NEXT rotation — tests pin the contract through
+# these names so a rotation cannot silently break them
+# (tests/test_registry_contract.py).
+GATE_PREFIX = _R11_PREFIX
+NEXT_TIER = _R12_NEXT
+
 
 def _rank(name: str) -> tuple[int, int, str]:
     if name in _R11_RANK:

@@ -71,7 +71,7 @@ def test_rotation_prefix_is_50_oracled_entries():
     guaranteed no_oracle row (the q31 lesson from round 6)."""
     import __spark_entry__ as entry
 
-    prefix = entry._R10_PREFIX
+    prefix = entry.GATE_PREFIX
     assert len(prefix) == 50
     assert len(set(prefix)) == 50, "duplicate entries in prefix"
     for name in prefix:
@@ -89,7 +89,7 @@ def test_next_rotation_tier_is_oracled_and_registered():
     reordering alone."""
     import __spark_entry__ as entry
 
-    nxt = entry._R11_NEXT
+    nxt = entry.NEXT_TIER
     assert len(set(nxt)) == len(nxt)
     for name in nxt:
         assert name in REGISTRY, f"{name} not registered"
