@@ -72,15 +72,38 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
 def lsh_bucket(
     embedding: Column, planes: list[list[float]]
 ) -> Column:
-    """Random-hyperplane signature: bit i = sign(v · plane_i) ≥ 0."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket + F.when(
-            dot(embedding, p) >= 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
+    """Random-hyperplane signature: bit i = sign(v · plane_i) ≥ 0.
+
+    The planes ship as ONE parsed SQL literal (array of arrays of
+    DOUBLE), not len(planes)×dim ``F.lit`` trees: each Column literal
+    costs a py4j round trip at plan-build time, and the sized
+    multi-table shapes (dd20: 10 tables × planes=11 × dim=128 ≈ 14 k
+    literals) spent ~200 s of pure DRIVER time composing them — the
+    ivf_assign lesson, measured at the round-11 sf10 probe where
+    dd20's wall-clock was flat across ×10 data because plan build
+    dominated both. ``repr(x)`` is the shortest round-trip form, so
+    the ``...D`` double literal parses to the identical IEEE value
+    and Catalyst constant-folds the array; bit i still comes from the
+    same sequential-fold :func:`dot`, so signatures are bit-identical
+    to the previous per-plane form."""
+    rows = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        for plane in planes
+    )
+    planes_lit = F.expr(f"array({rows})")
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(dot(embedding, p) >= 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    # Σ bitᵢ·2ⁱ as a reversed Horner fold (shiftleft needs a literal
+    # shift amount, so the weight comes from fold position instead):
+    # exact long arithmetic, planes ≤ 24 bits.
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * F.lit(2).cast("long") + b,
+    )
 
 
 def ann_lsh_topk(
@@ -227,8 +250,16 @@ def embedding_near_dup_pairs_lsh(
     recall 1-(1-p^k)^L, measured in tests).
 
     One explode to (id, table, bucket) rows, one self-equi-join on
-    (table, bucket), distinct pairs, exact-cosine verify. Identical
-    shape to MinHash-LSH banding."""
+    (table, bucket) carrying IDS ONLY, distinct id pairs, then the
+    embeddings join back for the exact-cosine verify. Identical shape
+    to MinHash-LSH banding. The candidate join deliberately does NOT
+    carry the embedding arrays: the join OUTPUT is Σcell² rows per
+    table, and shuffling two dim-float arrays per candidate into the
+    distinct was the dominant cost at scale (measured at the sf10
+    probe: ~25 GB of array shuffle for 200 k vectors where the
+    id-pair form moves ~16 bytes/candidate — the arrays are joined
+    back only |pairs| times). With one table a pair can collide only
+    once, so the distinct is skipped entirely."""
     buckets = F.array(
         *[
             lsh_bucket(
@@ -239,27 +270,24 @@ def embedding_near_dup_pairs_lsh(
     )
     banded = df.select(
         F.col(id_col),
-        F.col(embedding_col),
         F.posexplode(buckets).alias("__table", "__bucket"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col(embedding_col).alias("__ea"),
-        "__table",
-        "__bucket",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col(embedding_col).alias("__eb"),
-        "__table",
-        "__bucket",
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "__table", "__bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "__table", "__bucket")
     pairs = (
         a.join(b, ["__table", "__bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ea", "__eb")
-        .distinct()
+        .select("id_a", "id_b")
     )
+    if n_tables > 1:
+        pairs = pairs.distinct()
+    ea = df.select(
+        F.col(id_col).alias("id_a"), F.col(embedding_col).alias("__ea")
+    )
+    eb = df.select(
+        F.col(id_col).alias("id_b"), F.col(embedding_col).alias("__eb")
+    )
+    pairs = pairs.join(ea, "id_a").join(eb, "id_b")
     sim = F.round(cosine(F.col("__ea"), F.col("__eb")), round_digits)
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
         F.col("cosine_sim") >= threshold
