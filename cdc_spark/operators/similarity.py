@@ -281,14 +281,27 @@ def embedding_near_dup_pairs_lsh(
     )
     if n_tables > 1:
         pairs = pairs.distinct()
+    # Norms are a pure function of one vector, so they're computed in
+    # the n-row projection and carried through the join — the verify
+    # then runs ONE array fold per candidate (the dot) instead of
+    # three (dot + both norms re-derived per pair). Same expression
+    # tree over the same arrays ⇒ bit-identical doubles.
     ea = df.select(
-        F.col(id_col).alias("id_a"), F.col(embedding_col).alias("__ea")
+        F.col(id_col).alias("id_a"),
+        F.col(embedding_col).alias("__ea"),
+        norm(F.col(embedding_col)).alias("__na"),
     )
     eb = df.select(
-        F.col(id_col).alias("id_b"), F.col(embedding_col).alias("__eb")
+        F.col(id_col).alias("id_b"),
+        F.col(embedding_col).alias("__eb"),
+        norm(F.col(embedding_col)).alias("__nb"),
     )
     pairs = pairs.join(ea, "id_a").join(eb, "id_b")
-    sim = F.round(cosine(F.col("__ea"), F.col("__eb")), round_digits)
+    sim = F.round(
+        dot(F.col("__ea"), F.col("__eb"))
+        / (F.col("__na") * F.col("__nb")),
+        round_digits,
+    )
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
         F.col("cosine_sim") >= threshold
     )
