@@ -1134,10 +1134,17 @@ def ss13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     planes = hyperplanes(_EMB_DIM, semantic_dedup_planes(emb.count()), 11)
+    from cdc_spark.operators.similarity import dot, norm
+
+    # norm hoisted to the n-row projection (the dd12 lesson, measured
+    # at the sf10 probe): the within-cell scoring runs ONE array fold
+    # per candidate instead of three — same expression tree over the
+    # same arrays, bit-identical doubles
     b = emb.select(
         "vec_id",
         "embedding",
         lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     s, d = b.alias("s"), b.alias("d")
     scored = s.join(
@@ -1148,7 +1155,9 @@ def ss13_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.vec_id").alias("src"),
         F.col("d.vec_id").alias("dst"),
         F.round(
-            cosine(F.col("s.embedding"), F.col("d.embedding")), 4
+            dot(F.col("s.embedding"), F.col("d.embedding"))
+            / (F.col("s.nrm") * F.col("d.nrm")),
+            4,
         ).alias("sim"),
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
