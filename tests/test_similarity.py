@@ -38,6 +38,37 @@ def test_cosine_expression_matches_python(spark):
     assert abs(out[1].c - 0.5 / math.sqrt(0.5)) < 1e-12
 
 
+def test_lsh_bucket_bit_identical_to_python_fold(spark, emb):
+    """lsh_bucket ships its planes as one parsed SQL literal (round
+    11); signatures must stay bit-identical to the reference per-plane
+    form: a sequential-fold dot per plane, bit i = sign(dot) >= 0.
+    Real corpus vectors so denormal/rounding paths are exercised."""
+    from cdc_spark.operators.similarity import hyperplanes, lsh_bucket
+
+    planes = hyperplanes(64, 9, 11)
+    rows = emb.limit(200).select("vec_id", "embedding").collect()
+    got = {
+        r.vec_id: r.b
+        for r in emb.limit(200)
+        .select("vec_id", lsh_bucket(F.col("embedding"), planes).alias("b"))
+        .collect()
+    }
+
+    def pydot(v, p):
+        acc = 0.0
+        for x, y in zip(v, p):
+            acc = acc + float(x) * y
+        return acc
+
+    for r in rows:
+        expect = sum(
+            1 << i
+            for i, pl in enumerate(planes)
+            if pydot(r.embedding, pl) >= 0
+        )
+        assert got[r.vec_id] == expect, r.vec_id
+
+
 def test_topk_self_is_first(spark, emb):
     q = _qvec(emb, 0)
     rows = cosine_topk(emb, "embedding", "vec_id", q, k=5).collect()
