@@ -118,3 +118,34 @@ def davg_sql(expr: str, scale: int = 6, ndigits: int = 6) -> str:
         f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
         f" / COUNT({expr}), {ndigits})"
     )
+
+
+def await_stream(q, idle_timeout: float = 600.0) -> None:
+    """Wait until a streaming query (typically Trigger.AvailableNow)
+    ACTUALLY terminates.
+
+    ``q.awaitTermination(300)`` returns False on timeout, and 27 call
+    sites ignored that return — at scale one long micro-batch outlived
+    the cap and the caller read partially-folded state (caught by the
+    round-11 sf10 probe: st32's fifth shard was still folding when the
+    done-marker assert ran). Progress-aware: keeps waiting as long as
+    batches are completing, and fails LOUDLY (stop + raise) only after
+    ``idle_timeout`` seconds with no new completed batch — a genuine
+    hang, never just a big batch."""
+    import time as _time
+
+    last_batch = -1
+    idle_start = _time.monotonic()
+    while not q.awaitTermination(10):
+        progress = q.lastProgress
+        batch = progress["batchId"] if progress else -1
+        if batch != last_batch:
+            last_batch = batch
+            idle_start = _time.monotonic()
+        elif _time.monotonic() - idle_start > idle_timeout:
+            q.stop()
+            raise RuntimeError(
+                f"streaming query made no batch progress in "
+                f"{idle_timeout:.0f}s — stopped and failed loudly "
+                "instead of reading partial state"
+            )

@@ -19,7 +19,7 @@ from cdc_spark.cdc.merge import apply_changes, latest_by_key, scd2_history
 from cdc_spark.cdc.outbox import route_outbox
 from cdc_spark.cdc.registry import SchemaRegistry
 from cdc_spark.cdc.snapshot import snapshot_diff
-from cdc_spark.queries.base import register
+from cdc_spark.queries.base import await_stream, register
 
 # Map event_type → CDC op so `events` becomes a deterministic change
 # stream: signup creates, click/view/purchase update, error deletes.
@@ -1314,7 +1314,7 @@ def cdc20_stream_binary_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
 
     # barrier proof: after batch 1 only tx501 is visible (tx502's
     # update/delete are pending, so id=2 still present, id=1 unrenamed)
@@ -1646,7 +1646,7 @@ def cdc23_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
         return pipe, sum(seen)
 
     n_first = events.where(F.col("event_id") <= mx // 2).count()

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table
-from cdc_spark.queries.base import dsum, dsum_sql, register
+from cdc_spark.queries.base import await_stream, dsum, dsum_sql, register
 from cdc_spark.sources.connectors import write_sink
 
 _AGG_ORACLE = f"""
@@ -519,7 +519,7 @@ def io10_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once every admitted slice is applied
     q.processAllAvailable()
     q.stop()
-    q.awaitTermination(60)
+    await_stream(q)
     return state.read()
 
 
@@ -1090,7 +1090,7 @@ def io19_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    q.awaitTermination(60)
+    await_stream(q)
 
     back = spark.read.schema(
         "lsn long, op string, key long, value double"

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_spark.catalog import load_table, normalize_event_time, table_path
-from cdc_spark.queries.base import dsum_sql, register
+from cdc_spark.queries.base import await_stream, dsum_sql, register
 from cdc_spark.streaming.pipeline import (
     sessionized_counts,
     stream_dedup,
@@ -58,7 +58,7 @@ def _run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -207,7 +207,7 @@ def st05_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
     )
     q = rollup.start(stream, tempfile.mkdtemp(prefix="ckpt_"))
-    q.awaitTermination(300)
+    await_stream(q)
     return rollup.read()
 
 
@@ -397,7 +397,7 @@ def st08_cdc_pipeline_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
     )
     q = pipe.start(src_dir, tempfile.mkdtemp(prefix="st08_ckpt_"))
-    q.awaitTermination(300)
+    await_stream(q)
     return pipe.state.read()
 
 
@@ -535,7 +535,7 @@ def st09_stream_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="st09_ckpt_"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    await_stream(q)
     out = agg.read(count_alias="n_users")
     return out.select(
         F.col("event_type").alias("last_type"), "n_users", "sum_value"
@@ -872,7 +872,7 @@ def st12_incremental_snapshot_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
 
     # slot caught up: any chunk windows past the final applied LSN
     # flush now (the tail's last LSN IS max_lsn, so normally none)
@@ -1080,7 +1080,7 @@ def st14_change_feed_publication(
         tempfile.mkdtemp(prefix="st14_ckpt_"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    await_stream(q)
 
     # replay the PUBLISHED feed (not the raw log): the reconstruction
     # must equal the one-shot merge the oracle computes
@@ -1280,7 +1280,7 @@ def st16_cdf_consumer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="st16_ckpt_"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    await_stream(q)
 
     # the INDEPENDENT consumer: a real streaming job over the feed
     feed_schema = (
@@ -1435,7 +1435,7 @@ def st17_stream_schema_evolution(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return state.read()
 
 
@@ -1467,7 +1467,7 @@ def st18_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     # the commit log must exist — it IS the exactly-once mechanism
     if not os.path.isdir(os.path.join(out_dir, "_spark_metadata")):
         raise AssertionError("file sink wrote no _spark_metadata commit log")
@@ -1543,7 +1543,7 @@ def st19_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
         for pr in q.recentProgress
@@ -1627,7 +1627,7 @@ def st20_stream_vector_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     probe = (
         emb.where(F.col("vec_id") == 0).first()["embedding"]
     )
@@ -1666,7 +1666,7 @@ def st21_state_store_inspection(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.event_type").alias("event_type"),
@@ -1821,7 +1821,7 @@ def st22_stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
 
     closed = spark.read.parquet(closed_dir).select(
         "user_id", "event_type", "value", "valid_from", "valid_to"
@@ -1917,7 +1917,7 @@ def st23_stream_watchlist_alerts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return spark.table(name)
 
 
@@ -1959,7 +1959,7 @@ def st24_stream_partitioned_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     if not os.path.isdir(os.path.join(out_dir, "_spark_metadata")):
         raise AssertionError("file sink wrote no _spark_metadata log")
     parts = []
@@ -2040,7 +2040,7 @@ def st25_rocksdb_state_backend(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
         # the backend must actually have been RocksDB for this query
         progress = q.lastProgress
         providers = _json.dumps(progress, default=str) if progress else ""
@@ -2124,7 +2124,7 @@ def st26_rate_limited_backfill(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     if len(batch_rows) != 8:
         raise AssertionError(
             f"rate limit ignored: {len(batch_rows)} micro-batches "
@@ -2256,7 +2256,7 @@ def st27_streaming_kmv_cardinality(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     if n_batches[0] != 6:
         raise AssertionError(
             f"expected 6 one-file micro-batches, got {n_batches[0]}"
@@ -2390,7 +2390,7 @@ def st28_streaming_quantile_sketch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     if n_batches[0] != 6:
         raise AssertionError(
             f"expected 6 one-file micro-batches, got {n_batches[0]}"
@@ -2501,7 +2501,7 @@ def st29_streaming_cms_maintenance(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     if n_batches[0] != 6:
         raise AssertionError(
             f"expected 6 one-file micro-batches, got {n_batches[0]}"
@@ -2735,7 +2735,7 @@ def st30_streaming_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     done = _done_ids()
     if len(done) != _ST30_SHARDS:
         raise AssertionError(
@@ -2863,7 +2863,7 @@ def st31_salted_stream_enrichment(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
         plan = q._jsq.explainInternal(True)
         if "__salt" not in plan:
             raise AssertionError(
@@ -3298,7 +3298,7 @@ def st32_streaming_semantic_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     done = sorted(int(x) for x in os.listdir(done_dir))
     if done != shard_seq:
         raise AssertionError(
