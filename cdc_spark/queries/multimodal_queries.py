@@ -474,22 +474,34 @@ def mm06_scene_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm07_pair_similarity_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from cdc_spark.operators.similarity import cosine
+    from cdc_spark.operators.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # pairing modulus (tiny scalar; table row count)
+    # norms hoisted to the n-row projections (the round-11 dd12
+    # lesson): the pair scoring runs one array fold instead of three,
+    # same expression tree over the same arrays — bit-identical
     img = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").alias("ie"),
+        norm(F.col("embedding")).alias("inrm"),
         "label",
     )
-    cap = emb.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    cap = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cnrm"),
+    )
     pairs = img.join(
         cap, cap.vec_id == (img.doc_id + 7) % n
     ).select(
         "doc_id",
         "label",
-        F.round(cosine(F.col("ie"), F.col("ce")), 4).alias("sim"),
+        F.round(
+            dot(F.col("ie"), F.col("ce"))
+            / (F.col("inrm") * F.col("cnrm")),
+            4,
+        ).alias("sim"),
     )
     return pairs.groupBy("label").agg(
         F.count("*").cast("long").alias("n_pairs"),
