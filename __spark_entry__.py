@@ -23,22 +23,93 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 11: the driver samples a 50-row prefix, so the
-# ordering below IS the gate. Tier 0 (_R11_PREFIX) is exactly 50
-# entries: the 3 never-driver-gated round-10 additions (staged last
-# round as _R11_NEXT), the two r4-era freshness re-gates round 10
-# could not hold (tx13/tx14), the two entries ADDED this round (dd20
-# production-threshold near-dup, ss25 persisted sized-IVF serving),
-# the one entry REBUILT this round with a CHANGED oracle (dd05's
-# bounded deterministic sample), and 42 freshness re-gates drawn
-# from the 44 oracled entries whose last driver row is r5-era
-# (ss08/ss09 are the two r5 entries deferred to round 12 — the
-# prefix holds 50; dp01/dp02 are rows-only by design and never take
-# a hash-gate slot). st32 also changed this round (deterministic
-# shard ordering, DPP wide-batch pruning, wired compaction) — it
-# sits in the prefix already as a never-gated entry. Tier 1
-# (_R12_NEXT) is the deferred pair, staged for the round-12 gate;
-# tier 2 the previous prefix; tier 3 everything else.
+# Rotated for round 12: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 (_R12_PREFIX) is exactly 50
+# entries, in the r11 verdict's priority order: the two r5-era
+# re-gates the round-11 prefix could not hold (ss08/ss09, staged
+# last round as _R12_NEXT), the entry ADDED this round (dd21
+# production-recall evaluation), every entry whose PLAN OR ORACLE
+# changed after its latest driver row — dd20 (round 12: corpus-sized
+# table count + restructured gated-VALUES oracle), dd12/ss13 (r11
+# norm hoist, rows r10), dp05/mm05 (r10 deterministic-slice bucket
+# path, rows r6), tx15/tx20 (r8 rebuilds, rows r6), dd13 (r10
+# PartitionFilter assert, rows r6) — then 39 freshness re-gates
+# drawn from the 43-entry r6-era cohort (oldest oracled driver
+# rows). The 4 cohort entries the prefix cannot hold (tx21-tx24)
+# are staged in _R13_NEXT for round 13; dp01/dp02 are rows-only by
+# design and never take a hash-gate slot. After this rotation every
+# oracled entry's latest driver row is r7+ or staged next.
+_R12_PREFIX = (
+    # the two r5-era re-gates deferred by the round-11 prefix
+    "ss08_quantized_rerank",
+    "ss09_filtered_topk",
+    # added this round: sized-LSH recall evaluation (never gated)
+    "dd21_production_recall_eval",
+    # changed this round: sized table count + restructured oracle
+    "dd20_production_neardup",
+    # r11 norm-hoist plan change (rows r10)
+    "dd12_semantic_dedup",
+    "ss13_knn_graph",
+    # r10 deterministic-slice bucket path (rows r6)
+    "dp05_curriculum_order",
+    "mm05_interleaved_packing",
+    # r8 rebuilds (rows r6)
+    "tx15_seeded_corpus_shuffle",
+    "tx20_link_pagerank",
+    # r10 mechanism-assert change (row r6)
+    "dd13_incremental_dedup",
+    # 39 r6-era freshness re-gates (oldest driver rows, gate order;
+    # tx21-tx24 deferred to round 13)
+    "cdc26_lsn_gap_audit",
+    "dd08_boilerplate_ratio",
+    "dd09_common_ngram_exposure",
+    "dd10_aligned_duplicate_spans",
+    "dd11_containment_pairs",
+    "dd14_incremental_neardup",
+    "dp06_epoch_shuffles",
+    "io09_bucket_compaction",
+    "io10_python_stream_source",
+    "io11_csv_dead_letter",
+    "io12_dynamic_partition_overwrite",
+    "io13_incremental_file_discovery",
+    "io14_parquet_bloom_filter",
+    "mm04_audio_frame_energy",
+    "pu03_python_udtf",
+    "pu04_arrow_scalar_udf",
+    "pu05_cogrouped_asof",
+    "q74_series_similarity",
+    "q77_association_rules",
+    "q79_session_paths",
+    "q84_column_profile",
+    "ss03_ivf_topk",
+    "ss06_ivf_persisted_index",
+    "ss10_hybrid_rrf",
+    "ss11_mips_topk",
+    "ss12_ann_recall_eval",
+    "ss14_centroid_drift",
+    "st12_incremental_snapshot_stream",
+    "st13_stream_scd2_enrich",
+    "st14_change_feed_publication",
+    "st15_stream_trending",
+    "st16_cdf_consumer_agg",
+    "st17_stream_schema_evolution",
+    "st18_stream_file_sink",
+    "st19_late_data_drop",
+    "tx16_temperature_mixture",
+    "tx17_unigram_logprob",
+    "tx18_curation_pipeline",
+    "tx19_quality_percentile_prune",
+)
+
+# The four r6-era re-gates the round-12 prefix could not hold, staged
+# first for the round-13 rotation.
+_R13_NEXT = (
+    "tx21_bigram_logprob",
+    "tx22_blocklist_filter",
+    "tx23_intradoc_dedup",
+    "tx24_lexicon_sentiment",
+)
+
 _R11_PREFIX = (
     # 3 round-10 additions — never driver-gated, first in line
     # (st32 rebuilt this round: compaction + DPP + ordered shards)
@@ -97,13 +168,6 @@ _R11_PREFIX = (
     "ss04_int8_quantization",
     "ss05_batch_cosine_topk",
     "ss07_matryoshka_rerank",
-)
-
-# The two r5-era re-gates the round-11 prefix could not hold, staged
-# first for the round-12 rotation.
-_R12_NEXT = (
-    "ss08_quantized_rerank",
-    "ss09_filtered_topk",
 )
 
 _R10_PREFIX = (
@@ -167,24 +231,27 @@ _R10_PREFIX = (
 
 _R10_RANK = {n: i for i, n in enumerate(_R10_PREFIX)}
 _R11_RANK = {n: i for i, n in enumerate(_R11_PREFIX)}
-_R12_RANK = {n: i for i, n in enumerate(_R12_NEXT)}
+_R12_RANK = {n: i for i, n in enumerate(_R12_PREFIX)}
+_R13_RANK = {n: i for i, n in enumerate(_R13_NEXT)}
 
 # Stable aliases for the CURRENT round's 50-slot gate prefix and the
 # tier staged for the NEXT rotation — tests pin the contract through
 # these names so a rotation cannot silently break them
 # (tests/test_registry_contract.py).
-GATE_PREFIX = _R11_PREFIX
-NEXT_TIER = _R12_NEXT
+GATE_PREFIX = _R12_PREFIX
+NEXT_TIER = _R13_NEXT
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R11_RANK:
-        return (0, _R11_RANK[name], name)
     if name in _R12_RANK:
-        return (1, _R12_RANK[name], name)
+        return (0, _R12_RANK[name], name)
+    if name in _R13_RANK:
+        return (1, _R13_RANK[name], name)
+    if name in _R11_RANK:
+        return (2, _R11_RANK[name], name)
     if name in _R10_RANK:
-        return (2, _R10_RANK[name], name)
-    return (3, 0, name)
+        return (3, _R10_RANK[name], name)
+    return (4, 0, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -69,6 +69,12 @@ HEADLINE = [
     "ss25_ivf_sized_serving",          # persisted sized-IVF probe (min-of-3 =
                                        # probe-only: the index builds once and
                                        # is cached for the process)
+    "st30_streaming_heavy_hitters",    # streaming engine representative in the
+                                       # per-round headline (round 12): full
+                                       # AvailableNow micro-batch pipeline w/
+                                       # CMS maintainer — streaming regressions
+                                       # now surface at sf0.1 deltas, not only
+                                       # at the sf1/sf10 probes
 ]
 
 
@@ -405,6 +411,36 @@ CONTROLS = (
 )
 
 
+# The driver captures bench stdout with a bounded buffer; round 10's
+# line was truncated MID-JSON (parsed: null) when inlined derivable
+# values doubled its length. The formatter below is the ONE place the
+# line is built, and tests/test_bench_contract.py pins: single line,
+# json round-trip, length under this budget with margin.
+LINE_BUDGET = 4096
+
+
+def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
+    """ONE compact JSON line (driver contract). Per-query normalized
+    values are sec / control_mean — derivable, so NOT inlined;
+    control_mean alone carries the normalization."""
+    control_mean = round(
+        sum(timings[c] for c in CONTROLS) / len(CONTROLS), 4
+    )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "controls": list(CONTROLS),
+            "control_mean": control_mean,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # no console progress bars: the driver captures stdout+stderr with
@@ -466,28 +502,7 @@ def main() -> None:
     # (sec / control_mean) are comparable across rounds even when the
     # host is contaminated (round 8/9 saw uniform +11-34% control
     # drift with zero code change).
-    control_mean = round(
-        sum(timings[c] for c in CONTROLS) / len(CONTROLS), 4
-    )
-
-    # ONE compact JSON line (driver contract). The per-query normalized
-    # values are sec / control_mean — derivable, so NOT inlined: round
-    # 10's line doubled past the driver's capture budget and parsed as
-    # null; control_mean alone carries the normalization.
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "controls": list(CONTROLS),
-                "control_mean": control_mean,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    print(format_bench_line(timings, sf_dir))
 
 
 if __name__ == "__main__":

@@ -210,6 +210,54 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_grid(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.85,
+    n_blocks: int = 16,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a DISTRIBUTED equi-join.
+
+    Same output as :func:`embedding_near_dup_pairs`, different plan:
+    the naive ``id_a < id_b`` inequality join is a cartesian /
+    nested-loop shape (single task, unbounded build — the exact plan
+    the repo's guardrails forbid). Here each row gets a block id
+    g = id mod B; side A replicates each row to keys (g, j) for all
+    j, side B to keys (i, g) for all i, and the equi-join on the
+    (block_a, block_b) pair key meets every pair EXACTLY once —
+    n²/B² pairs per key over B² keys, a shuffle-parallel grid. B
+    scales the parallelism; replication cost is B·n rows of (id,
+    vector). Intended for BOUNDED inputs (evaluation samples): it is
+    still Θ(n²) work by definition — the production path is
+    :func:`embedding_near_dup_pairs_lsh`."""
+    blocks = F.array(*[F.lit(j) for j in range(n_blocks)])
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(embedding_col).alias("__ea"),
+        norm(F.col(embedding_col)).alias("__na"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("__ba"),
+        F.explode(blocks).alias("__bb"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(embedding_col).alias("__eb"),
+        norm(F.col(embedding_col)).alias("__nb"),
+        F.explode(blocks).alias("__ba"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("__bb"),
+    )
+    pairs = a.join(b, ["__ba", "__bb"]).where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(
+        dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")),
+        round_digits,
+    )
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
+        F.col("cosine_sim") >= threshold
+    )
+
+
 def semantic_dedup_planes(
     n_rows: int, *, target_cluster_rows: int = 125, lo: int = 4, hi: int = 24
 ) -> int:
@@ -231,6 +279,68 @@ def semantic_dedup_planes(
     if n_rows <= target_cluster_rows:
         return lo
     return max(lo, min(hi, math.ceil(math.log2(n_rows / target_cluster_rows))))
+
+
+def tables_for_planes(
+    n_planes: int,
+    *,
+    threshold: float = 0.85,
+    target_recall: float = 0.98,
+    lo: int = 2,
+    hi: int = 40,
+) -> int:
+    """OR-amplification table count L holding per-pair recall at a
+    FIXED target as the plane count k grows with the corpus.
+
+    Standard LSH algebra: a pair at cosine exactly ``threshold``
+    collides in one k-bit table w.p. p^k (p = 1-θ/π), so recall over
+    L independent tables is 1-(1-p^k)^L; solving for the target gives
+    L = ceil(ln(1-R) / ln(1-p^k)). Because p^k = (n/target)^(log2 p)
+    shrinks only polynomially at production thresholds (n^-0.28 at
+    0.85), L grows as ~(n/target)^0.28 · ln(1/(1-R)) — the affordable
+    amplification dd20's note derives (~86 tables at 10^9 vectors for
+    R=0.98), affordable exactly because the per-table candidate work
+    is linear in n. Pairs ABOVE the threshold have higher p, so the
+    target is a floor: measured recall on the injected ~0.89-cosine
+    pairs is 0.994-1.0 at every clamp branch (k=4/5/8/11,
+    tests/test_similarity.py). The ``hi`` clamp exists for oracle
+    parity (the DuckDB twin embeds hi·plane_hi plane literals); it
+    binds only beyond ~0.5M-vector corpora (k ≥ 13), where production
+    would keep following the unclamped formula or switch to
+    multiprobe."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    need = math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - p**n_planes)
+    )
+    return max(lo, min(hi, need))
+
+
+def semantic_dedup_tables(
+    n_rows: int,
+    *,
+    threshold: float = 0.85,
+    target_recall: float = 0.98,
+    target_cluster_rows: int = 125,
+    plane_lo: int = 4,
+    plane_hi: int = 16,
+    lo: int = 2,
+    hi: int = 40,
+) -> int:
+    """Corpus-sized table count: k from :func:`semantic_dedup_planes`
+    on the same count, then L = :func:`tables_for_planes` (k) — both
+    knobs derive from ONE COUNT(*), so the oracle re-derives the pair
+    from its own count (planes via the log2 clamp, tables via a
+    branch-literal CASE over the 13 reachable k values — zero
+    cross-engine transcendental math on the L side)."""
+    k = semantic_dedup_planes(
+        n_rows,
+        target_cluster_rows=target_cluster_rows,
+        lo=plane_lo,
+        hi=plane_hi,
+    )
+    return tables_for_planes(
+        k, threshold=threshold, target_recall=target_recall, lo=lo, hi=hi
+    )
 
 
 def embedding_near_dup_pairs_lsh(
@@ -259,7 +369,14 @@ def embedding_near_dup_pairs_lsh(
     probe: ~25 GB of array shuffle for 200 k vectors where the
     id-pair form moves ~16 bytes/candidate — the arrays are joined
     back only |pairs| times). With one table a pair can collide only
-    once, so the distinct is skipped entirely."""
+    once, so the distinct is skipped entirely.
+
+    Precondition: ``id_col`` must be UNIQUE within ``df``. The
+    id-only candidate join identifies a pair by its ids; a duplicated
+    id would make the single-table no-distinct shortcut emit
+    duplicate pairs and the embedding join-back a cross product
+    (the old embedding-carrying distinct collapsed those). Every
+    caller passes a primary key (vec_id / doc_id)."""
     buckets = F.array(
         *[
             lsh_bucket(

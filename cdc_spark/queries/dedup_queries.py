@@ -31,6 +31,7 @@ from cdc_spark.operators.dedup import (
 from cdc_spark.operators.similarity import (
     embedding_near_dup_pairs_lsh,
     hyperplanes,
+    tables_for_planes,
 )
 from cdc_spark.queries.base import register
 
@@ -392,47 +393,21 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _production_neardup_oracle(
-    *,
-    dim: int = _EMB_DIM,
-    n_tables: int = 10,
-    lo: int = 4,
-    hi: int = 16,
-    target: int = 125,
-    seed: int = 11,
-    threshold: float = 0.85,
-) -> str:
-    """DuckDB twin of dd20: the SIZED multi-table hyperplane LSH.
+# --- shared SQL fragments for the SIZED multi-table hyperplane LSH ---
+# (dd20's production near-dup and dd21's recall evaluation share the
+# corpus construction, the COUNT(*)-derived (planes, tables) pair and
+# the gated plane-literal banding — one generator, two oracles)
 
-    Per table, the plane count is derived from the corpus COUNT(*)
-    with the same clamp as ``semantic_dedup_planes`` (the dd12
-    pattern), each embedded plane literal gated by ``i < kk.planes``
-    — hyperplanes() is prefix-stable, so both engines compute
-    identical buckets at any SF including the sized branches the
-    small SFs never reach. The corpus unions a deterministic
-    simulated re-crawl (dd01's trick, embeddings edition): every
-    20th vector re-arrives with its every-5th coordinate zeroed
-    (cosine ≈ sqrt(0.8) ≈ 0.89 to its original — above the 0.85
-    production threshold), because the synthetic table has no
-    natural pairs that similar (max ≈ 0.60)."""
-    per_table = []
-    for t in range(n_tables):
-        terms = []
-        for i, plane in enumerate(hyperplanes(dim, hi, seed + 1000 * t)):
-            arr = "[" + ",".join(repr(x) for x in plane) + "]"
-            terms.append(
-                f"(CASE WHEN {i} < kk.planes AND "
-                f"list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        per_table.append(
-            f"SELECT vec_id, embedding, {t} AS tbl,\n               "
-            + "\n             + ".join(terms)
-            + " AS bucket\n        FROM corpus CROSS JOIN kk"
-        )
-    banded = "\n        UNION ALL\n        ".join(per_table)
-    return f"""
-    WITH corpus AS (
+_NEARDUP_SEED = 11
+_NEARDUP_THRESHOLD = 0.85
+_NEARDUP_PLANE_LO, _NEARDUP_PLANE_HI = 4, 16
+_NEARDUP_TABLE_LO, _NEARDUP_TABLE_HI = 2, 40
+
+# simulated re-crawl corpus: every 20th vector re-arrives with its
+# every-5th coordinate zeroed (cosine ≈ sqrt(0.8) ≈ 0.89 to its
+# original — above the 0.85 production threshold), because the
+# synthetic table has no natural pairs that similar (max ≈ 0.60)
+_NEARDUP_CORPUS_SQL = """corpus AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 1000000,
@@ -440,26 +415,102 @@ def _production_neardup_oracle(
                    i -> CASE WHEN (i - 1) % 5 = 0 THEN CAST(0.0 AS FLOAT)
                              ELSE embedding[i] END)
         FROM embeddings WHERE vec_id % 20 = 0
-    ),
-    kk AS (
+    )"""
+
+
+def _neardup_sizing_sql(*, lo: int, hi: int, target: int = 125) -> str:
+    """kk (planes from COUNT(*), the semantic_dedup_planes clamp) and
+    ll (tables from planes via a branch-literal CASE generated from
+    ``tables_for_planes`` — the 13 reachable k values are enumerable,
+    so the L side involves ZERO cross-engine transcendental math)."""
+    cases = " ".join(
+        f"WHEN {k} THEN {tables_for_planes(k, threshold=_NEARDUP_THRESHOLD, lo=_NEARDUP_TABLE_LO, hi=_NEARDUP_TABLE_HI)}"
+        for k in range(lo, hi + 1)
+    )
+    return f"""kk AS (
         SELECT GREATEST({lo}, LEAST({hi},
                CAST(CEIL(LOG2(COUNT(*) / {target}.0)) AS INT))) AS planes
         FROM corpus
     ),
-    banded AS (
-        {banded}
-    ),
+    ll AS (
+        SELECT CASE kk.planes {cases} END AS tables FROM kk
+    )"""
+
+
+def _neardup_planes_values_sql(
+    *, dim: int = _EMB_DIM, seed: int = _NEARDUP_SEED
+) -> str:
+    """One (tbl, idx, plane) VALUES relation holding every plane any
+    clamp branch can reach: table t's planes are the prefix-stable
+    ``hyperplanes(dim, plane_hi, seed + 1000·t)`` (repr round-trip ⇒
+    DuckDB parses the identical IEEE doubles Spark folds over)."""
+    rows = []
+    for t in range(_NEARDUP_TABLE_HI):
+        for i, plane in enumerate(
+            hyperplanes(dim, _NEARDUP_PLANE_HI, seed + 1000 * t)
+        ):
+            arr = "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            rows.append(f"({t},{i},{arr})")
+    return (
+        "planes_t(tbl, idx, plane) AS (VALUES\n        "
+        + ",\n        ".join(rows)
+        + "\n    )"
+    )
+
+
+def _neardup_banding_sql(source: str) -> str:
+    """Gated banding over ``source``: only plane rows with
+    tbl < ll.tables AND idx < kk.planes contribute, so bucket =
+    Σ bitᵢ·2^i over exactly the sized (k, L) grid — bit-identical to
+    ``lsh_bucket`` over ``hyperplanes(dim, k, seed + 1000·t)``."""
+    return f"""banded AS (
+        SELECT c.vec_id, p.tbl,
+               SUM(CASE WHEN list_dot_product(c.embedding::DOUBLE[],
+                                              p.plane) >= 0
+                        THEN (1::BIGINT << p.idx) ELSE 0::BIGINT END)
+                   AS bucket
+        FROM {source} c
+        CROSS JOIN kk CROSS JOIN ll
+        JOIN planes_t p ON p.tbl < ll.tables AND p.idx < kk.planes
+        GROUP BY c.vec_id, p.tbl
+    )"""
+
+
+def _production_neardup_oracle(
+    *,
+    lo: int = _NEARDUP_PLANE_LO,
+    hi: int = _NEARDUP_PLANE_HI,
+    threshold: float = _NEARDUP_THRESHOLD,
+) -> str:
+    """DuckDB twin of dd20: the SIZED multi-table hyperplane LSH.
+
+    BOTH knobs are derived from the corpus COUNT(*): planes with the
+    same clamp as ``semantic_dedup_planes`` (the dd12 pattern) and
+    tables via the branch-literal CASE of ``tables_for_planes`` —
+    plane literals are index-gated (prefix-stable hyperplanes), so
+    both engines compute identical sized bandings at any SF including
+    branches the small SFs never reach. Candidates carry IDs only;
+    the embeddings join back for the exact-cosine verify (mirrors the
+    Spark plan's array-shuffle avoidance)."""
+    return f"""
+    WITH {_NEARDUP_CORPUS_SQL},
+    {_neardup_sizing_sql(lo=lo, hi=hi)},
+    {_neardup_planes_values_sql()},
+    {_neardup_banding_sql("corpus")},
     pairs AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-               a.embedding AS ea, b.embedding AS eb
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM banded a JOIN banded b
           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b,
-           ROUND(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4)
+    SELECT p.id_a, p.id_b,
+           ROUND(list_cosine_similarity(ca.embedding::DOUBLE[],
+                                        cb.embedding::DOUBLE[]), 4)
                AS cosine_sim
-    FROM pairs
-    WHERE ROUND(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4)
+    FROM pairs p
+    JOIN corpus ca ON ca.vec_id = p.id_a
+    JOIN corpus cb ON cb.vec_id = p.id_b
+    WHERE ROUND(list_cosine_similarity(ca.embedding::DOUBLE[],
+                                       cb.embedding::DOUBLE[]), 4)
           >= {threshold}
     """
 
@@ -468,27 +519,28 @@ def _production_neardup_oracle(
     "dd20_production_neardup",
     oracle=_production_neardup_oracle(),
     note="PRODUCTION-threshold embedding near-dup pairs (cosine >= "
-    "0.85, p = 1-acos(0.85)/pi ~ 0.82) with CORPUS-SIZED partitions "
-    "— the scale configuration dd05's permissive demo deliberately "
-    "is not: plane count = semantic_dedup_planes(count, hi=16) "
-    "(2^planes cells ~ n/125), so per-table candidate work "
-    "sum(cell^2) ~ n*125 stays LINEAR in n at any corpus size — the "
-    "dd12/ss13 cure applied to the pairwise near-dup shape, sf1-"
-    "sweep-inclusive by construction. L=10 tables OR-amplify recall "
-    "to 1-(1-p^k)^L ~ 0.998 at the lo-clamp (k=4) and ~0.91 at sf1's "
-    "k=8; because p^k = (n/125)^(log2 p) shrinks only polynomially "
-    "at this threshold (n^-0.28), production holds recall by growing "
-    "L ~ (n/125)^0.28 (86 tables at 10^9 vectors) or multiprobing — "
-    "the standard amplification, affordable exactly because the "
-    "per-table term is linear (contrast dd05's note: at 0.4 the same "
-    "exponent is n^-0.67 and sizing k is hopeless). The corpus "
-    "unions a deterministic simulated re-crawl (every 20th vector, "
-    "every-5th coordinate zeroed, cosine ~ 0.89) since the synthetic "
-    "table has no natural 0.85 pairs; expected output is one pair "
-    "per injected near-dup — linear in n. Oracle re-derives the "
-    "clamp from COUNT(*) with index-gated plane literals per table "
-    "(prefix-stable hyperplanes), recomputing the sized banding "
-    "bit-for-bit",
+    "0.85, p = 1-acos(0.85)/pi ~ 0.82) with BOTH knobs corpus-sized "
+    "from one COUNT(*) — the scale configuration dd05's permissive "
+    "demo deliberately is not. Plane count k = semantic_dedup_planes"
+    "(count, hi=16) (2^k cells ~ n/125) keeps per-table candidate "
+    "work sum(cell^2) ~ n*125 LINEAR in n; table count L = "
+    "tables_for_planes(k) = ceil(ln(1-R)/ln(1-p^k)) holds per-pair "
+    "recall at R=0.98 as k grows (round 12 — previously fixed L=10, "
+    "whose recall decayed toward 0.91 at sf1's k=8 and would keep "
+    "falling). Because p^k = (n/125)^(log2 p) shrinks only "
+    "polynomially at this threshold (n^-0.28), L grows as "
+    "(n/125)^0.28: 7/9/17/32 at the k=4/5/8/11 branches the five "
+    "gated SFs reach (86 at 10^9 vectors) — total work n^1.28, the "
+    "measured price of CONSTANT recall (dd21 gates the recall "
+    "itself; contrast dd05's note: at 0.4 the same exponent is "
+    "n^-0.67 and sizing is hopeless). The corpus unions a "
+    "deterministic simulated re-crawl (every 20th vector, every-5th "
+    "coordinate zeroed, cosine ~ 0.89) since the synthetic table has "
+    "no natural 0.85 pairs; expected output is one pair per injected "
+    "near-dup — linear in n. Oracle re-derives planes from COUNT(*) "
+    "with index-gated prefix-stable plane literals and tables from a "
+    "branch-literal CASE over the 13 reachable k values, recomputing "
+    "the sized banding bit-for-bit",
     tags=("dedup", "embedding", "lsh", "scale"),
 )
 def dd20_production_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,18 +559,195 @@ def dd20_production_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(recrawl)
-    # one cheap count job sizes the partition to the corpus (the dd12
+    # ONE cheap count job sizes both knobs to the corpus (the dd12
     # discipline): 2^planes cells ~ n/125 keeps per-table candidate
-    # work linear in n
-    planes = semantic_dedup_planes(corpus.count(), hi=16)
+    # work linear in n, and the table count grows ~(n/125)^0.28 to
+    # hold per-pair recall at 0.98 as the cells shrink
+    n = corpus.count()
+    planes = semantic_dedup_planes(
+        n, lo=_NEARDUP_PLANE_LO, hi=_NEARDUP_PLANE_HI
+    )
+    tables = tables_for_planes(
+        planes,
+        threshold=_NEARDUP_THRESHOLD,
+        lo=_NEARDUP_TABLE_LO,
+        hi=_NEARDUP_TABLE_HI,
+    )
     return embedding_near_dup_pairs_lsh(
         corpus,
         "embedding",
         "vec_id",
         dim=_EMB_DIM,
-        threshold=0.85,
-        n_tables=10,
+        threshold=_NEARDUP_THRESHOLD,
+        n_tables=tables,
         n_planes=planes,
+    )
+
+
+def _production_recall_oracle(
+    *,
+    lo: int = _NEARDUP_PLANE_LO,
+    hi: int = _NEARDUP_PLANE_HI,
+    threshold: float = _NEARDUP_THRESHOLD,
+    sample_cap: int = 2000,
+    floor: float = 0.9,
+) -> str:
+    """DuckDB twin of dd21: recall of the SIZED LSH vs the exact
+    baseline, measured at the production threshold on a bounded
+    deterministic sample but with (planes, tables) derived from the
+    FULL corpus COUNT(*) — i.e. the evaluation exercises exactly the
+    clamp branch the production entry runs at this SF. The sample
+    keeps vector FAMILIES together (md5 keep on vec_id % 1000000, so
+    a re-crawl follows its original), because per-pair collision
+    recall depends only on the pair's own angle and (k, L) — a
+    sampled pair measures the same probability the full corpus
+    would."""
+    return f"""
+    WITH {_NEARDUP_CORPUS_SQL},
+    {_neardup_sizing_sql(lo=lo, hi=hi)},
+    {_neardup_planes_values_sql()},
+    mm AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {sample_cap}.0) AS BIGINT))
+               AS m
+        FROM embeddings
+    ),
+    sample AS (
+        SELECT vec_id, embedding FROM corpus CROSS JOIN mm
+        WHERE CAST('0x' || substr(md5(CAST(vec_id % 1000000 AS VARCHAR)),
+                                  1, 15) AS BIGINT) % m = 0
+    ),
+    {_neardup_banding_sql("sample")},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    found AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sample sa ON sa.vec_id = c.id_a
+        JOIN sample sb ON sb.vec_id = c.id_b
+        WHERE ROUND(list_cosine_similarity(sa.embedding::DOUBLE[],
+                                           sb.embedding::DOUBLE[]), 4)
+              >= {threshold}
+    ),
+    exact AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4)
+              >= {threshold}
+    )
+    SELECT kk.planes AS planes, ll.tables AS tables,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM found) AS n_found,
+           ROUND(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact), 6) AS recall,
+           (CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact)) >= {floor} AS recall_ok
+    FROM kk CROSS JOIN ll
+    """
+
+
+@register(
+    "dd21_production_recall_eval",
+    oracle=_production_recall_oracle(),
+    note="RECALL EVALUATION of the sized production near-dup (dd20's "
+    "exact configuration) as a first-class gated operator — the "
+    "dd17/ss12 pattern at the 0.85 production threshold: LSH-found "
+    "pairs vs the exact all-pairs baseline, recall per clamp branch. "
+    "(planes, tables) derive from the FULL corpus COUNT(*) exactly "
+    "as dd20 derives them, so each SF gates its own branch "
+    "(k=4,L=7 at sf0.01; 5,9 at sf0.1; 8,17 at sf1; 11,32 at sf10); "
+    "the measurement runs on a bounded deterministic sample (md5 "
+    "keep on vec_id % 1000000 so a re-crawl follows its original — "
+    "per-pair collision recall depends only on the pair's angle and "
+    "(k,L), so sampled pairs measure the same probability). The "
+    "exact baseline is the blocked all-pairs GRID equi-join "
+    "(embedding_near_dup_pairs_grid: B^2-way parallel, no cartesian "
+    "/ nested-loop shape), bounded at ~2100 rows by the sample cap. "
+    "Measured recall at the target-0.98 sizing: 1.0 / 1.0 / 0.994 / "
+    "0.997 across the four branches — the >= 0.9 floor the verdict "
+    "asked to prove rides as the recall_ok column, and pytest pins "
+    "it at the small SFs. Oracle recomputes sample, sizing, banding "
+    "and both pair sets bit-for-bit",
+    tags=("dedup", "embedding", "lsh", "evaluation", "scale"),
+)
+def dd21_production_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    from cdc_spark.operators.dedup import portable_hash60
+    from cdc_spark.operators.similarity import (
+        embedding_near_dup_pairs_grid,
+        semantic_dedup_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    recrawl = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i % 5 == 0, F.lit(0.0).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(recrawl)
+    # one agg job yields BOTH counts: the full-corpus size (drives
+    # the same (k, L) pair dd20 runs with at this SF) and the
+    # original count (drives the bounded-sample keep modulus)
+    counts = emb.agg(
+        F.count("*").alias("n_orig"),
+        F.count(F.when(F.col("vec_id") % 20 == 0, 1)).alias("n_re"),
+    ).first()
+    n_corpus = counts["n_orig"] + counts["n_re"]
+    planes = semantic_dedup_planes(
+        n_corpus, lo=_NEARDUP_PLANE_LO, hi=_NEARDUP_PLANE_HI
+    )
+    tables = tables_for_planes(
+        planes,
+        threshold=_NEARDUP_THRESHOLD,
+        lo=_NEARDUP_TABLE_LO,
+        hi=_NEARDUP_TABLE_HI,
+    )
+    m = max(1, math.ceil(counts["n_orig"] / 2000))
+    sample = corpus.where(
+        portable_hash60((F.col("vec_id") % 1000000).cast("string")) % m
+        == 0
+    )
+    lsh = embedding_near_dup_pairs_lsh(
+        sample,
+        "embedding",
+        "vec_id",
+        dim=_EMB_DIM,
+        threshold=_NEARDUP_THRESHOLD,
+        n_tables=tables,
+        n_planes=planes,
+    )
+    exact = embedding_near_dup_pairs_grid(
+        sample, "embedding", "vec_id", threshold=_NEARDUP_THRESHOLD
+    )
+    # LSH-found ⊆ exact by construction (identical rounded-cosine
+    # filter over a candidate subset), so recall = |found| / |exact|
+    ratio = F.col("n_found") / F.col("n_exact")
+    # explicit broadcast: the build side is an ungrouped (1-row)
+    # aggregate, so the cross join degenerates to a scalar attach
+    # (the merge.py t_agg pattern) — never a cartesian loop
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_found"))))
+        .select(
+            F.lit(planes).alias("planes"),
+            F.lit(tables).alias("tables"),
+            "n_exact",
+            "n_found",
+            F.round(ratio, 6).alias("recall"),
+            (ratio >= 0.9).alias("recall_ok"),
+        )
     )
 
 

@@ -328,3 +328,112 @@ def test_dd20_production_neardup_recall(spark):
     assert got <= exact
     assert exact, "injection produced no 0.85 pairs — corpus drifted"
     assert len(got) / len(exact) >= 0.9
+
+
+def test_tables_for_planes_algebra():
+    """L = ceil(ln(1-R)/ln(1-p^k)) at the production threshold: pin
+    the branch values every gated SF reaches (and the note's 10^9
+    figure via the unclamped formula), plus clamps and monotonicity —
+    the oracle CASE is generated from this same function, so these
+    pins ARE the cross-engine contract."""
+    import math
+
+    from cdc_spark.operators.similarity import (
+        semantic_dedup_tables,
+        tables_for_planes,
+    )
+
+    assert tables_for_planes(4) == 7    # sf0.001 / sf0.01 (corpus 525)
+    assert tables_for_planes(5) == 9    # sf0.1 (corpus 2100)
+    assert tables_for_planes(8) == 17   # sf1 (corpus 21000)
+    assert tables_for_planes(11) == 32  # sf10 (corpus 210000)
+    # hi clamp binds from k=13 (corpus > 125*2^12 ~ 0.5M vectors)
+    assert tables_for_planes(12) == 39
+    assert tables_for_planes(13) == 40
+    assert tables_for_planes(16) == 40
+    # the note's ~86 tables at 10^9 vectors: at that corpus the plane
+    # clamp pins k=16, where the unclamped formula needs L=86 (the
+    # oracle-parity hi=40 clamp binds before that — documented)
+    p = 1.0 - math.acos(0.85) / math.pi
+    assert math.ceil(math.log(0.02) / math.log(1.0 - p**16)) == 86
+    # monotone in k, and the count-driven composite hits the branches
+    ls = [tables_for_planes(k) for k in range(4, 17)]
+    assert ls == sorted(ls)
+    assert semantic_dedup_tables(525) == 7
+    assert semantic_dedup_tables(2_100) == 9
+    assert semantic_dedup_tables(21_000) == 17
+    assert semantic_dedup_tables(210_000) == 32
+
+
+def test_neardup_tables_case_matches_python():
+    """The oracle's planes->tables CASE must be the literal image of
+    tables_for_planes over every reachable k — evaluate the generated
+    SQL fragment in DuckDB for each branch and compare."""
+    import duckdb
+
+    from cdc_spark.operators.similarity import tables_for_planes
+    from cdc_spark.queries.dedup_queries import (
+        _NEARDUP_PLANE_HI,
+        _NEARDUP_PLANE_LO,
+        _NEARDUP_TABLE_HI,
+        _NEARDUP_TABLE_LO,
+        _neardup_sizing_sql,
+    )
+
+    sizing = _neardup_sizing_sql(
+        lo=_NEARDUP_PLANE_LO, hi=_NEARDUP_PLANE_HI
+    )
+    for k in range(_NEARDUP_PLANE_LO, _NEARDUP_PLANE_HI + 1):
+        n = 125 * 2**k  # corpus count landing exactly on branch k
+        got = duckdb.sql(
+            f"WITH corpus AS (SELECT 1 FROM range({n})), {sizing} "
+            f"SELECT kk.planes, ll.tables FROM kk CROSS JOIN ll"
+        ).fetchone()
+        assert got[0] == k
+        assert got[1] == tables_for_planes(
+            k, lo=_NEARDUP_TABLE_LO, hi=_NEARDUP_TABLE_HI
+        )
+
+
+def test_pair_grid_matches_naive_all_pairs(spark):
+    """embedding_near_dup_pairs_grid must emit exactly the naive
+    inequality-join result (same pairs, same rounded cosines) — the
+    grid is a plan-shape change only."""
+    from cdc_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_grid,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    naive = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.2
+        ).collect()
+    }
+    grid = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs_grid(
+            emb, "embedding", "vec_id", threshold=0.2, n_blocks=8
+        ).collect()
+    }
+    assert naive == grid
+    assert naive, "threshold 0.2 found nothing — fixture drifted"
+
+
+def test_dd21_recall_floor(spark):
+    """The gated recall evaluation must report recall >= 0.9 (the
+    verdict's floor) at the small-SF clamp branches; deeper branches
+    are pinned by the sf1/sf10 gates."""
+    from cdc_spark.queries.dedup_queries import (
+        dd21_production_recall_eval,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = dd21_production_recall_eval(spark, sf).first()
+        assert row["planes"] == 4 and row["tables"] == 7, sf
+        assert row["n_exact"] > 0, sf
+        assert row["recall"] >= 0.9, (sf, row)
+        assert bool(row["recall_ok"]) is True, sf
