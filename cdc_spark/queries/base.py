@@ -120,7 +120,11 @@ def davg_sql(expr: str, scale: int = 6, ndigits: int = 6) -> str:
     )
 
 
-def await_stream(q, idle_timeout: float = 600.0) -> None:
+def await_stream(
+    q,
+    idle_timeout: float = 600.0,
+    hard_timeout: float = 3600.0,
+) -> None:
     """Wait until a streaming query (typically Trigger.AvailableNow)
     ACTUALLY terminates.
 
@@ -128,10 +132,26 @@ def await_stream(q, idle_timeout: float = 600.0) -> None:
     sites ignored that return — at scale one long micro-batch outlived
     the cap and the caller read partially-folded state (caught by the
     round-11 sf10 probe: st32's fifth shard was still folding when the
-    done-marker assert ran). Progress-aware: keeps waiting as long as
-    batches are completing, and fails LOUDLY (stop + raise) only after
-    ``idle_timeout`` seconds with no new completed batch — a genuine
-    hang, never just a big batch."""
+    done-marker assert ran).
+
+    Hang detection, honestly stated: ``lastProgress.batchId`` only
+    advances when a micro-batch COMPLETES, so completed-batch idleness
+    alone cannot tell a hang from one legitimately long batch (the
+    round-11 version raised a false hang on any single batch over
+    ``idle_timeout`` — the very scenario the sf10 probe produced).
+    This version also polls ``q.status.isTriggerActive``: a trigger
+    actively executing is a BIG BATCH, not a hang, and resets nothing
+    but is never killed by ``idle_timeout``. The remaining failure
+    modes and their knobs:
+
+    - no completed batch AND no active trigger for ``idle_timeout``
+      seconds → genuine stall (source wedged between triggers, or the
+      no-more-data/termination handshake lost) → stop + raise;
+    - one trigger active past ``hard_timeout`` seconds with no batch
+      completing → a wedged task inside a batch (the one case
+      indistinguishable from an arbitrarily large batch) → stop +
+      raise. Scale-heavy call sites that legitimately fold for longer
+      raise ``hard_timeout`` rather than suppressing the check."""
     import time as _time
 
     last_batch = -1
@@ -142,10 +162,26 @@ def await_stream(q, idle_timeout: float = 600.0) -> None:
         if batch != last_batch:
             last_batch = batch
             idle_start = _time.monotonic()
-        elif _time.monotonic() - idle_start > idle_timeout:
+            continue
+        stalled_for = _time.monotonic() - idle_start
+        try:
+            trigger_active = bool(q.status.get("isTriggerActive"))
+        except Exception:  # noqa: BLE001 — racing termination
+            trigger_active = False
+        if trigger_active:
+            if stalled_for > hard_timeout:
+                q.stop()
+                raise RuntimeError(
+                    f"streaming query's trigger stayed active "
+                    f"{hard_timeout:.0f}s without completing a batch "
+                    "— wedged task; stopped and failed loudly "
+                    "instead of reading partial state"
+                )
+        elif stalled_for > idle_timeout:
             q.stop()
             raise RuntimeError(
                 f"streaming query made no batch progress in "
-                f"{idle_timeout:.0f}s — stopped and failed loudly "
-                "instead of reading partial state"
+                f"{idle_timeout:.0f}s with no trigger active — "
+                "stopped and failed loudly instead of reading "
+                "partial state"
             )

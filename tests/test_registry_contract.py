@@ -94,3 +94,105 @@ def test_next_rotation_tier_is_oracled_and_registered():
     for name in nxt:
         assert name in REGISTRY, f"{name} not registered"
         assert REGISTRY[name].oracle is not None, f"{name}: no oracle"
+
+
+# --- plan-BUILD-time guardrail (r11 verdict item 4) -----------------
+#
+# Three rounds produced the same defect class three times (pq_encode
+# r7, ivf_assign r8, lsh_bucket r11): a Column tree composed from
+# thousands of F.lit calls costs one py4j round trip PER LITERAL at
+# plan-build time — ~200 s of pure driver time at the sized shapes,
+# invisible to correctness gates because the result is still right.
+# This guardrail times DataFrame CONSTRUCTION (fn call, no action)
+# for every registry entry and fails past a budget, so the next
+# instance dies in-repo instead of at an sf10 probe.
+
+# Construction budget for entries whose fn only BUILDS a plan (a few
+# py4j calls + optional sizing count() jobs at sf0.001): measured
+# max 2.4 s across all 251 lazy entries on a warm session; 6 s adds
+# 2.5x box-noise headroom while still catching any literal storm
+# (10 k literals alone measure ~16 s — see the red test below).
+BUILD_BUDGET_SEC = 6.0
+
+# Entries whose fn EXECUTES work before returning (their wall time is
+# pipeline execution, not plan build — a storm inside them would
+# still surface at the oracle gates' per-entry timings). Two classes,
+# both structural:
+#   - everything tagged "streaming" runs micro-batch pipelines
+#     (foreachBatch actions, checkpoint dirs) inside fn;
+#   - the names below run batch pipelines at build by design:
+#     CDC replay/apply entries materialize state tables, the
+#     persisted-index entries build and cache their index, the
+#     incremental-dedup entries feed multiple batches through a
+#     continuous-corpus state, ss12 drives a per-probe eval loop,
+#     io16 exercises a write-then-read Python datasource.
+EAGER_BUILD = {
+    "cdc01_golden_replay",
+    "cdc10_pgoutput_binary",
+    "cdc11_incremental_apply",
+    "cdc14_txn_barrier",
+    "cdc15_replication_progress",
+    "cdc19_version_diff_feed",
+    "cdc20_stream_binary_wire",
+    "cdc22_bidirectional_origin_filter",
+    "cdc23_checkpoint_resume",
+    "cdc28_as_of_lsn_read",
+    "cdc29_vacuum_survivor_state",
+    "cdc33_consistent_cut_read",
+    "dd13_incremental_dedup",
+    "dd14_incremental_neardup",
+    "io16_python_datasource_writer",
+    "ss12_ann_recall_eval",
+    "ss16_pq_persisted_index",
+    "ss17_ivfpq_index",
+}
+
+
+def test_eager_build_exemptions_are_registered():
+    for name in EAGER_BUILD:
+        assert name in REGISTRY, f"stale exemption: {name}"
+
+
+def test_plan_build_time_bounded(spark):
+    """Every non-exempt entry must CONSTRUCT its DataFrame within the
+    budget at sf0.001 — new entries are guarded by default (an entry
+    must be explicitly exempted, with a structural reason, to skip)."""
+    import time
+
+    sf = "/root/testdata/sf0.001"
+    # absorb first-call session warm-up outside any entry's timing
+    REGISTRY["q01_pricing_summary"].fn(spark, sf)
+    violations = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name in EAGER_BUILD or "streaming" in spec.tags:
+            continue
+        t0 = time.monotonic()
+        spec.fn(spark, sf)
+        dt = time.monotonic() - t0
+        if dt > BUILD_BUDGET_SEC:
+            violations.append(f"{name}: {dt:.1f}s")
+    assert not violations, (
+        "plan construction over budget (literal storm? driver-side "
+        f"loop?): {violations}"
+    )
+
+
+def test_guardrail_catches_literal_storm(spark):
+    """RED case: a 10k-literal Column tree (the pq_encode/ivf_assign/
+    lsh_bucket disease) must measure ABOVE the budget, proving the
+    timing harness detects the class it exists for. (The cure is one
+    parsed SQL literal — lsh_bucket's array form builds in
+    milliseconds.)"""
+    import time
+
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    col = F.lit(0.0)
+    for i in range(10_000):
+        col = col + F.lit(float(i))
+    dt = time.monotonic() - t0
+    assert dt > BUILD_BUDGET_SEC, (
+        f"10k-literal tree built in {dt:.1f}s — if py4j got this "
+        "fast, lower BUILD_BUDGET_SEC to keep the guardrail binding"
+    )

@@ -48,8 +48,16 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write a per-entry JSON artifact (rows/seconds/status)"
+        " to this path — used by the SF10 gate to convert the x100"
+        " probe from bench-only to correctness evidence",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
@@ -67,19 +75,34 @@ def main() -> int:
             sdf = spec.fn(spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {
+                "status": "spark_error",
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
             n_fail += 1
             continue
         dt = time.time() - t0
         if spec.oracle is None:
             print(f"--   {name}: rows={len(sdf)} (no oracle) [{dt:.1f}s]")
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(sdf),
+                "spark_sec": round(dt, 2),
+            }
             n_noracle += 1
             continue
+        t1 = time.time()
         try:
             odf = con.sql(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            results[name] = {
+                "status": "duckdb_error",
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
             n_fail += 1
             continue
+        odt = time.time() - t1
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} != {len(odf)}")
@@ -87,13 +110,38 @@ def main() -> int:
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
         elif value_hash(sdf) != value_hash(odf):
             problems.append("value-hash mismatch")
+        results[name] = {
+            "status": "fail" if problems else "ok",
+            "rows": len(sdf),
+            "oracle_rows": len(odf),
+            "spark_sec": round(dt, 2),
+            "oracle_sec": round(odt, 2),
+        }
         if problems:
+            results[name]["problems"] = problems
             print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]")
             n_fail += 1
         else:
             print(f"ok   {name}: rows={len(sdf)} [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_fail} fail, {n_noracle} rows-only")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf,
+                    "counts": {
+                        "ok": n_pass,
+                        "fail": n_fail,
+                        "rows_only": n_noracle,
+                    },
+                    "entries": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
