@@ -389,6 +389,20 @@ def embedding_near_dup_pairs_lsh(
         F.col(id_col),
         F.posexplode(buckets).alias("__table", "__bucket"),
     )
+    # Explicit numbered repartition on the join keys: the banded
+    # relation is SMALL (n·L ids) but the self-join's output is
+    # Σcell² — 70× its input at the sized configuration. AQE's
+    # coalescing sizes post-shuffle partitions by the SHUFFLE bytes,
+    # cannot see the explosion, and collapsed this join to ONE task
+    # (measured at the round-12 sf10 gate: minutes of single-core
+    # join time on a 32-core box). A user repartition with an
+    # explicit count is exempt from AQE coalescing, and both join
+    # sides derive from it, so the join runs co-partitioned at full
+    # width with no extra exchange.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    banded = banded.repartition(n_part, "__table", "__bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "__table", "__bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "__table", "__bucket")
     pairs = (

@@ -492,26 +492,50 @@ def _production_neardup_oracle(
     branches the small SFs never reach. Candidates carry IDs only;
     the embeddings join back for the exact-cosine verify (mirrors the
     Spark plan's array-shuffle avoidance)."""
+    # Plan-shape discipline, learned at the first sf10 oracle gate
+    # (sf10's branch is k=11, L=32 — 480 M candidate pairs): any plan
+    # that lets DuckDB MATERIALIZE the candidate multiset dies on
+    # this box (dedup-first built a >100 GB DISTINCT hash table,
+    # OOM-killed; verify-via-join-back and even the single fused
+    # self-join both fell into the external-join path once the
+    # estimated join state crossed the memory limit — spill-disk
+    # death at ~75 GB). The cure is the same one the Spark plan gets
+    # from its shuffle partitioning, expressed as SQL: process the
+    # tables as L INDEPENDENT branches (gated ``{{t}} < ll.tables``),
+    # each a ~n-row build-side self-join whose probe output flows
+    # straight through the inline cosine filter — per-branch state is
+    # 1/L of the candidates (~15 M pairs at sf10) and only survivors
+    # reach the UNION + DISTINCT. cosine_sim is a pure function of
+    # the id pair, so distinct-after-verify equals the pair-distinct
+    # Spark does first (Spark keeps distinct-before-join because
+    # shuffling 16-byte pairs beats shuffling per-candidate arrays at
+    # cluster scale — the r11 measurement); each engine dedupes where
+    # ITS memory model wants it, same result set.
+    branches = "\n        UNION ALL\n        ".join(
+        f"""SELECT id_a, id_b, cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                       AS cosine_sim
+            FROM be a JOIN be b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            CROSS JOIN ll
+            WHERE a.tbl = {t} AND b.tbl = {t} AND {t} < ll.tables
+        ) WHERE cosine_sim >= {threshold}"""
+        for t in range(_NEARDUP_TABLE_HI)
+    )
     return f"""
     WITH {_NEARDUP_CORPUS_SQL},
     {_neardup_sizing_sql(lo=lo, hi=hi)},
     {_neardup_planes_values_sql()},
     {_neardup_banding_sql("corpus")},
-    pairs AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    be AS MATERIALIZED (
+        SELECT b.vec_id, b.tbl, b.bucket, c.embedding
+        FROM banded b JOIN corpus c ON c.vec_id = b.vec_id
     )
-    SELECT p.id_a, p.id_b,
-           ROUND(list_cosine_similarity(ca.embedding::DOUBLE[],
-                                        cb.embedding::DOUBLE[]), 4)
-               AS cosine_sim
-    FROM pairs p
-    JOIN corpus ca ON ca.vec_id = p.id_a
-    JOIN corpus cb ON cb.vec_id = p.id_b
-    WHERE ROUND(list_cosine_similarity(ca.embedding::DOUBLE[],
-                                       cb.embedding::DOUBLE[]), 4)
-          >= {threshold}
+    SELECT DISTINCT id_a, id_b, cosine_sim FROM (
+        {branches}
+    )
     """
 
 

@@ -164,7 +164,14 @@ def _ivf_sized_oracle(
     """_ivf_det_oracle with the centroid count derived from COUNT(*)
     by the exact ``ivf_sized_nlist`` clamp — every CTE is data-derived
     (no embedded literals), so the oracle sizes with the corpus just
-    like the engine does."""
+    like the engine does.
+
+    Memory discipline (first sf10 oracle gate catch): the assignment
+    window ranks n·nlist rows (102 M at sf10's nlist=512), and the
+    original form carried the 64-float embedding THROUGH that sort —
+    tens of GB of blocking state, which exhausted the spill disk.
+    The window now sorts NARROW (vec_id, cid, dot) rows and the
+    embedding joins back onto the n assigned rows afterwards."""
     return f"""
     WITH kk AS (
         SELECT CASE WHEN COUNT(*) <= {lo * lo} THEN {lo}
@@ -194,8 +201,8 @@ def _ivf_sized_oracle(
         ) WHERE rn <= {n_probe}
     ),
     assigned AS (
-        SELECT vec_id, embedding, cid FROM (
-            SELECT iq.vec_id, iq.embedding, cb.cid,
+        SELECT vec_id, cid FROM (
+            SELECT iq.vec_id, cb.cid,
                    ROW_NUMBER() OVER (
                        PARTITION BY iq.vec_id
                        ORDER BY list_dot_product(iq.e, cb.c) DESC, cb.cid
@@ -204,9 +211,12 @@ def _ivf_sized_oracle(
         ) WHERE rn = 1
     )
     SELECT a.vec_id,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+           ROUND(list_cosine_similarity(iq.embedding::DOUBLE[],
                                         qv.qemb::DOUBLE[]), 4) AS cosine_sim
-    FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN qv
+    FROM assigned a
+    JOIN probes p ON a.cid = p.cid
+    JOIN iq ON iq.vec_id = a.vec_id
+    CROSS JOIN qv
     ORDER BY cosine_sim DESC, a.vec_id
     LIMIT {k}
     """
