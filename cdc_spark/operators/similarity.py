@@ -385,23 +385,33 @@ def embedding_near_dup_pairs_lsh(
             for t in range(n_tables)
         ]
     )
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(buckets).alias("__table", "__bucket"),
-    )
-    # Explicit numbered repartition on the join keys: the banded
-    # relation is SMALL (n·L ids) but the self-join's output is
-    # Σcell² — 70× its input at the sized configuration. AQE's
-    # coalescing sizes post-shuffle partitions by the SHUFFLE bytes,
-    # cannot see the explosion, and collapsed this join to ONE task
-    # (measured at the round-12 sf10 gate: minutes of single-core
-    # join time on a 32-core box). A user repartition with an
-    # explicit count is exempt from AQE coalescing, and both join
-    # sides derive from it, so the join runs co-partitioned at full
-    # width with no extra exchange.
+    # Two explicit repartitions, each curing a measured sf10 defect:
+    #
+    # 1. BEFORE the signature projection: the L·k plane dots are
+    #    higher-order-function expressions (interpreted, outside
+    #    whole-stage codegen), and Catalyst evaluates projections in
+    #    the SCAN stage — whose width is the input's file-split
+    #    count (1-2 tasks for one parquet file). At the sized sf10
+    #    configuration that was ~10 minutes of single-core signature
+    #    math on a 32-core box; a round-robin repartition first makes
+    #    the banding embarrassingly parallel, for one cheap shuffle
+    #    of the raw rows.
     n_part = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    banded = df.repartition(n_part).select(
+        F.col(id_col),
+        F.posexplode(buckets).alias("__table", "__bucket"),
+    )
+    # 2. ON the join keys, with an explicit count: the banded
+    #    relation is SMALL (n·L ids) but the self-join's output is
+    #    Σcell² — ~70× its input at the sized configuration. AQE's
+    #    coalescing sizes post-shuffle partitions by the SHUFFLE
+    #    bytes, cannot see the explosion, and collapsed this join to
+    #    ONE task. A user repartition with an explicit count is
+    #    exempt from AQE coalescing, and both join sides derive from
+    #    it, so the join runs co-partitioned at full width with no
+    #    extra exchange.
     banded = banded.repartition(n_part, "__table", "__bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "__table", "__bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "__table", "__bucket")

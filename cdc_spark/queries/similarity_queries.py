@@ -166,12 +166,19 @@ def _ivf_sized_oracle(
     (no embedded literals), so the oracle sizes with the corpus just
     like the engine does.
 
-    Memory discipline (first sf10 oracle gate catch): the assignment
-    window ranks n·nlist rows (102 M at sf10's nlist=512), and the
-    original form carried the 64-float embedding THROUGH that sort —
-    tens of GB of blocking state, which exhausted the spill disk.
-    The window now sorts NARROW (vec_id, cid, dot) rows and the
-    embedding joins back onto the n assigned rows afterwards."""
+    Memory discipline (first sf10 oracle gate catch, two stages of
+    it): the assignment ranks n·nlist rows (102 M at sf10's
+    nlist=512). The original form computed the argmax with a window
+    whose ORDER BY was ``list_dot_product(iq.e, cb.c)`` — a window
+    MATERIALIZES its whole input, and because the order expression
+    references the list columns, that input carried both 64-float
+    lists: ~100 GB of blocking state, spill-disk death. The argmax is
+    now two streaming HASH AGGREGATES over a narrow materialized
+    (vec_id, cid, dot) projection: max(dot) per vector, then min(cid)
+    among the exact-dot ties — the quantized dots are integer-valued
+    doubles (|dot| < 2^24), so the tie equality is exact in every
+    engine and the tiebreak matches the window's (DESC dot, ASC cid)
+    order bit-for-bit. No sort anywhere until the final top-k."""
     return f"""
     WITH kk AS (
         SELECT CASE WHEN COUNT(*) <= {lo * lo} THEN {lo}
@@ -200,15 +207,18 @@ def _ivf_sized_oracle(
             FROM cb, qv
         ) WHERE rn <= {n_probe}
     ),
+    scored AS MATERIALIZED (
+        SELECT iq.vec_id, cb.cid, list_dot_product(iq.e, cb.c) AS d
+        FROM iq, cb
+    ),
+    best AS (
+        SELECT vec_id, MAX(d) AS md FROM scored GROUP BY vec_id
+    ),
     assigned AS (
-        SELECT vec_id, cid FROM (
-            SELECT iq.vec_id, cb.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY iq.vec_id
-                       ORDER BY list_dot_product(iq.e, cb.c) DESC, cb.cid
-                   ) AS rn
-            FROM iq, cb
-        ) WHERE rn = 1
+        SELECT s.vec_id, MIN(s.cid) AS cid
+        FROM scored s JOIN best b
+          ON s.vec_id = b.vec_id AND s.d = b.md
+        GROUP BY s.vec_id
     )
     SELECT a.vec_id,
            ROUND(list_cosine_similarity(iq.embedding::DOUBLE[],
