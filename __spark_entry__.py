@@ -33,16 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # table count + restructured gated-VALUES oracle), dd12/ss13 (r11
 # norm hoist, rows r10), dp05/mm05 (r10 deterministic-slice bucket
 # path, rows r6), tx15/tx20 (r8 rebuilds, rows r6), dd13 (r10
-# PartitionFilter assert, rows r6) — then ss24/ss25 (r11 rows, but
-# their ORACLE was restructured this round by the sf10 gate work —
-# plan-predates-row freshness outranks cohort staleness) and 37
-# freshness re-gates drawn from the 43-entry r6-era cohort (oldest
-# oracled driver rows). The 6 cohort entries the prefix cannot hold
-# (tx18/tx19 displaced by the ss24/ss25 swap + tx21-tx24) are staged
-# in _R13_NEXT for round 13; dp01/dp02 are rows-only by design and
-# never take a hash-gate slot. After this rotation every oracled
-# entry's driver row matches its current plan+oracle or is staged
-# next.
+# PartitionFilter assert, rows r6) — then ss24/ss25/io26 (r10/r11
+# rows, but the sf10 gate work changed them this round: the
+# streaming-argmax oracle restructure and the creationSideThreshold
+# stand-in — plan-predates-row freshness outranks cohort staleness)
+# and 36 freshness re-gates drawn from the 43-entry r6-era cohort
+# (oldest oracled driver rows). The 7 cohort entries the prefix
+# cannot hold (tx17/tx18/tx19 displaced by the freshness swaps +
+# tx21-tx24) are staged in _R13_NEXT for round 13; dp01/dp02 are
+# rows-only by design and never take a hash-gate slot. After this
+# rotation every oracled entry's driver row matches its current
+# plan+oracle or is staged next.
 _R12_PREFIX = (
     # the two r5-era re-gates deferred by the round-11 prefix
     "ss08_quantized_rerank",
@@ -62,8 +63,8 @@ _R12_PREFIX = (
     "tx20_link_pagerank",
     # r10 mechanism-assert change (row r6)
     "dd13_incremental_dedup",
-    # 37 r6-era freshness re-gates (oldest driver rows, gate order;
-    # tx18/tx19 + tx21-tx24 deferred to round 13)
+    # 36 r6-era freshness re-gates (oldest driver rows, gate order;
+    # tx17-tx19 + tx21-tx24 deferred to round 13)
     "cdc26_lsn_gap_audit",
     "dd08_boilerplate_ratio",
     "dd09_common_ngram_exposure",
@@ -100,19 +101,21 @@ _R12_PREFIX = (
     "st18_stream_file_sink",
     "st19_late_data_drop",
     "tx16_temperature_mixture",
-    "tx17_unigram_logprob",
-    # the two r11-gated entries whose ORACLE changed this round (the
-    # sf10 gate's streaming-argmax restructure of _ivf_sized_oracle)
-    # — plan-predates-row freshness outranks the r6 cohort's last
-    # two slots (tx18/tx19, deferred)
+    # three r10/r11-gated entries whose PLAN OR ORACLE changed this
+    # round — plan-predates-row freshness outranks the r6 cohort's
+    # last slots (tx17/tx18/tx19, deferred): ss24/ss25 carry the sf10
+    # gate's streaming-argmax oracle restructure, io26 the
+    # creationSideThreshold stand-in the sf10 gate caught missing
     "ss24_ivf_sized_nlist",
     "ss25_ivf_sized_serving",
+    "io26_runtime_bloom_join_filter",
 )
 
-# The six re-gates the round-12 prefix could not hold (two r6-era
-# slots displaced by the ss24/ss25 oracle-freshness swap + the four
-# deferred cohort entries), staged first for the round-13 rotation.
+# The seven re-gates the round-12 prefix could not hold (three
+# r6-era slots displaced by the ss24/ss25/io26 freshness swaps + the
+# four deferred cohort entries), staged first for round 13.
 _R13_NEXT = (
+    "tx17_unigram_logprob",
     "tx18_curation_pipeline",
     "tx19_quality_percentile_prune",
     "tx21_bigram_logprob",

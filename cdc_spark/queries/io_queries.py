@@ -1575,6 +1575,8 @@ def io26_runtime_bloom_join_filter(
         "applicationSideScanSizeThreshold",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold",
     )
     saved = {k: spark.conf.get(k, None) for k in keys}
     try:
@@ -1584,6 +1586,15 @@ def io26_runtime_bloom_join_filter(
         spark.conf.set(keys[1], "0")
         spark.conf.set(keys[2], "-1")
         spark.conf.set(keys[3], "-1")
+        # ... and the CREATION side must scale with the data too: the
+        # 10 MB default declined the bloom once the filtered dim side
+        # crossed it (caught by the round-12 sf10 gate — the assert
+        # fired at x100 data, exactly the coverage-dependent-assert
+        # class the gate exists for). A multi-MB selective dim
+        # filtering a 60 M-row fact is precisely when production
+        # WANTS the bloom, so the stand-in mirrors raising the knob
+        # on a real cluster.
+        spark.conf.set(keys[4], "1GB")
         fact = spark.read.parquet(fact_path)
         dim = spark.read.parquet(dim_path).where(
             F.col("o_orderpriority") == "1-URGENT"
