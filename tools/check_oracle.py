@@ -61,6 +61,19 @@ def main() -> int:
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # out-of-core discipline: the sized LSH oracles at sf10 stream
+    # hundreds of millions of intermediate rows — a bounded memory
+    # limit + spill dir makes DuckDB grade them instead of the OOM
+    # killer grading DuckDB (observed: 107 GB RSS, killed). Order
+    # preservation is irrelevant (the comparison hash sorts rows).
+    con.execute("SET memory_limit='56GB'")
+    con.execute("SET preserve_insertion_order=false")
+    import os as _os
+    import tempfile as _tempfile
+
+    _spill = _os.path.join(_tempfile.gettempdir(), "duckdb_spill")
+    _os.makedirs(_spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{_spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')"
