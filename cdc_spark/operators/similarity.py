@@ -343,6 +343,21 @@ def semantic_dedup_tables(
     )
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """Session shuffle-partition count as an int, tolerant of vendor
+    runtimes that set the conf to a non-integer (e.g. ``'auto'``):
+    falls back to ``defaultParallelism``, then 32 — a bad conf value
+    must degrade the repartition WIDTH, not break the plan."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(df.sparkSession.sparkContext.defaultParallelism)
+        except Exception:  # noqa: BLE001 — e.g. Connect: no sparkContext
+            return 32
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     embedding_col: str,
@@ -396,9 +411,7 @@ def embedding_near_dup_pairs_lsh(
     #    math on a 32-core box; a round-robin repartition first makes
     #    the banding embarrassingly parallel, for one cheap shuffle
     #    of the raw rows.
-    n_part = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n_part = _shuffle_partitions(df)
     banded = df.repartition(n_part).select(
         F.col(id_col),
         F.posexplode(buckets).alias("__table", "__bucket"),

@@ -66,7 +66,19 @@ def main() -> int:
     # limit + spill dir makes DuckDB grade them instead of the OOM
     # killer grading DuckDB (observed: 107 GB RSS, killed). Order
     # preservation is irrelevant (the comparison hash sorts rows).
-    con.execute("SET memory_limit='56GB'")
+    # The limit derives from PHYSICAL RAM (~70%, capped at 56 GB) so
+    # a smaller host still triggers DuckDB's own spilling before the
+    # OOM killer does — a hardcoded 56GB only worked on this box.
+    import os as _os
+
+    try:
+        _ram_gb = (
+            _os.sysconf("SC_PHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE")
+        ) / (1 << 30)
+        _limit_gb = max(2, min(56, int(_ram_gb * 0.7)))
+    except (ValueError, OSError, AttributeError):
+        _limit_gb = 8
+    con.execute(f"SET memory_limit='{_limit_gb}GB'")
     con.execute("SET preserve_insertion_order=false")
     import os as _os
     import tempfile as _tempfile
