@@ -23,8 +23,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, _SF0001)
 
 
-# Rotated for round 12: the driver samples a 50-row prefix, so the
-# ordering below IS the gate. Tier 0 (_R12_PREFIX) is exactly 50
+# Rotated for round 13: the driver samples a 50-row prefix, so the
+# ordering below IS the gate. Tier 0 (_R13_PREFIX) is exactly 50
+# entries, in the r12 verdict's priority order: the seven r6-era
+# re-gates the round-12 prefix could not hold (tx17-tx19, tx21-tx24,
+# staged last round as _R13_NEXT), dd05 (its shared LSH operator
+# gained the two sf10 repartitions in round 12 AFTER the entry's r11
+# driver row — the exact freshness gap the verdict flagged, and the
+# class the new fingerprint ledger now catches mechanically), dd20 +
+# dd21 (changed THIS round: Hamming-1 multiprobe sizing replaces the
+# k>12 table-count clamp; dd21 additionally gained the radius column
+# and the n_exact>0 recall_ok guard — r12 ADVICE), then 40 freshness
+# re-gates from the 46-entry r10-era cohort (oldest driver rows) in
+# gate order. The 6 cohort entries the prefix cannot hold (tx07-tx12)
+# are staged in _R14_NEXT for round 14; dp01/dp02 are rows-only by
+# design and never take a hash-gate slot. After this rotation every
+# oracled entry's driver row matches its current plan+oracle or is
+# staged next — now enforced by tests/registry_fingerprints.json.
+_R13_PREFIX = (
+    # the seven r6-era re-gates deferred by the round-12 prefix
+    "tx17_unigram_logprob",
+    "tx18_curation_pipeline",
+    "tx19_quality_percentile_prune",
+    "tx21_bigram_logprob",
+    "tx22_blocklist_filter",
+    "tx23_intradoc_dedup",
+    "tx24_lexicon_sentiment",
+    # r12 plan change (two repartitions in the shared LSH operator)
+    # after the entry's r11 driver row
+    "dd05_embedding_neardup",
+    # changed this round: multiprobe sizing (k>12 un-clamp) + the
+    # dd21 radius column / recall_ok n_exact guard
+    "dd20_production_neardup",
+    "dd21_production_recall_eval",
+    # 40 r10-era freshness re-gates (oldest driver rows, gate order;
+    # tx07-tx12 deferred to round 14)
+    "q112_cms_heavy_hitters",
+    "st30_streaming_heavy_hitters",
+    "q113_salted_skew_join",
+    "cdc02_events_merge",
+    "cdc03_snapshot_diff",
+    "cdc04_log_compaction",
+    "cdc05_outbox_route",
+    "cdc06_schema_evolution",
+    "cdc07_dedup_at_least_once",
+    "cdc08_wide_type_decode",
+    "cdc09_pipeline_e2e",
+    "cdc10_pgoutput_binary",
+    "cdc11_incremental_apply",
+    "cdc12_scd2_history",
+    "cdc13_ivm_agg",
+    "cdc14_txn_barrier",
+    "cdc15_replication_progress",
+    "cdc16_maxwell_roundtrip",
+    "dd01_exact_dedup",
+    "dd02_ngram_jaccard",
+    "dd06_dedup_clusters",
+    "dd07_url_dedup",
+    "pu01_grouped_map_centroids",
+    "pu02_grouped_agg_mad",
+    "st01_stream_tumbling",
+    "st02_stream_sessions",
+    "st03_stream_dedup",
+    "st04_stream_static_join",
+    "st05_continuous_rollup",
+    "st07_stream_stream_join",
+    "st08_cdc_pipeline_bucketed",
+    "st09_stream_ivm_agg",
+    "st10_stream_outer_join",
+    "st11_timeout_sessions",
+    "tx01_language_id",
+    "tx02_quality_score",
+    "tx03_token_stats",
+    "tx04_tfidf_top_terms",
+    "tx05_fingerprint",
+    "tx06_quality_filter",
+)
+
+# The six r10-era re-gates the round-13 prefix could not hold,
+# staged first for round 14.
+_R14_NEXT = (
+    "tx07_hash_split",
+    "tx08_repetition_stats",
+    "tx09_stratified_sample",
+    "tx10_pii_redaction",
+    "tx11_decontamination",
+    "tx12_chunking",
+)
+
+# Round 12's prefix (retained for rank ordering below tier 0/1): the
+# driver samples a 50-row prefix, so the ordering below IS the gate.
+# Tier 0 (_R12_PREFIX) was exactly 50
 # entries, in the r11 verdict's priority order: the two r5-era
 # re-gates the round-11 prefix could not hold (ss08/ss09, staged
 # last round as _R12_NEXT), the entry ADDED this round (dd21
@@ -109,19 +198,6 @@ _R12_PREFIX = (
     "ss24_ivf_sized_nlist",
     "ss25_ivf_sized_serving",
     "io26_runtime_bloom_join_filter",
-)
-
-# The seven re-gates the round-12 prefix could not hold (three
-# r6-era slots displaced by the ss24/ss25/io26 freshness swaps + the
-# four deferred cohort entries), staged first for round 13.
-_R13_NEXT = (
-    "tx17_unigram_logprob",
-    "tx18_curation_pipeline",
-    "tx19_quality_percentile_prune",
-    "tx21_bigram_logprob",
-    "tx22_blocklist_filter",
-    "tx23_intradoc_dedup",
-    "tx24_lexicon_sentiment",
 )
 
 _R11_PREFIX = (
@@ -246,26 +322,29 @@ _R10_PREFIX = (
 _R10_RANK = {n: i for i, n in enumerate(_R10_PREFIX)}
 _R11_RANK = {n: i for i, n in enumerate(_R11_PREFIX)}
 _R12_RANK = {n: i for i, n in enumerate(_R12_PREFIX)}
-_R13_RANK = {n: i for i, n in enumerate(_R13_NEXT)}
+_R13_RANK = {n: i for i, n in enumerate(_R13_PREFIX)}
+_R14_RANK = {n: i for i, n in enumerate(_R14_NEXT)}
 
 # Stable aliases for the CURRENT round's 50-slot gate prefix and the
 # tier staged for the NEXT rotation — tests pin the contract through
 # these names so a rotation cannot silently break them
 # (tests/test_registry_contract.py).
-GATE_PREFIX = _R12_PREFIX
-NEXT_TIER = _R13_NEXT
+GATE_PREFIX = _R13_PREFIX
+NEXT_TIER = _R14_NEXT
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R12_RANK:
-        return (0, _R12_RANK[name], name)
     if name in _R13_RANK:
-        return (1, _R13_RANK[name], name)
+        return (0, _R13_RANK[name], name)
+    if name in _R14_RANK:
+        return (1, _R14_RANK[name], name)
+    if name in _R12_RANK:
+        return (2, _R12_RANK[name], name)
     if name in _R11_RANK:
-        return (2, _R11_RANK[name], name)
+        return (3, _R11_RANK[name], name)
     if name in _R10_RANK:
-        return (3, _R10_RANK[name], name)
-    return (4, 0, name)
+        return (4, _R10_RANK[name], name)
+    return (5, 0, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -31,7 +31,8 @@ from cdc_spark.operators.dedup import (
 from cdc_spark.operators.similarity import (
     embedding_near_dup_pairs_lsh,
     hyperplanes,
-    tables_for_planes,
+    multiprobe_for_planes,
+    multiprobe_sizing,
 )
 from cdc_spark.queries.base import register
 
@@ -400,8 +401,13 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_SEED = 11
 _NEARDUP_THRESHOLD = 0.85
-_NEARDUP_PLANE_LO, _NEARDUP_PLANE_HI = 4, 16
+# plane_hi raised 16 -> 20 in round 13: with Hamming-1 multiprobe the
+# table count stays <= 40 for every k <= 20 (L = 11..35 at k = 13..20
+# where the r=0 formula needs 47..189), so the 0.98 recall target now
+# holds to 125 * 2^20 ~ 131 M vectors instead of clamping at ~0.5 M
+_NEARDUP_PLANE_LO, _NEARDUP_PLANE_HI = 4, 20
 _NEARDUP_TABLE_LO, _NEARDUP_TABLE_HI = 2, 40
+_NEARDUP_RADIUS_HI = 1
 
 # simulated re-crawl corpus: every 20th vector re-arrives with its
 # every-5th coordinate zeroed (cosine ≈ sqrt(0.8) ≈ 0.89 to its
@@ -419,13 +425,28 @@ _NEARDUP_CORPUS_SQL = """corpus AS (
 
 
 def _neardup_sizing_sql(*, lo: int, hi: int, target: int = 125) -> str:
-    """kk (planes from COUNT(*), the semantic_dedup_planes clamp) and
-    ll (tables from planes via a branch-literal CASE generated from
-    ``tables_for_planes`` — the 13 reachable k values are enumerable,
-    so the L side involves ZERO cross-engine transcendental math)."""
-    cases = " ".join(
-        f"WHEN {k} THEN {tables_for_planes(k, threshold=_NEARDUP_THRESHOLD, lo=_NEARDUP_TABLE_LO, hi=_NEARDUP_TABLE_HI)}"
+    """kk (planes from COUNT(*), the semantic_dedup_planes clamp),
+    ll (tables) and rr (probe radius) — the latter two via
+    branch-literal CASEs generated from ``multiprobe_for_planes``,
+    the identical solver the Spark entry calls: the 17 reachable k
+    values are enumerable, so neither the L nor the r side involves
+    ANY cross-engine transcendental math. k <= 12 branches emit
+    radius 0 and the exact pre-round-13 table counts."""
+    branch = {
+        k: multiprobe_for_planes(
+            k,
+            threshold=_NEARDUP_THRESHOLD,
+            table_lo=_NEARDUP_TABLE_LO,
+            table_hi=_NEARDUP_TABLE_HI,
+            radius_hi=_NEARDUP_RADIUS_HI,
+        )
         for k in range(lo, hi + 1)
+    }
+    l_cases = " ".join(
+        f"WHEN {k} THEN {tables}" for k, (tables, _) in branch.items()
+    )
+    r_cases = " ".join(
+        f"WHEN {k} THEN {radius}" for k, (_, radius) in branch.items()
     )
     return f"""kk AS (
         SELECT GREATEST({lo}, LEAST({hi},
@@ -433,7 +454,10 @@ def _neardup_sizing_sql(*, lo: int, hi: int, target: int = 125) -> str:
         FROM corpus
     ),
     ll AS (
-        SELECT CASE kk.planes {cases} END AS tables FROM kk
+        SELECT CASE kk.planes {l_cases} END AS tables FROM kk
+    ),
+    rr AS (
+        SELECT CASE kk.planes {r_cases} END AS radius FROM kk
     )"""
 
 
@@ -476,21 +500,46 @@ def _neardup_banding_sql(source: str) -> str:
     )"""
 
 
+def _neardup_probes_sql() -> str:
+    """Hamming-≤radius probe expansion over ``banded``: each (vec,
+    tbl, bucket) row probes its home bucket (flip = -1, always) plus
+    its kk.planes one-bit XOR neighbors when rr.radius >= 1 — the
+    SQL image of the Spark plan's mask-explode. At radius 0 the flips
+    relation reduces to the single -1 row, so probed == banded and
+    the candidate join degenerates to the exact pre-round-13 shape."""
+    flips = ",".join(f"({i})" for i in range(-1, _NEARDUP_PLANE_HI))
+    return f"""flips(flip) AS (VALUES {flips}),
+    probed AS (
+        SELECT b.vec_id, b.tbl,
+               CASE WHEN f.flip < 0 THEN b.bucket
+                    ELSE xor(b.bucket, 1::BIGINT << f.flip) END AS pbucket
+        FROM banded b
+        CROSS JOIN kk CROSS JOIN rr
+        JOIN flips f
+          ON f.flip = -1 OR (rr.radius >= 1 AND f.flip < kk.planes)
+    )"""
+
+
 def _production_neardup_oracle(
     *,
     lo: int = _NEARDUP_PLANE_LO,
     hi: int = _NEARDUP_PLANE_HI,
     threshold: float = _NEARDUP_THRESHOLD,
 ) -> str:
-    """DuckDB twin of dd20: the SIZED multi-table hyperplane LSH.
+    """DuckDB twin of dd20: the SIZED multi-table hyperplane LSH,
+    with Hamming-1 MULTIPROBE on the k >= 13 branches.
 
-    BOTH knobs are derived from the corpus COUNT(*): planes with the
-    same clamp as ``semantic_dedup_planes`` (the dd12 pattern) and
-    tables via the branch-literal CASE of ``tables_for_planes`` —
-    plane literals are index-gated (prefix-stable hyperplanes), so
-    both engines compute identical sized bandings at any SF including
-    branches the small SFs never reach. Candidates carry IDs only;
-    the embeddings join back for the exact-cosine verify (mirrors the
+    ALL THREE knobs are derived from the corpus COUNT(*): planes with
+    the same clamp as ``semantic_dedup_planes`` (the dd12 pattern),
+    tables AND probe radius via branch-literal CASEs generated from
+    ``multiprobe_for_planes`` — plane literals are index-gated
+    (prefix-stable hyperplanes), so both engines compute identical
+    sized bandings at any SF including branches the small SFs never
+    reach. The probe expansion (``probed``) reduces to the banded
+    relation itself on every radius-0 branch (k <= 12 — all four
+    driver-gated SFs plus sf10), so those branches keep the exact
+    round-12 plan cost. Candidates carry IDs only; the embeddings
+    join back (via ``be``) for the exact-cosine verify (mirrors the
     Spark plan's array-shuffle avoidance)."""
     # Plan-shape discipline, learned at the first sf10 oracle gate
     # (sf10's branch is k=11, L=32 — 480 M candidate pairs): any plan
@@ -513,14 +562,15 @@ def _production_neardup_oracle(
     # ITS memory model wants it, same result set.
     branches = "\n        UNION ALL\n        ".join(
         f"""SELECT id_a, id_b, cosine_sim FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT a.vec_id AS id_a, p.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 4)
+                                                eb.embedding::DOUBLE[]), 4)
                        AS cosine_sim
-            FROM be a JOIN be b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            FROM be a
+            JOIN pe p ON a.bucket = p.pbucket AND a.vec_id < p.vec_id
+            JOIN be eb ON eb.vec_id = p.vec_id AND eb.tbl = {t}
             CROSS JOIN ll
-            WHERE a.tbl = {t} AND b.tbl = {t} AND {t} < ll.tables
+            WHERE a.tbl = {t} AND p.tbl = {t} AND {t} < ll.tables
         ) WHERE cosine_sim >= {threshold}"""
         for t in range(_NEARDUP_TABLE_HI)
     )
@@ -529,9 +579,13 @@ def _production_neardup_oracle(
     {_neardup_sizing_sql(lo=lo, hi=hi)},
     {_neardup_planes_values_sql()},
     {_neardup_banding_sql("corpus")},
+    {_neardup_probes_sql()},
     be AS MATERIALIZED (
         SELECT b.vec_id, b.tbl, b.bucket, c.embedding
         FROM banded b JOIN corpus c ON c.vec_id = b.vec_id
+    ),
+    pe AS MATERIALIZED (
+        SELECT vec_id, tbl, pbucket FROM probed
     )
     SELECT DISTINCT id_a, id_b, cosine_sim FROM (
         {branches}
@@ -554,22 +608,29 @@ def _production_neardup_oracle(
     "falling). Because p^k = (n/125)^(log2 p) shrinks only "
     "polynomially at this threshold (n^-0.28), L grows as "
     "(n/125)^0.28: 7/9/17/32 at the k=4/5/8/11 branches the five "
-    "gated SFs reach (86 at 10^9 vectors) — total work n^1.28, the "
-    "measured price of CONSTANT recall (dd21 gates the recall "
-    "itself; contrast dd05's note: at 0.4 the same exponent is "
-    "n^-0.67 and sizing is hopeless). The corpus unions a "
-    "deterministic simulated re-crawl (every 20th vector, every-5th "
-    "coordinate zeroed, cosine ~ 0.89) since the synthetic table has "
-    "no natural 0.85 pairs; expected output is one pair per injected "
-    "near-dup — linear in n. Oracle re-derives planes from COUNT(*) "
-    "with index-gated prefix-stable plane literals and tables from a "
-    "branch-literal CASE over the 13 reachable k values, recomputing "
-    "the sized banding bit-for-bit",
+    "gated SFs reach — total work n^1.28, the measured price of "
+    "CONSTANT recall (dd21 gates the recall itself; contrast dd05's "
+    "note: at 0.4 the same exponent is n^-0.67 and sizing is "
+    "hopeless). Round 13 removes the ~0.5M-vector ceiling the r12 "
+    "verdict flagged: past k=12 (where plain OR-amplification needs "
+    "L=47..189 and the oracle-parity clamp froze L at 40, decaying "
+    "recall to 0.96..0.82) the sizing switches to Hamming-1 "
+    "MULTIPROBE (Lv et al. VLDB'07, the FAISS/E2LSH technique) — "
+    "each vector also probes its k one-bit-flip neighbor buckets per "
+    "table, per-table collision rises to p^k + k*p^(k-1)*(1-p), and "
+    "L stays 11..35 through k=20, holding R=0.98 to 125*2^20 ~ 131M "
+    "vectors with the plane VALUES relation still bounded at 40x20. "
+    "The corpus unions a deterministic simulated re-crawl (every "
+    "20th vector, every-5th coordinate zeroed, cosine ~ 0.89) since "
+    "the synthetic table has no natural 0.85 pairs; expected output "
+    "is one pair per injected near-dup — linear in n. Oracle "
+    "re-derives planes from COUNT(*) with index-gated prefix-stable "
+    "plane literals, tables AND radius from branch-literal CASEs "
+    "over the 17 reachable k values, recomputing the sized banding "
+    "and the probe expansion bit-for-bit",
     tags=("dedup", "embedding", "lsh", "scale"),
 )
 def dd20_production_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_spark.operators.similarity import semantic_dedup_planes
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -583,19 +644,20 @@ def dd20_production_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(recrawl)
-    # ONE cheap count job sizes both knobs to the corpus (the dd12
-    # discipline): 2^planes cells ~ n/125 keeps per-table candidate
-    # work linear in n, and the table count grows ~(n/125)^0.28 to
-    # hold per-pair recall at 0.98 as the cells shrink
+    # ONE cheap count job sizes all three knobs to the corpus (the
+    # dd12 discipline): 2^planes cells ~ n/125 keeps per-table
+    # candidate work linear in n; the table count grows ~(n/125)^0.28
+    # to hold per-pair recall at 0.98 as the cells shrink; past k=12
+    # the solver switches to Hamming-1 multiprobe so L never clamps
     n = corpus.count()
-    planes = semantic_dedup_planes(
-        n, lo=_NEARDUP_PLANE_LO, hi=_NEARDUP_PLANE_HI
-    )
-    tables = tables_for_planes(
-        planes,
+    planes, tables, radius = multiprobe_sizing(
+        n,
         threshold=_NEARDUP_THRESHOLD,
-        lo=_NEARDUP_TABLE_LO,
-        hi=_NEARDUP_TABLE_HI,
+        plane_lo=_NEARDUP_PLANE_LO,
+        plane_hi=_NEARDUP_PLANE_HI,
+        table_lo=_NEARDUP_TABLE_LO,
+        table_hi=_NEARDUP_TABLE_HI,
+        radius_hi=_NEARDUP_RADIUS_HI,
     )
     return embedding_near_dup_pairs_lsh(
         corpus,
@@ -605,6 +667,7 @@ def dd20_production_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_NEARDUP_THRESHOLD,
         n_tables=tables,
         n_planes=planes,
+        probe_radius=radius,
     )
 
 
@@ -618,14 +681,17 @@ def _production_recall_oracle(
 ) -> str:
     """DuckDB twin of dd21: recall of the SIZED LSH vs the exact
     baseline, measured at the production threshold on a bounded
-    deterministic sample but with (planes, tables) derived from the
-    FULL corpus COUNT(*) — i.e. the evaluation exercises exactly the
-    clamp branch the production entry runs at this SF. The sample
-    keeps vector FAMILIES together (md5 keep on vec_id % 1000000, so
-    a re-crawl follows its original), because per-pair collision
-    recall depends only on the pair's own angle and (k, L) — a
+    deterministic sample but with (planes, tables, radius) derived
+    from the FULL corpus COUNT(*) — i.e. the evaluation exercises
+    exactly the sizing branch the production entry runs at this SF,
+    including the k >= 13 multiprobe branches. The sample keeps
+    vector FAMILIES together (md5 keep on vec_id % 1000000, so a
+    re-crawl follows its original), because per-pair collision
+    recall depends only on the pair's own angle and (k, L, r) — a
     sampled pair measures the same probability the full corpus
-    would."""
+    would. recall_ok requires n_exact > 0 explicitly (r12 ADVICE):
+    an empty exact baseline must read as a red gate row, never a
+    vacuously-NULL green."""
     return f"""
     WITH {_NEARDUP_CORPUS_SQL},
     {_neardup_sizing_sql(lo=lo, hi=hi)},
@@ -641,10 +707,11 @@ def _production_recall_oracle(
                                   1, 15) AS BIGINT) % m = 0
     ),
     {_neardup_banding_sql("sample")},
+    {_neardup_probes_sql()},
     cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        SELECT DISTINCT a.vec_id AS id_a, p.vec_id AS id_b
+        FROM banded a JOIN probed p
+          ON a.tbl = p.tbl AND a.bucket = p.pbucket AND a.vec_id < p.vec_id
     ),
     found AS (
         SELECT c.id_a, c.id_b
@@ -663,13 +730,15 @@ def _production_recall_oracle(
               >= {threshold}
     )
     SELECT kk.planes AS planes, ll.tables AS tables,
+           rr.radius AS radius,
            (SELECT COUNT(*) FROM exact) AS n_exact,
            (SELECT COUNT(*) FROM found) AS n_found,
            ROUND(CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
                  / (SELECT COUNT(*) FROM exact), 6) AS recall,
-           (CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM exact)) >= {floor} AS recall_ok
-    FROM kk CROSS JOIN ll
+           ((SELECT COUNT(*) FROM exact) > 0
+            AND (CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact)) >= {floor}) AS recall_ok
+    FROM kk CROSS JOIN ll CROSS JOIN rr
     """
 
 
@@ -679,22 +748,27 @@ def _production_recall_oracle(
     note="RECALL EVALUATION of the sized production near-dup (dd20's "
     "exact configuration) as a first-class gated operator — the "
     "dd17/ss12 pattern at the 0.85 production threshold: LSH-found "
-    "pairs vs the exact all-pairs baseline, recall per clamp branch. "
-    "(planes, tables) derive from the FULL corpus COUNT(*) exactly "
-    "as dd20 derives them, so each SF gates its own branch "
-    "(k=4,L=7 at sf0.01; 5,9 at sf0.1; 8,17 at sf1; 11,32 at sf10); "
+    "pairs vs the exact all-pairs baseline, recall per sizing "
+    "branch. (planes, tables, radius) derive from the FULL corpus "
+    "COUNT(*) exactly as dd20 derives them, so each SF gates its own "
+    "branch (k=4,L=7,r=0 at sf0.01; 5,9,0 at sf0.1; 8,17,0 at sf1; "
+    "11,32,0 at sf10; 13,11,r=1 at the 537k-vector clamp-branch "
+    "gate — the round-13 multiprobe branch a >0.5M corpus runs); "
     "the measurement runs on a bounded deterministic sample (md5 "
     "keep on vec_id % 1000000 so a re-crawl follows its original — "
     "per-pair collision recall depends only on the pair's angle and "
-    "(k,L), so sampled pairs measure the same probability). The "
+    "(k,L,r), so sampled pairs measure the same probability). The "
     "exact baseline is the blocked all-pairs GRID equi-join "
     "(embedding_near_dup_pairs_grid: B^2-way parallel, no cartesian "
     "/ nested-loop shape), bounded at ~2100 rows by the sample cap. "
     "Measured recall at the target-0.98 sizing: 1.0 / 1.0 / 0.994 / "
-    "0.997 across the four branches — the >= 0.9 floor the verdict "
-    "asked to prove rides as the recall_ok column, and pytest pins "
-    "it at the small SFs. Oracle recomputes sample, sizing, banding "
-    "and both pair sets bit-for-bit",
+    "0.997 across the four r=0 branches and 1.0 at the k=13 "
+    "multiprobe branch — the >= 0.9 floor rides as the recall_ok "
+    "column (now explicitly requiring n_exact > 0, the r12 ADVICE "
+    "fix: an empty baseline reads red, not vacuous-NULL green), and "
+    "pytest pins it at the small SFs. Oracle recomputes sample, "
+    "sizing, banding, probe expansion and both pair sets "
+    "bit-for-bit",
     tags=("dedup", "embedding", "lsh", "evaluation", "scale"),
 )
 def dd21_production_recall_eval(
@@ -705,7 +779,6 @@ def dd21_production_recall_eval(
     from cdc_spark.operators.dedup import portable_hash60
     from cdc_spark.operators.similarity import (
         embedding_near_dup_pairs_grid,
-        semantic_dedup_planes,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -722,21 +795,21 @@ def dd21_production_recall_eval(
     )
     corpus = emb.unionByName(recrawl)
     # one agg job yields BOTH counts: the full-corpus size (drives
-    # the same (k, L) pair dd20 runs with at this SF) and the
+    # the same (k, L, r) triple dd20 runs with at this SF) and the
     # original count (drives the bounded-sample keep modulus)
     counts = emb.agg(
         F.count("*").alias("n_orig"),
         F.count(F.when(F.col("vec_id") % 20 == 0, 1)).alias("n_re"),
     ).first()
     n_corpus = counts["n_orig"] + counts["n_re"]
-    planes = semantic_dedup_planes(
-        n_corpus, lo=_NEARDUP_PLANE_LO, hi=_NEARDUP_PLANE_HI
-    )
-    tables = tables_for_planes(
-        planes,
+    planes, tables, radius = multiprobe_sizing(
+        n_corpus,
         threshold=_NEARDUP_THRESHOLD,
-        lo=_NEARDUP_TABLE_LO,
-        hi=_NEARDUP_TABLE_HI,
+        plane_lo=_NEARDUP_PLANE_LO,
+        plane_hi=_NEARDUP_PLANE_HI,
+        table_lo=_NEARDUP_TABLE_LO,
+        table_hi=_NEARDUP_TABLE_HI,
+        radius_hi=_NEARDUP_RADIUS_HI,
     )
     m = max(1, math.ceil(counts["n_orig"] / 2000))
     sample = corpus.where(
@@ -751,6 +824,7 @@ def dd21_production_recall_eval(
         threshold=_NEARDUP_THRESHOLD,
         n_tables=tables,
         n_planes=planes,
+        probe_radius=radius,
     )
     exact = embedding_near_dup_pairs_grid(
         sample, "embedding", "vec_id", threshold=_NEARDUP_THRESHOLD
@@ -767,10 +841,13 @@ def dd21_production_recall_eval(
         .select(
             F.lit(planes).alias("planes"),
             F.lit(tables).alias("tables"),
+            F.lit(radius).alias("radius"),
             "n_exact",
             "n_found",
             F.round(ratio, 6).alias("recall"),
-            (ratio >= 0.9).alias("recall_ok"),
+            ((F.col("n_exact") > 0) & (ratio >= 0.9)).alias(
+                "recall_ok"
+            ),
         )
     )
 

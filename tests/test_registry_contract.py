@@ -96,6 +96,80 @@ def test_next_rotation_tier_is_oracled_and_registered():
         assert REGISTRY[name].oracle is not None, f"{name}: no oracle"
 
 
+# --- rotation-freshness ledger (r12 verdict item 4) ------------------
+#
+# The invariant "every oracled entry's latest driver row matches its
+# current plan+oracle, or the entry is staged for the next gate" was
+# hand-tracked through r12, and r12's verdict caught one miss (dd05:
+# a shared operator gained two repartitions after the entry's last
+# driver row). tests/registry_fingerprints.json pins each entry's
+# fingerprint — oracle SQL + the transitive cdc_spark source closure
+# of its query fn — as of its last staging; drift outside the staged
+# tiers fails here, at commit time.
+
+
+def test_rotation_freshness_ledger():
+    import json
+    import os
+
+    import __spark_entry__ as entry
+
+    from cdc_spark.queries.fingerprint import all_fingerprints
+
+    path = os.path.join(
+        os.path.dirname(__file__), "registry_fingerprints.json"
+    )
+    with open(path) as f:
+        ledger = json.load(f)
+    current = all_fingerprints()
+    assert set(ledger) == set(current), (
+        "ledger/registry entry sets diverge — run "
+        "tools/update_fingerprints.py after adding/removing entries"
+    )
+    staged = set(entry.GATE_PREFIX) | set(entry.NEXT_TIER)
+    drifted = sorted(
+        n for n in current if ledger[n] != current[n] and n not in staged
+    )
+    assert not drifted, (
+        "plan or oracle changed after these entries were last staged "
+        "for a driver gate — add them to GATE_PREFIX/NEXT_TIER and "
+        f"refresh the ledger (tools/update_fingerprints.py): {drifted}"
+    )
+
+
+def test_fingerprint_covers_shared_operators():
+    """RED-path proof the ledger catches the dd05 class: the entry's
+    fingerprint must hash the SHARED operator's source (including
+    transitive helpers and function-local imports), and must move
+    when any hashed component changes."""
+    import dataclasses
+
+    from cdc_spark.queries.fingerprint import (
+        collect_sources,
+        entry_fingerprint,
+    )
+
+    spec = REGISTRY["dd05_embedding_neardup"]
+    srcs = collect_sources(spec.fn)
+    # the exact miss r12 flagged: the shared LSH operator's source
+    assert (
+        "cdc_spark.operators.similarity.embedding_near_dup_pairs_lsh"
+        in srcs
+    )
+    # transitive helper reached only through that operator
+    assert "cdc_spark.operators.similarity._shuffle_partitions" in srcs
+    # function-local `from cdc_spark... import` form (dd21 uses it)
+    assert (
+        "cdc_spark.operators.dedup.portable_hash60"
+        in collect_sources(REGISTRY["dd21_production_recall_eval"].fn)
+    )
+    # sensitivity: a one-character oracle change moves the print
+    tampered = dataclasses.replace(
+        spec, oracle=(spec.oracle or "") + " "
+    )
+    assert entry_fingerprint(tampered) != entry_fingerprint(spec)
+
+
 # --- plan-BUILD-time guardrail (r11 verdict item 4) -----------------
 #
 # Three rounds produced the same defect class three times (pq_encode

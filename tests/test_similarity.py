@@ -366,15 +366,17 @@ def test_tables_for_planes_algebra():
 
 
 def test_neardup_tables_case_matches_python():
-    """The oracle's planes->tables CASE must be the literal image of
-    tables_for_planes over every reachable k — evaluate the generated
-    SQL fragment in DuckDB for each branch and compare."""
+    """The oracle's planes->(tables, radius) CASEs must be the
+    literal image of multiprobe_for_planes over every reachable k —
+    evaluate the generated SQL fragment in DuckDB for each branch and
+    compare."""
     import duckdb
 
-    from cdc_spark.operators.similarity import tables_for_planes
+    from cdc_spark.operators.similarity import multiprobe_for_planes
     from cdc_spark.queries.dedup_queries import (
         _NEARDUP_PLANE_HI,
         _NEARDUP_PLANE_LO,
+        _NEARDUP_RADIUS_HI,
         _NEARDUP_TABLE_HI,
         _NEARDUP_TABLE_LO,
         _neardup_sizing_sql,
@@ -387,11 +389,113 @@ def test_neardup_tables_case_matches_python():
         n = 125 * 2**k  # corpus count landing exactly on branch k
         got = duckdb.sql(
             f"WITH corpus AS (SELECT 1 FROM range({n})), {sizing} "
-            f"SELECT kk.planes, ll.tables FROM kk CROSS JOIN ll"
+            f"SELECT kk.planes, ll.tables, rr.radius "
+            f"FROM kk CROSS JOIN ll CROSS JOIN rr"
         ).fetchone()
         assert got[0] == k
-        assert got[1] == tables_for_planes(
-            k, lo=_NEARDUP_TABLE_LO, hi=_NEARDUP_TABLE_HI
+        assert (got[1], got[2]) == multiprobe_for_planes(
+            k,
+            table_lo=_NEARDUP_TABLE_LO,
+            table_hi=_NEARDUP_TABLE_HI,
+            radius_hi=_NEARDUP_RADIUS_HI,
+        )
+
+
+def test_multiprobe_sizing_algebra():
+    """The multiprobe solver: k <= 12 branches are EXACTLY the plain
+    tables_for_planes sizing (radius 0 — every previously gated SF
+    unchanged); k = 13..20 switch to Hamming-1 with bounded L. Pins
+    are the cross-engine contract (the oracle CASEs are generated
+    from the same function)."""
+    from cdc_spark.operators.similarity import (
+        multiprobe_collision_prob,
+        multiprobe_for_planes,
+        multiprobe_sizing,
+        tables_for_planes,
+    )
+
+    # continuity: radius 0 and identical L through k=12
+    for k in range(4, 13):
+        tables, radius = multiprobe_for_planes(k)
+        assert radius == 0
+        assert tables == tables_for_planes(k)
+    # the multiprobe branches: r=1, L = 11..35 where r=0 needs 47..189
+    expect = {
+        13: 11, 14: 13, 15: 16, 16: 18, 17: 21, 18: 25, 19: 29, 20: 35,
+    }
+    for k, want_l in expect.items():
+        tables, radius = multiprobe_for_planes(k)
+        assert radius == 1, k
+        assert tables == want_l, k
+        assert tables <= 40
+    # the count-driven composite hits the branches dd20/dd21 gate:
+    # the four r=0 SFs plus the 537k-vector clamp-branch gate
+    assert multiprobe_sizing(525) == (4, 7, 0)
+    assert multiprobe_sizing(2_100) == (5, 9, 0)
+    assert multiprobe_sizing(21_000) == (8, 17, 0)
+    assert multiprobe_sizing(210_000) == (11, 32, 0)
+    assert multiprobe_sizing(537_600) == (13, 11, 1)
+    # collision probability reduces to p^k at radius 0
+    import math
+
+    p = 1.0 - math.acos(0.85) / math.pi
+    assert abs(multiprobe_collision_prob(8, 0) - p**8) < 1e-15
+    assert (
+        abs(
+            multiprobe_collision_prob(8, 1)
+            - (p**8 + 8 * p**7 * (1 - p))
+        )
+        < 1e-15
+    )
+
+
+def test_hyperplanes_prefix_stable():
+    """Raising the plane budget must not move existing planes: the
+    oracle's index-gated VALUES relation and every already-gated
+    branch rely on hyperplanes(dim, hi)[:k] == hyperplanes(dim, k)."""
+    from cdc_spark.operators.similarity import hyperplanes
+
+    assert hyperplanes(64, 20, 11)[:16] == hyperplanes(64, 16, 11)
+    assert hyperplanes(64, 16, 2011)[:4] == hyperplanes(64, 4, 2011)
+
+
+def test_lsh_multiprobe_superset_of_plain(spark, emb):
+    """probe_radius=1 may only ADD candidate pairs (Hamming-1 probes
+    are a superset of the home bucket), every emitted pair still
+    passes the exact-cosine verify, and at a deliberately starved
+    (k=6, L=2) configuration the probes find strictly more of the
+    exact pair set — the recall the sizing buys on k >= 13 branches."""
+    from cdc_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    kwargs = dict(dim=64, threshold=0.4, n_tables=2, n_planes=6)
+    r0 = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs_lsh(
+            emb, "embedding", "vec_id", probe_radius=0, **kwargs
+        ).collect()
+    }
+    r1 = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs_lsh(
+            emb, "embedding", "vec_id", probe_radius=1, **kwargs
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs(
+            emb, "embedding", "vec_id", threshold=0.4
+        ).collect()
+    }
+    assert r0 <= r1 <= exact
+    assert len(r1) > len(r0), "multiprobe added no candidates"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_near_dup_pairs_lsh(
+            emb, "embedding", "vec_id", probe_radius=2, **kwargs
         )
 
 
@@ -434,6 +538,7 @@ def test_dd21_recall_floor(spark):
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         row = dd21_production_recall_eval(spark, sf).first()
         assert row["planes"] == 4 and row["tables"] == 7, sf
+        assert row["radius"] == 0, sf
         assert row["n_exact"] > 0, sf
         assert row["recall"] >= 0.9, (sf, row)
         assert bool(row["recall_ok"]) is True, sf
