@@ -410,6 +410,35 @@ CONTROLS = (
     "cdc04_log_compaction",
 )
 
+# One overhead-bound control alongside the four scan-bound ones
+# (round-12 verdict item 5): the scan controls got 23% faster in r12
+# while job-overhead-bound entries stayed flat, so the normalized
+# series read +7.2% on a faster box. This fixed plan runs 10 tiny
+# one-partition jobs touching no data — its time is pure
+# scheduler + py4j + job-submission cost, so the pair
+# (control_mean, control_overhead_mean) separates scan-speed drift
+# from scheduler drift when reading round-over-round deltas.
+OVERHEAD_JOBS = 10
+
+
+def bench_overhead_control(spark) -> float:
+    """Min-of-3 of a 10-job no-data loop (1 row, 1 partition each)."""
+
+    def run() -> None:
+        for _ in range(OVERHEAD_JOBS):
+            spark.range(0, 1, 1, 1).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    run()  # warm-up
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
 
 # The driver captures bench stdout with a bounded buffer; round 10's
 # line was truncated MID-JSON (parsed: null) when inlined derivable
@@ -426,19 +455,24 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     control_mean = round(
         sum(timings[c] for c in CONTROLS) / len(CONTROLS), 4
     )
+    # the overhead control is NOT part of the headline sum (it is a
+    # meta-measurement of the box, not an engine entry)
+    overhead = timings.pop("control_overhead_10jobs", None)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "controls": list(CONTROLS),
-            "control_mean": control_mean,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "controls": list(CONTROLS),
+        "control_mean": control_mean,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if overhead is not None:
+        payload["control_overhead_mean"] = round(
+            overhead / OVERHEAD_JOBS, 4
+        )
+    return json.dumps(payload, separators=(",", ":"))
 
 
 def main() -> None:
@@ -496,6 +530,7 @@ def main() -> None:
     timings["ivf_sized_probe_serving"] = bench_ivf_sized_probe(
         spark, sf_dir
     )
+    timings["control_overhead_10jobs"] = bench_overhead_control(spark)
 
     # Control normalization in the ARTIFACT, not the narrative: the
     # four fixed-plan controls measure the box; normalized values

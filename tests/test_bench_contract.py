@@ -25,6 +25,7 @@ def _synthetic_timings() -> dict[str, float]:
     t["skew_join_plain_hot"] = 999.999
     t["skew_join_salted_hot"] = 999.999
     t["ivf_sized_probe_serving"] = 999.999
+    t["control_overhead_10jobs"] = 999.999
     return t
 
 
@@ -35,10 +36,17 @@ def test_bench_line_is_single_and_round_trips():
     assert parsed["metric"] == "headline_queries_total_runtime"
     assert parsed["unit"] == "sec"
     assert parsed["sf"] == 0.1
-    assert set(parsed["queries"]) == set(_synthetic_timings())
+    # the overhead control is a box meta-measurement: reported as
+    # control_overhead_mean (per-job), excluded from queries/value
+    expected = _synthetic_timings()
+    overhead = expected.pop("control_overhead_10jobs")
+    assert set(parsed["queries"]) == set(expected)
     assert parsed["control_mean"] == 999.999
+    assert parsed["control_overhead_mean"] == round(
+        overhead / bench.OVERHEAD_JOBS, 4
+    )
     # value = sum of the synthetic timings (rounded)
-    assert parsed["value"] == round(sum(_synthetic_timings().values()), 3)
+    assert parsed["value"] == round(sum(expected.values()), 3)
 
 
 def test_bench_line_fits_capture_budget_with_margin():
