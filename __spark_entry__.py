@@ -56,6 +56,11 @@ _R13_PREFIX = (
     # dd21 radius column / recall_ok n_exact guard
     "dd20_production_neardup",
     "dd21_production_recall_eval",
+    # ADDED this round: the forced-radius-1 multiprobe parity pin —
+    # gives the driver a hash row on the multiprobe plan shape at
+    # every SF (before dd22 it had gated rows only at the 537k-vector
+    # CLAMP_GATE corpus); displaces tx06 to _R14_NEXT
+    "dd22_multiprobe_neardup",
     # 40 r10-era freshness re-gates (oldest driver rows, gate order;
     # tx07-tx12 deferred to round 14)
     "q112_cms_heavy_hitters",
@@ -97,12 +102,12 @@ _R13_PREFIX = (
     "tx03_token_stats",
     "tx04_tfidf_top_terms",
     "tx05_fingerprint",
-    "tx06_quality_filter",
 )
 
-# The six r10-era re-gates the round-13 prefix could not hold,
-# staged first for round 14.
+# The seven r10-era re-gates the round-13 prefix could not hold
+# (tx06 displaced by the new dd22), staged first for round 14.
 _R14_NEXT = (
+    "tx06_quality_filter",
     "tx07_hash_split",
     "tx08_repetition_stats",
     "tx09_stratified_sample",

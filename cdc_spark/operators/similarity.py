@@ -397,6 +397,7 @@ def multiprobe_for_planes(
     target_recall: float = 0.98,
     table_lo: int = 2,
     table_hi: int = 40,
+    radius_lo: int = 0,
     radius_hi: int = 1,
 ) -> tuple[int, int]:
     """(tables, radius) for a FIXED plane count — the per-branch
@@ -404,8 +405,11 @@ def multiprobe_for_planes(
     separately so the DuckDB oracle's branch-literal CASE is
     generated from the identical function the Spark entry calls
     (zero cross-engine transcendental math — the tables_for_planes
-    CASE pattern, now two CASEs)."""
-    for r in range(radius_hi + 1):
+    CASE pattern, now two CASEs). ``radius_lo`` forces a minimum
+    probe radius: dd22's parity pin sets radius_lo=radius_hi=1 to
+    run the multiprobe plan (and its smaller solved L) on branches
+    where plain r=0 amplification would also fit."""
+    for r in range(radius_lo, radius_hi + 1):
         q = multiprobe_collision_prob(n_planes, r, threshold=threshold)
         need = math.ceil(
             math.log(1.0 - target_recall) / math.log(1.0 - q)

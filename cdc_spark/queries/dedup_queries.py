@@ -33,6 +33,7 @@ from cdc_spark.operators.similarity import (
     hyperplanes,
     multiprobe_for_planes,
     multiprobe_sizing,
+    semantic_dedup_planes,
 )
 from cdc_spark.queries.base import register
 
@@ -424,21 +425,34 @@ _NEARDUP_CORPUS_SQL = """corpus AS (
     )"""
 
 
-def _neardup_sizing_sql(*, lo: int, hi: int, target: int = 125) -> str:
+def _neardup_sizing_sql(
+    *,
+    lo: int,
+    hi: int,
+    target: int = 125,
+    force_radius: int | None = None,
+) -> str:
     """kk (planes from COUNT(*), the semantic_dedup_planes clamp),
     ll (tables) and rr (probe radius) — the latter two via
     branch-literal CASEs generated from ``multiprobe_for_planes``,
     the identical solver the Spark entry calls: the 17 reachable k
     values are enumerable, so neither the L nor the r side involves
     ANY cross-engine transcendental math. k <= 12 branches emit
-    radius 0 and the exact pre-round-13 table counts."""
+    radius 0 and the exact pre-round-13 table counts.
+    ``force_radius`` pins the radius (dd22's multiprobe parity pin):
+    every branch then solves L at that radius."""
     branch = {
         k: multiprobe_for_planes(
             k,
             threshold=_NEARDUP_THRESHOLD,
             table_lo=_NEARDUP_TABLE_LO,
             table_hi=_NEARDUP_TABLE_HI,
-            radius_hi=_NEARDUP_RADIUS_HI,
+            radius_lo=force_radius if force_radius is not None else 0,
+            radius_hi=(
+                force_radius
+                if force_radius is not None
+                else _NEARDUP_RADIUS_HI
+            ),
         )
         for k in range(lo, hi + 1)
     }
@@ -525,6 +539,8 @@ def _production_neardup_oracle(
     lo: int = _NEARDUP_PLANE_LO,
     hi: int = _NEARDUP_PLANE_HI,
     threshold: float = _NEARDUP_THRESHOLD,
+    force_radius: int | None = None,
+    with_config: bool = False,
 ) -> str:
     """DuckDB twin of dd20: the SIZED multi-table hyperplane LSH,
     with Hamming-1 MULTIPROBE on the k >= 13 branches.
@@ -574,9 +590,19 @@ def _production_neardup_oracle(
         ) WHERE cosine_sim >= {threshold}"""
         for t in range(_NEARDUP_TABLE_HI)
     )
+    tail = (
+        """SELECT DISTINCT pr.id_a, pr.id_b, pr.cosine_sim,
+           kk.planes AS planes, ll.tables AS tables,
+           rr.radius AS radius
+    FROM ({branches}) pr CROSS JOIN kk CROSS JOIN ll CROSS JOIN rr"""
+        if with_config
+        else """SELECT DISTINCT id_a, id_b, cosine_sim FROM (
+        {branches}
+    )"""
+    ).format(branches=branches)
     return f"""
     WITH {_NEARDUP_CORPUS_SQL},
-    {_neardup_sizing_sql(lo=lo, hi=hi)},
+    {_neardup_sizing_sql(lo=lo, hi=hi, force_radius=force_radius)},
     {_neardup_planes_values_sql()},
     {_neardup_banding_sql("corpus")},
     {_neardup_probes_sql()},
@@ -587,9 +613,7 @@ def _production_neardup_oracle(
     pe AS MATERIALIZED (
         SELECT vec_id, tbl, pbucket FROM probed
     )
-    SELECT DISTINCT id_a, id_b, cosine_sim FROM (
-        {branches}
-    )
+    {tail}
     """
 
 
@@ -849,6 +873,76 @@ def dd21_production_recall_eval(
                 "recall_ok"
             ),
         )
+    )
+
+
+@register(
+    "dd22_multiprobe_neardup",
+    oracle=_production_neardup_oracle(force_radius=1, with_config=True),
+    note="Hamming-1 MULTIPROBE parity pin, driver-gated at EVERY SF: "
+    "the same sized corpus as dd20, but the probe radius is FORCED "
+    "to 1 so the radius-1 plan shape (per-row (k+1)-way XOR-mask "
+    "explode on the id-only probe side, co-partitioned bucket join) "
+    "executes on branches where plain r=0 amplification would also "
+    "fit — without this entry the multiprobe code path has gated "
+    "rows only at >0.5M-vector corpora (CLAMP_GATE), invisible to "
+    "the driver's own sf0.001..sf0.1 gate. The solved table count "
+    "shrinks accordingly (L=3 at k=4 vs r=0's L=7; the multiprobe "
+    "tradeoff: ~L/2..L/4 index storage and banding work for (k+1)x "
+    "bucket probes, each an id-only ~24-byte row). Output carries "
+    "the (planes, tables, radius) triple as columns so the gate "
+    "pins the sizing itself; pair set equals dd20's at measured-"
+    "recall-1.0 branches (pytest-pinned at sf0.001/sf0.01). Oracle "
+    "is the dd20 twin with the radius CASE forced to 1 and L "
+    "re-solved per branch by the identical multiprobe_for_planes "
+    "call that sizes the Spark plan",
+    tags=("dedup", "embedding", "lsh", "multiprobe"),
+)
+def dd22_multiprobe_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    recrawl = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i % 5 == 0, F.lit(0.0).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(recrawl)
+    n = corpus.count()
+    planes = semantic_dedup_planes(
+        n, lo=_NEARDUP_PLANE_LO, hi=_NEARDUP_PLANE_HI
+    )
+    tables, radius = multiprobe_for_planes(
+        planes,
+        threshold=_NEARDUP_THRESHOLD,
+        table_lo=_NEARDUP_TABLE_LO,
+        table_hi=_NEARDUP_TABLE_HI,
+        radius_lo=1,
+        radius_hi=1,
+    )
+    pairs = embedding_near_dup_pairs_lsh(
+        corpus,
+        "embedding",
+        "vec_id",
+        dim=_EMB_DIM,
+        threshold=_NEARDUP_THRESHOLD,
+        n_tables=tables,
+        n_planes=planes,
+        probe_radius=radius,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cosine_sim",
+        F.lit(planes).alias("planes"),
+        F.lit(tables).alias("tables"),
+        F.lit(radius).alias("radius"),
     )
 
 

@@ -542,3 +542,39 @@ def test_dd21_recall_floor(spark):
         assert row["n_exact"] > 0, sf
         assert row["recall"] >= 0.9, (sf, row)
         assert bool(row["recall_ok"]) is True, sf
+
+
+def test_dd22_multiprobe_pin_matches_dd20(spark):
+    """dd22 forces radius=1 on a branch where r=0 suffices, so the
+    driver gate exercises the multiprobe plan shape (XOR-mask
+    explode + id-only probe join) at every SF: the radius column is
+    1, the solved table count is the radius-1 L (smaller than the
+    r=0 sizing — the multiprobe storage tradeoff), and the pair set
+    is a subset of dd20's with >= 0.9 measured recall (the sizing
+    holds 0.98 per-pair at cosine exactly 0.85; one injected pair
+    sits at 0.8509 where a miss has probability (1-q)^L ~ 0.4%, and
+    this deterministic draw does miss it — exact set equality is NOT
+    the contract, the recall floor is)."""
+    from cdc_spark.operators.similarity import (
+        multiprobe_for_planes,
+        tables_for_planes,
+    )
+    from cdc_spark.queries.dedup_queries import (
+        dd20_production_neardup,
+        dd22_multiprobe_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = dd22_multiprobe_neardup(spark, sf).collect()
+    assert rows, "injection produced no 0.85 pairs — corpus drifted"
+    assert all(r.radius == 1 for r in rows)
+    k, l1 = rows[0].planes, rows[0].tables
+    assert (l1, 1) == multiprobe_for_planes(k, radius_lo=1, radius_hi=1)
+    assert l1 < tables_for_planes(k)
+    got = {(r.id_a, r.id_b, r.cosine_sim) for r in rows}
+    want = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in dd20_production_neardup(spark, sf).collect()
+    }
+    assert got <= want
+    assert len(got) / len(want) >= 0.9

@@ -59,7 +59,15 @@ def main() -> int:
     args = ap.parse_args()
     results: dict[str, dict] = {}
 
-    spark = get_spark("check_oracle")
+    # The comparison hashes FULL result sets via toPandas(); at sf10
+    # a wide 15M-row result (q59's LOCF grid) serializes past the 1g
+    # default driver.maxResultSize — a harness-collect limit, not an
+    # engine plan defect. 8g gives the hash-everything discipline
+    # headroom at x100 scale (the driver gate itself runs at sf0.01).
+    spark = get_spark(
+        "check_oracle",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     con = duckdb.connect()
     # out-of-core discipline: the sized LSH oracles at sf10 stream
     # hundreds of millions of intermediate rows — a bounded memory
