@@ -101,12 +101,19 @@ _R13_PREFIX = (
     "tx02_quality_score",
     "tx03_token_stats",
     "tx04_tfidf_top_terms",
-    "tx05_fingerprint",
+    # oracle changed this round (fp/banded AS MATERIALIZED — the
+    # sf10 gate's sixth catch: DuckDB re-inlined the 26M-shingle md5
+    # pipeline into six references and spilled >70 GB); hash output
+    # unchanged, but the freshness invariant wants a driver row on
+    # the current oracle text — displaces tx05 to _R14_NEXT
+    "dd04_simhash",
 )
 
-# The seven r10-era re-gates the round-13 prefix could not hold
-# (tx06 displaced by the new dd22), staged first for round 14.
+# The eight r10-era re-gates the round-13 prefix could not hold
+# (tx05/tx06 displaced by dd04's oracle restructure and the new
+# dd22), staged first for round 14.
 _R14_NEXT = (
+    "tx05_fingerprint",
     "tx06_quality_filter",
     "tx07_hash_split",
     "tx08_repetition_stats",

@@ -254,7 +254,17 @@ def _simhash_oracle(
     *, bits: int = 60, bands: int = 4, max_hamming: int = 3
 ) -> str:
     """DuckDB twin of the PORTABLE SimHash pipeline: same md5-derived
-    60-bit shingle hash, same sign-vote fold, same bit-slice banding."""
+    60-bit shingle hash, same sign-vote fold, same bit-slice banding.
+
+    ``fp``/``banded`` are MATERIALIZED (round-13 sf10 catch): without
+    the hint DuckDB re-inlines the whole 26M-shingle md5 pipeline
+    into every reference — four band projections plus BOTH sides of
+    the candidate self-join — and the duplicated pipelines spilled
+    >70 GB at 500 k documents before dying on disk. Materialized, fp
+    is 500 k fixed-width rows, banded 4x that, and the self-join
+    streams 16.4 M candidates through the Hamming filter (the dd20
+    oracle discipline: bound what feeds a join, stream what doesn't).
+    Semantically neutral — re-gated hash-identical at sf0.001/0.01."""
     width = bits // bands
     mask = (1 << width) - 1
     votes = ",\n               ".join(
@@ -279,12 +289,12 @@ def _simhash_oracle(
                {votes}
         FROM h GROUP BY doc_id
     ),
-    fp AS (
+    fp AS MATERIALIZED (
         SELECT doc_id,
                {fp} AS simhash
         FROM votes
     ),
-    banded AS (
+    banded AS MATERIALIZED (
         {band_rows}
     ),
     cand AS (
