@@ -586,26 +586,26 @@ def _production_neardup_oracle(
     # shuffling 16-byte pairs beats shuffling per-candidate arrays at
     # cluster scale — the r11 measurement); each engine dedupes where
     # ITS memory model wants it, same result set.
-    # Branch shape forks on the probe radius (the round-13 sf10
-    # gate's seventh catch). At radius 0 a pair collides in at most
-    # one (home, home) bucket per table, so candidates ≈ Σcell²/2 per
-    # table and the r12 shape — candidate rows carrying the home
-    # side's embedding inline through the join — streams fine. At a
-    # FORCED radius 1 on a low-k branch (dd22 at sf10: k=11, L=8),
-    # every banded row probes k+1 buckets, the per-table candidate
-    # set is ~(k+1)x larger (~130 M pairs/branch, ~1e9 multiset), and
-    # those same inline 64-double embeddings become a ~67 GB-per-
-    # branch payload — DuckDB externalized the join and filled the
-    # disk with spill (observed: >75 GB, ENOSPC). The radius-1 shape
-    # therefore mirrors the OTHER half of the Spark plan's discipline
-    # too: candidates are ID-ONLY through the bucket join, and the
-    # embeddings join back per branch from one materialized ~110 MB
-    # id->embedding relation (two 210k-row build sides), so the 1e9-
-    # row multiset streams through the cosine verify at 16 bytes/row
-    # and only survivors reach the UNION + DISTINCT.
-    if force_radius is not None and force_radius >= 1:
-        branches = "\n        UNION ALL\n        ".join(
-            f"""SELECT id_a, id_b, cosine_sim FROM (
+    # Branch shape (round-13 sf10 gate, seventh catch): candidates
+    # are ID-ONLY through the bucket join, and the embeddings join
+    # back per branch from one materialized ~110 MB id->embedding
+    # relation — BOTH halves of the Spark plan's array-shuffle
+    # discipline, now mirrored in SQL. The r12 shape carried the home
+    # side's 64-double embedding inline through the candidate join;
+    # that streamed fine against the r12 oracle text, but the probe
+    # relation this round's multiprobe CASE machinery introduced
+    # (pe/flips) changed DuckDB's join planning on the very same
+    # branches, and the wide candidate payload externalized — at
+    # radius 1 (dd22 at sf10: k=11 forced, ~130 M pairs/branch,
+    # ~67 GB/branch of inline arrays) AND at radius 0 (dd20 at sf10:
+    # k=11, L=32, ~15 M pairs/branch) the oracle filled the disk with
+    # join spill (ENOSPC past ~75 GB). Id-only candidates stream the
+    # multiset through the cosine verify at 16 bytes/row against two
+    # 210k-row embedding build sides; only survivors reach the
+    # UNION + DISTINCT. Measured at sf10: the radius-1 1e9-row
+    # multiset (dd22) completes with ~4 KB of spill.
+    branches = "\n        UNION ALL\n        ".join(
+        f"""SELECT id_a, id_b, cosine_sim FROM (
             SELECT c.id_a, c.id_b,
                    ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
                                                 eb.embedding::DOUBLE[]), 4)
@@ -621,23 +621,8 @@ def _production_neardup_oracle(
             JOIN emb ea ON ea.vec_id = c.id_a
             JOIN emb eb ON eb.vec_id = c.id_b
         ) WHERE cosine_sim >= {threshold}"""
-            for t in range(_NEARDUP_TABLE_HI)
-        )
-    else:
-        branches = "\n        UNION ALL\n        ".join(
-            f"""SELECT id_a, id_b, cosine_sim FROM (
-            SELECT a.vec_id AS id_a, p.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                eb.embedding::DOUBLE[]), 4)
-                       AS cosine_sim
-            FROM be a
-            JOIN pe p ON a.bucket = p.pbucket AND a.vec_id < p.vec_id
-            JOIN be eb ON eb.vec_id = p.vec_id AND eb.tbl = {t}
-            CROSS JOIN ll
-            WHERE a.tbl = {t} AND p.tbl = {t} AND {t} < ll.tables
-        ) WHERE cosine_sim >= {threshold}"""
-            for t in range(_NEARDUP_TABLE_HI)
-        )
+        for t in range(_NEARDUP_TABLE_HI)
+    )
     tail = (
         """SELECT DISTINCT pr.id_a, pr.id_b, pr.cosine_sim,
            kk.planes AS planes, ll.tables AS tables,
@@ -648,10 +633,15 @@ def _production_neardup_oracle(
         {branches}
     )"""
     ).format(branches=branches)
-    if force_radius is not None and force_radius >= 1:
-        # narrow banding + one materialized id->embedding relation:
-        # the radius-1 branches join embeddings back by id
-        side_relations = """be AS MATERIALIZED (
+    # narrow banding + one materialized id->embedding relation: the
+    # branches join embeddings back by id (never through the join)
+    return f"""
+    WITH {_NEARDUP_CORPUS_SQL},
+    {_neardup_sizing_sql(lo=lo, hi=hi, force_radius=force_radius)},
+    {_neardup_planes_values_sql()},
+    {_neardup_banding_sql("corpus")},
+    {_neardup_probes_sql()},
+    be AS MATERIALIZED (
         SELECT vec_id, tbl, bucket FROM banded
     ),
     pe AS MATERIALIZED (
@@ -659,22 +649,7 @@ def _production_neardup_oracle(
     ),
     emb AS MATERIALIZED (
         SELECT vec_id, embedding FROM corpus
-    )"""
-    else:
-        side_relations = """be AS MATERIALIZED (
-        SELECT b.vec_id, b.tbl, b.bucket, c.embedding
-        FROM banded b JOIN corpus c ON c.vec_id = b.vec_id
-    ),
-    pe AS MATERIALIZED (
-        SELECT vec_id, tbl, pbucket FROM probed
-    )"""
-    return f"""
-    WITH {_NEARDUP_CORPUS_SQL},
-    {_neardup_sizing_sql(lo=lo, hi=hi, force_radius=force_radius)},
-    {_neardup_planes_values_sql()},
-    {_neardup_banding_sql("corpus")},
-    {_neardup_probes_sql()},
-    {side_relations}
+    )
     {tail}
     """
 
