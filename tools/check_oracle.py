@@ -64,6 +64,30 @@ def main() -> int:
     # default driver.maxResultSize — a harness-collect limit, not an
     # engine plan defect. 8g gives the hash-everything discipline
     # headroom at x100 scale (the driver gate itself runs at sf0.01).
+    #
+    # Heap: in local mode ONE JVM holds the driver and all executor
+    # threads, so spark.driver.memory is the entire cluster's heap.
+    # The 8g get_spark default (250 MB per local[32] thread) survives
+    # any single sf10 entry in a fresh session, but a ~100-entry gate
+    # run accumulates session state across entries, and the round-13
+    # full pass died at entry 72 (dd22's 1e9-pair distinct) with
+    # java.lang.OutOfMemoryError — heap is a DEPLOYMENT knob (a real
+    # cluster gives each executor its own), so the gate harness
+    # RAM-derives it (~30%, capped 40g) unless the env already set
+    # one, and clears the SQL cache between entries (entries are
+    # independent; in-entry caches are dead weight once compared).
+    import os as _os
+
+    if "SPARK_GRAFT_DRIVER_MEM" not in _os.environ:
+        try:
+            _ram = (
+                _os.sysconf("SC_PHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE")
+            ) / (1 << 30)
+            _os.environ["SPARK_GRAFT_DRIVER_MEM"] = (
+                f"{max(4, min(40, int(_ram * 0.3)))}g"
+            )
+        except (ValueError, OSError, AttributeError):
+            pass
     spark = get_spark(
         "check_oracle",
         extra_conf={"spark.driver.maxResultSize": "8g"},
@@ -103,6 +127,9 @@ def main() -> int:
     n_pass = n_fail = n_noracle = 0
     for name in names:
         spec = REGISTRY[name]
+        # entries are independent — drop any cached relations the
+        # previous entry left behind before timing the next one
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = spec.fn(spark, args.sf).toPandas()
