@@ -43,6 +43,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- SQL-text twins of the Column helpers above --------------------------
+#
+# Plan-BUILD cost discipline (round 13): composing the multi-table LSH
+# shapes through the Column API costs thousands of py4j round trips per
+# plan build (measured: 4276 for dd20's build, ~0.5 ms each warm — the
+# driver time the plan-build guardrail budgets). The hot operators below
+# therefore compose the SAME expressions as SQL text in Python and hand
+# them to the parser in ONE call (`selectExpr`/`F.expr`) — the
+# lsh_bucket planes-literal lesson (round 11) applied to the whole
+# expression, not just the literals. The parsed Catalyst trees are
+# identical to the Column-built ones (same functions, same casts), so
+# results are bit-identical; only driver-side build time changes.
+
+
+def _qi(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text interpolation."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` over two array-typed SQL expressions."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL text of :func:`norm`."""
+    return f"SQRT({dot_sql(a, a)})"
+
+
 def cosine_topk(
     df: DataFrame,
     embedding_col: str,
@@ -103,6 +135,24 @@ def lsh_bucket(
         F.reverse(bits),
         F.lit(0).cast("long"),
         lambda acc, b: acc * F.lit(2).cast("long") + b,
+    )
+
+
+def lsh_bucket_sql(embedding: str, planes: list[list[float]]) -> str:
+    """SQL text of :func:`lsh_bucket` over a column/expression string —
+    the whole signature (planes literal + sign bits + Horner fold) in
+    ONE parser call. Identical expression tree to the Column form:
+    same ``{x!r}D`` double literals, same CASE/CAST shapes, same
+    reversed-fold weighting — bit-identical signatures."""
+    rows = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        for plane in planes
+    )
+    return (
+        f"aggregate(reverse(transform(array({rows}), p -> "
+        f"CASE WHEN {dot_sql(embedding, 'p')} >= 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        f"CAST(0 AS BIGINT), (acc, b) -> acc * CAST(2 AS BIGINT) + b)"
     )
 
 
@@ -233,29 +283,29 @@ def embedding_near_dup_pairs_grid(
     vector). Intended for BOUNDED inputs (evaluation samples): it is
     still Θ(n²) work by definition — the production path is
     :func:`embedding_near_dup_pairs_lsh`."""
-    blocks = F.array(*[F.lit(j) for j in range(n_blocks)])
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(embedding_col).alias("__ea"),
-        norm(F.col(embedding_col)).alias("__na"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("__ba"),
-        F.explode(blocks).alias("__bb"),
+    blocks = "array({})".format(",".join(str(j) for j in range(n_blocks)))
+    eq, iq = _qi(embedding_col), _qi(id_col)
+    a = df.selectExpr(
+        f"{iq} AS id_a",
+        f"{eq} AS __ea",
+        f"{norm_sql(eq)} AS __na",
+        f"pmod({iq}, {n_blocks}) AS __ba",
+        f"explode({blocks}) AS __bb",
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(embedding_col).alias("__eb"),
-        norm(F.col(embedding_col)).alias("__nb"),
-        F.explode(blocks).alias("__ba"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("__bb"),
+    b = df.selectExpr(
+        f"{iq} AS id_b",
+        f"{eq} AS __eb",
+        f"{norm_sql(eq)} AS __nb",
+        f"explode({blocks}) AS __ba",
+        f"pmod({iq}, {n_blocks}) AS __bb",
     )
     pairs = a.join(b, ["__ba", "__bb"]).where(F.col("id_a") < F.col("id_b"))
-    sim = F.round(
-        dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")),
-        round_digits,
-    )
-    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
-        F.col("cosine_sim") >= threshold
-    )
+    return pairs.selectExpr(
+        "id_a",
+        "id_b",
+        f"ROUND({dot_sql('__ea', '__eb')} / (__na * __nb),"
+        f" {int(round_digits)}) AS cosine_sim",
+    ).where(F.col("cosine_sim") >= threshold)
 
 
 def semantic_dedup_planes(
@@ -511,13 +561,17 @@ def embedding_near_dup_pairs_lsh(
     duplicate pairs and the embedding join-back a cross product
     (the old embedding-carrying distinct collapsed those). Every
     caller passes a primary key (vec_id / doc_id)."""
-    buckets = F.array(
-        *[
-            lsh_bucket(
-                F.col(embedding_col), hyperplanes(dim, n_planes, seed + 1000 * t)
-            )
+    # The whole L-table signature array is composed as SQL text and
+    # parsed ONCE: the Column form cost ~4.3k py4j round trips per
+    # plan build at the dd20 sizing (measured round 13; ~0.5 ms each
+    # warm = seconds of pure driver time per build, paid on every
+    # bench rep). Identical parsed expression tree — results unchanged.
+    eq = _qi(embedding_col)
+    buckets_sql = "array({})".format(
+        ",".join(
+            lsh_bucket_sql(eq, hyperplanes(dim, n_planes, seed + 1000 * t))
             for t in range(n_tables)
-        ]
+        )
     )
     # Two explicit repartitions, each curing a measured sf10 defect:
     #
@@ -531,9 +585,9 @@ def embedding_near_dup_pairs_lsh(
     #    the banding embarrassingly parallel, for one cheap shuffle
     #    of the raw rows.
     n_part = _shuffle_partitions(df)
-    banded = df.repartition(n_part).select(
-        F.col(id_col),
-        F.posexplode(buckets).alias("__table", "__bucket"),
+    banded = df.repartition(n_part).selectExpr(
+        _qi(id_col),
+        f"posexplode({buckets_sql}) AS (__table, __bucket)",
     )
     # 2. ON the join keys, with an explicit count: the banded
     #    relation is SMALL (n·L ids) but the self-join's output is
@@ -555,23 +609,23 @@ def embedding_near_dup_pairs_lsh(
         # bucket itself) and re-co-partition on the join keys — the
         # same explicit-count repartition that exempts the exploding
         # join from AQE coalescing on the home side.
-        masks = F.array(
-            F.lit(0).cast("long"),
-            *[F.lit(1 << i).cast("long") for i in range(n_planes)],
+        masks_sql = "array({})".format(
+            ",".join(
+                f"CAST({m} AS BIGINT)"
+                for m in [0, *(1 << i for i in range(n_planes))]
+            )
         )
         b = (
-            banded.select(
-                F.col(id_col).alias("id_b"),
+            banded.selectExpr(
+                f"{_qi(id_col)} AS id_b",
                 "__table",
-                F.col("__bucket").alias("__home"),
-                F.explode(masks).alias("__mask"),
+                "__bucket AS __home",
+                f"explode({masks_sql}) AS __mask",
             )
-            .select(
+            .selectExpr(
                 "id_b",
                 "__table",
-                F.col("__home")
-                .bitwiseXOR(F.col("__mask"))
-                .alias("__bucket"),
+                "(__home ^ __mask) AS __bucket",
             )
             .repartition(n_part, "__table", "__bucket")
         )
@@ -596,25 +650,23 @@ def embedding_near_dup_pairs_lsh(
     # then runs ONE array fold per candidate (the dot) instead of
     # three (dot + both norms re-derived per pair). Same expression
     # tree over the same arrays ⇒ bit-identical doubles.
-    ea = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(embedding_col).alias("__ea"),
-        norm(F.col(embedding_col)).alias("__na"),
+    ea = df.selectExpr(
+        f"{_qi(id_col)} AS id_a",
+        f"{eq} AS __ea",
+        f"{norm_sql(eq)} AS __na",
     )
-    eb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(embedding_col).alias("__eb"),
-        norm(F.col(embedding_col)).alias("__nb"),
+    eb = df.selectExpr(
+        f"{_qi(id_col)} AS id_b",
+        f"{eq} AS __eb",
+        f"{norm_sql(eq)} AS __nb",
     )
     pairs = pairs.join(ea, "id_a").join(eb, "id_b")
-    sim = F.round(
-        dot(F.col("__ea"), F.col("__eb"))
-        / (F.col("__na") * F.col("__nb")),
-        round_digits,
-    )
-    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
-        F.col("cosine_sim") >= threshold
-    )
+    return pairs.selectExpr(
+        "id_a",
+        "id_b",
+        f"ROUND({dot_sql('__ea', '__eb')} / (__na * __nb),"
+        f" {int(round_digits)}) AS cosine_sim",
+    ).where(F.col("cosine_sim") >= threshold)
 
 
 # --- int8 scalar quantization ------------------------------------------
