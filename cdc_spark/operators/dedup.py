@@ -51,6 +51,20 @@ def portable_hash60(c: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _qi(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text interpolation."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """SQL text of :func:`portable_hash60` over an expression string —
+    used by the plan-build-lean operators below (round 13: composing
+    the shingle pipelines through the Column API cost thousands of
+    py4j round trips per build; the text forms parse in one call with
+    identical trees, so hashes are bit-identical)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -109,26 +123,28 @@ def minhash_signature(
     # the ONLY exchange (map-side partial mins shrink it to one row
     # per doc per partition before it ships)
     shingle_hash = (
-        portable_hash60(F.col("shingle"))
+        portable_hash60_sql("shingle")
         if portable
-        else F.xxhash64("shingle")
+        else "xxhash64(shingle)"
     )
     exploded = shingle_rows(
         df, text_col, id_col, k_shingle, distinct=False
-    ).select(
-        F.col(id_col),
-        F.pmod(shingle_hash, F.lit(_MERSENNE)).alias("__h"),
+    ).selectExpr(
+        _qi(id_col),
+        f"pmod({shingle_hash}, {_MERSENNE}) AS __h",
     )
     params = _minhash_params(num_hashes, seed)
     mins = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
-            f"__m{j}"
-        )
+        F.expr(f"min(pmod(__h * {a} + {b}, {_MERSENNE})) AS __m{j}")
         for j, (a, b) in enumerate(params)
     ]
     agg = exploded.groupBy(id_col).agg(*mins)
-    sig = F.array(*[F.col(f"__m{j}") for j in range(num_hashes)])
-    out = agg.select(F.col(id_col), sig.alias("sig"))
+    out = agg.selectExpr(
+        _qi(id_col),
+        "array("
+        + ",".join(f"__m{j}" for j in range(num_hashes))
+        + ") AS sig",
+    )
     if keep_text:
         # re-attach the text for downstream verification convenience
         return out.join(df.select(F.col(id_col), F.col(text_col)), id_col)
@@ -152,24 +168,16 @@ def lsh_candidate_pairs(
     its xxhash64 (wider shuffle key, engine-recomputable buckets).
     """
 
-    def band_key(b):
-        key = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return key if portable else F.xxhash64(key)
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                band_key,
-            )
-        ).alias("band", "bucket"),
+    key = (
+        f"concat_ws(',', transform(slice(sig, b * {rows_per_band} + 1, "
+        f"{rows_per_band}), x -> CAST(x AS STRING)))"
+    )
+    if not portable:
+        key = f"xxhash64({key})"
+    banded = sigs.selectExpr(
+        _qi(id_col),
+        f"posexplode(transform(sequence(0, {bands - 1}), b -> {key}))"
+        " AS (band, bucket)",
     )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("bucket")
@@ -224,12 +232,10 @@ def jaccard_pairs(
         ).distinct()
         df = df.join(wanted, id_col, "left_semi")
     key = (
-        portable_hash60(F.col("shingle"))
-        if hash_shingles
-        else F.col("shingle")
+        portable_hash60_sql("shingle") if hash_shingles else "shingle"
     )
-    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
-        F.col(id_col).alias("__id"), key.alias("__s")
+    sh = shingle_rows(df, text_col, id_col, k_shingle).selectExpr(
+        f"{_qi(id_col)} AS __id", f"{key} AS __s"
     )
     if candidates is not None:
         # lazy local checkpoint: materialized once on first action,
@@ -285,30 +291,27 @@ def simhash(
     # aggregates (codegen'd, map-side combine), then fold vote signs
     # into the fingerprint long.
     shingle_hash = (
-        portable_hash60(F.col("shingle"))
+        portable_hash60_sql("shingle")
         if portable
-        else F.xxhash64("shingle")
+        else "xxhash64(shingle)"
     )
-    exploded = shingle_rows(df, text_col, id_col, k_shingle).select(
-        F.col(id_col), shingle_hash.alias("__h")
+    exploded = shingle_rows(df, text_col, id_col, k_shingle).selectExpr(
+        _qi(id_col), f"{shingle_hash} AS __h"
     )
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"__v{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS __v{b}"
+        )
         for b in range(bits)
     ]
     agg = exploded.groupBy(id_col).agg(*votes)
-    fp = None
-    for b in range(bits):
-        c = F.when(
-            F.col(f"__v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = c if fp is None else fp + c
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp = " + ".join(
+        f"CASE WHEN __v{b} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return agg.selectExpr(_qi(id_col), f"{fp} AS simhash")
 
 
 def simhash_pairs(
@@ -324,19 +327,14 @@ def simhash_pairs(
     with exact popcount on candidates."""
     width = bits // bands
     mask = (1 << width) - 1
-    banded = fps.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "slice"),
+    slices = ",".join(
+        f"(shiftright(simhash, {i * width}) & {mask})"
+        for i in range(bands)
+    )
+    banded = fps.selectExpr(
+        _qi(id_col),
+        "simhash",
+        f"posexplode(array({slices})) AS (band, slice)",
     )
     a = banded.select(
         F.col(id_col).alias("id_a"),
@@ -392,12 +390,12 @@ def common_ngram_doc_stats(
     engine computing the same definition.
     """
     key = (
-        portable_hash60(F.col("shingle"))
+        portable_hash60_sql("shingle")
         if portable
-        else F.xxhash64("shingle")
+        else "xxhash64(shingle)"
     )
-    sh = shingle_rows(df, text_col, id_col, k_shingle).select(
-        F.col(id_col), key.alias("__h")
+    sh = shingle_rows(df, text_col, id_col, k_shingle).selectExpr(
+        _qi(id_col), f"{key} AS __h"
     )
     # distinct-per-doc rows: COUNT(*) per shingle == document frequency
     common = (
@@ -454,9 +452,9 @@ def aligned_duplicate_spans(
     O(matching-shingle pairs among near-dups), never corpus².
     """
     key = (
-        portable_hash60(F.col("shingle"))
+        portable_hash60_sql("shingle")
         if portable
-        else F.xxhash64("shingle")
+        else "xxhash64(shingle)"
     )
     if candidates is not None:
         wanted = candidates.select(
@@ -465,7 +463,7 @@ def aligned_duplicate_spans(
         df = df.join(wanted, id_col, "left_semi")
     shp = shingle_rows(
         df, text_col, id_col, k_shingle, keep_pos=True
-    ).select(F.col(id_col).alias("__id"), F.col("pos"), key.alias("__h"))
+    ).selectExpr(f"{_qi(id_col)} AS __id", "pos", f"{key} AS __h")
     if candidates is not None:
         shp = shp.localCheckpoint(eager=False)
 
@@ -578,24 +576,18 @@ def lsh_cross_candidates(
     banding as :func:`lsh_candidate_pairs`; output columns
     ``id_a`` (from a) / ``id_b`` (from b), distinct."""
 
-    def band_key(b):
-        key = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return key if portable else F.xxhash64(key)
+    key = (
+        f"concat_ws(',', transform(slice(sig, b * {rows_per_band} + 1, "
+        f"{rows_per_band}), x -> CAST(x AS STRING)))"
+    )
+    if not portable:
+        key = f"xxhash64({key})"
 
     def banded(sigs, out):
-        return sigs.select(
-            F.col(id_col).alias(out),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)), band_key
-                )
-            ).alias("band", "bucket"),
+        return sigs.selectExpr(
+            f"{_qi(id_col)} AS {out}",
+            f"posexplode(transform(sequence(0, {bands - 1}), b -> {key}))"
+            " AS (band, bucket)",
         )
 
     return (

@@ -31,6 +31,11 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
+def _qi(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text interpolation."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization."""
     c = F.col(col) if isinstance(col, str) else col
@@ -88,28 +93,32 @@ def shingle_rows(
     cost stays linear in document length — measured ~1.5-2× faster
     than the window shape on both 54-token and 3000-token corpora.
     """
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    # sequence(1, 0) would be the *descending* [1, 0]: greatest-guard
-    # makes sub-k-token docs yield sequence(1, 0)... guarded to empty
-    positions = F.explode(
-        F.when(
-            F.size("__t") >= k,
-            F.sequence(F.lit(1), F.size("__t") - F.lit(k - 1)),
-        ).otherwise(F.array().cast("array<int>"))
+    # Composed as SQL text parsed once per step (round 13): the Column
+    # form cost ~200 py4j round trips per build, and this helper sits
+    # under every shingle consumer (MinHash, SimHash, Jaccard, n-gram
+    # exposure, spans), each of which builds it 1-3 times per plan.
+    # Identical parsed expressions — identical rows.
+    iq, tq = _qi(id_col), _qi(text_col)
+    # sequence(1, 0) would be the *descending* [1, 0]: the size guard
+    # makes sub-k-token docs yield an empty array instead
+    shingle = (
+        "concat_ws(' ', "
+        + ", ".join(f"element_at(__t, __i + {j})" for j in range(k))
+        + ") AS shingle"
     )
-    shingle = F.concat_ws(
-        " ",
-        *[F.element_at("__t", F.col("__i") + F.lit(j)) for j in range(k)],
-    ).alias("shingle")
     proj = (
-        [F.col(id_col), F.col("__i").alias("pos"), shingle]
-        if keep_pos
-        else [F.col(id_col), shingle]
+        [iq, "__i AS pos", shingle] if keep_pos else [iq, shingle]
     )
     rows = (
-        df.select(F.col(id_col), toks.alias("__t"))
-        .select(F.col(id_col), F.col("__t"), positions.alias("__i"))
-        .select(*proj)
+        df.selectExpr(iq, f"split(trim({tq}), '\\\\s+') AS __t")
+        .selectExpr(
+            iq,
+            "__t",
+            f"explode(CASE WHEN size(__t) >= {k} "
+            f"THEN sequence(1, size(__t) - {k - 1}) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END) AS __i",
+        )
+        .selectExpr(*proj)
     )
     return rows.distinct() if distinct else rows
 
