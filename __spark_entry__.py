@@ -111,7 +111,11 @@ _R13_PREFIX = (
 
 # The eight r10-era re-gates the round-13 prefix could not hold
 # (tx05/tx06 displaced by dd04's oracle restructure and the new
-# dd22), staged first for round 14.
+# dd22), staged first for round 14, followed by the entries whose
+# shared operators were rebuilt as parse-once SQL text in the
+# round-13 optimization pass (plans re-verified oracle-green at
+# sf0.01/sf0.1 this round; outputs bit-identical, but the freshness
+# invariant wants a driver row on the current plan).
 _R14_NEXT = (
     "tx05_fingerprint",
     "tx06_quality_filter",
@@ -121,6 +125,20 @@ _R14_NEXT = (
     "tx10_pii_redaction",
     "tx11_decontamination",
     "tx12_chunking",
+    # r13 parse-once SQL-text rebuilds of the shared shingle/MinHash/
+    # SimHash and LSH operators (dedup.py, similarity.py)
+    "dd03_minhash_lsh",
+    "dd09_common_ngram_exposure",
+    "dd10_aligned_duplicate_spans",
+    "dd11_containment_pairs",
+    "dd12_semantic_dedup",
+    "dd14_incremental_neardup",
+    "dd15_fuzzy_decontamination",
+    "dd16_quality_keeper_dedup",
+    "dd17_minhash_accuracy_eval",
+    "dd18_soft_dedup_weights",
+    "dd19_jaccard_threshold_curve",
+    "mm03_phash_neardup",
 )
 
 # Round 12's prefix (retained for rank ordering below tier 0/1): the

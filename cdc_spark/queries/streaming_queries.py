@@ -2633,8 +2633,10 @@ _ST30_KEY = (
 def st30_streaming_heavy_hitters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from cdc_spark.operators.dedup import portable_hash60
-    from cdc_spark.operators.sketches import countmin_counters
+    from cdc_spark.operators.dedup import (
+        portable_hash60,
+        portable_hash60_sql,
+    )
 
     events = load_table(spark, sf_dir, "events")
     keyed = events.select(
@@ -2646,15 +2648,45 @@ def st30_streaming_heavy_hitters(
     src_dir = tempfile.mkdtemp(prefix="st30_src_")
     # one FILE per deterministic shard: each micro-batch then holds
     # exactly one shard's rows, so the oracle can recompute the
-    # per-batch candidate extraction
+    # per-batch candidate extraction. ONE job writes all shards
+    # (round 13: the per-shard where+coalesce loop re-scanned and
+    # re-hashed the events table _ST30_SHARDS times): hash-repartition
+    # by shard puts every shard value in exactly one task, partitionBy
+    # then writes exactly one file per shard directory, and the files
+    # are moved into the flat source layout. Shard contents, schema
+    # and batch decomposition are identical to the per-shard loop.
     sharded = keyed.withColumn(
         "shard",
         portable_hash60(F.col("event_id").cast("string")) % _ST30_SHARDS,
     )
+    stage_dir = tempfile.mkdtemp(prefix="st30_stage_")
+    (
+        sharded.repartition(_ST30_SHARDS, "shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(stage_dir)
+    )
+    import glob as _glob
+    import shutil as _shutil
+
     for s in range(_ST30_SHARDS):
-        sharded.where(F.col("shard") == s).drop("shard").coalesce(
-            1
-        ).write.mode("append").parquet(src_dir)
+        parts = _glob.glob(os.path.join(stage_dir, f"shard={s}", "part-*"))
+        if parts:
+            if len(parts) != 1:
+                raise AssertionError(
+                    f"shard {s}: expected one file, got {len(parts)}"
+                )
+            _shutil.move(
+                parts[0], os.path.join(src_dir, f"shard-{s}.parquet")
+            )
+        else:
+            # an empty shard still owes its micro-batch (the n_batches
+            # assert counts _ST30_SHARDS) — write an empty one-file
+            # frame exactly as the old per-shard loop did
+            spark.createDataFrame([], keyed.schema).coalesce(
+                1
+            ).write.mode("append").parquet(src_dir)
+    _shutil.rmtree(stage_dir, ignore_errors=True)
     state_dir = tempfile.mkdtemp(prefix="st30_state_")
     done_dir = os.path.join(state_dir, "done")
     os.makedirs(done_dir, exist_ok=True)
@@ -2678,10 +2710,41 @@ def st30_streaming_heavy_hitters(
         marker = os.path.join(done_dir, str(batch_id))
         if os.path.exists(marker):
             return  # replayed micro-batch: already fully folded
-        if not batch_df.isEmpty():
+        # ONE scan of the micro-batch (round 13: the grid fold, the
+        # batch total and the candidate extraction each re-read the
+        # batch file — 4 scans with the isEmpty probe): per-key counts
+        # are materialized once (bounded by the batch's distinct keys)
+        # and the CMS grid / total / candidates all derive from them.
+        # Summing per-key counts into (j, bucket) cells is the exact
+        # integer arithmetic countmin_counters computes row-wise.
+        pk = (
+            batch_df.groupBy("hot_key")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        if not pk.isEmpty():
             spark_ = batch_df.sparkSession
-            batch_grid = countmin_counters(
-                batch_df, "hot_key", _ST30_D, _ST30_W
+            batch_grid = (
+                pk.selectExpr(
+                    "hot_key",
+                    "c",
+                    "explode(sequence(0, {d})) AS j".format(
+                        d=_ST30_D - 1
+                    ),
+                )
+                .selectExpr(
+                    "c",
+                    "j",
+                    "pmod({h}, {w}) AS bucket".format(
+                        h=portable_hash60_sql(
+                            "concat_ws(':', CAST(j AS STRING), "
+                            "CAST(hot_key AS STRING))"
+                        ),
+                        w=_ST30_W,
+                    ),
+                )
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").alias("cnt"))
             )
             prev = [
                 i
@@ -2703,11 +2766,9 @@ def st30_streaming_heavy_hitters(
                 os.path.join(state_dir, f"grid_v{batch_id}")
             )
             # local candidate extraction: <= _ST30_DEN keys per batch
-            btot = batch_df.agg(F.count("*").alias("bt"))
+            btot = pk.agg(F.sum("c").alias("bt"))
             cand = (
-                batch_df.groupBy("hot_key")
-                .agg(F.count("*").alias("c"))
-                .crossJoin(F.broadcast(btot))
+                pk.crossJoin(F.broadcast(btot))
                 .where(F.lit(_ST30_DEN) * F.col("c") >= F.col("bt"))
                 .select("hot_key")
             )
