@@ -125,6 +125,29 @@ _R14_NEXT = (
     "tx10_pii_redaction",
     "tx11_decontamination",
     "tx12_chunking",
+    # r13 parse-once SQL-text rebuild of the apply_changes merge core
+    # (cdc/merge.py) — the rest of its closure is already in the r13
+    # prefix
+    "cdc01_golden_replay",
+    "cdc19_version_diff_feed",
+    "cdc20_stream_binary_wire",
+    "cdc21_wal2json_v2",
+    "cdc22_bidirectional_origin_filter",
+    "cdc23_checkpoint_resume",
+    "cdc24_multi_table_demux",
+    "cdc28_as_of_lsn_read",
+    "cdc29_vacuum_survivor_state",
+    "cdc30_idempotent_consumer",
+    "cdc33_consistent_cut_read",
+    "dd13_incremental_dedup",
+    "io09_bucket_compaction",
+    "io10_python_stream_source",
+    "q43_snapshot_backfill",
+    "st12_incremental_snapshot_stream",
+    "st14_change_feed_publication",
+    "st16_cdf_consumer_agg",
+    "st17_stream_schema_evolution",
+    "st22_stream_scd2_build",
     # r13 parse-once SQL-text rebuilds of the shared shingle/MinHash/
     # SimHash and LSH operators (dedup.py, similarity.py)
     "dd03_minhash_lsh",

@@ -1165,6 +1165,12 @@ def cdc19_version_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = b.where(F.col("lsn") > lo)
         if hi is not None:
             b = b.where(F.col("lsn") <= hi)
+        # one derivation per batch: without this, apply() computes the
+        # slice twice (its touched-bucket scan, then the bucket write
+        # re-reads events and re-derives the op/lsn projection). A CDC
+        # micro-batch is bounded by construction, so materializing it
+        # is O(batch) — never O(state).
+        b = b.localCheckpoint(eager=True)
         versions.append(state.apply(b, ["event_type", "value"]))
     return state.version_diff(versions[0], versions[-1])
 

@@ -1545,7 +1545,16 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_hash",
         "keeper_id",
     )
-    state.apply(seed, ["keeper_id"])
+    # bootstrap apply: without touched_info, apply() runs a 1-row
+    # touched-bucket scan that computes the ENTIRE seed pipeline
+    # (corpus sha2 + groupBy) once, and the bucket write computes it
+    # again. A corpus bootstrap touches every bucket by construction
+    # (claiming a superset is safe: with no prior version the manifest
+    # records exactly the buckets that receive files), so the caller
+    # states it and the seed pipeline runs once, in the write.
+    state.apply(
+        seed, ["keeper_id"], touched_info=(set(range(n_buckets)), False)
+    )
 
     newb = docs.where(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -1587,8 +1596,18 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket-pruned read opened untouched buckets: "
             f"{sorted(opened - touched_dirs)[:5]}"
         )
-    fresh = hashes.join(prior, "content_hash", "left_anti")
-    dup_n = hashes.join(prior, "content_hash", "left_semi").count()
+    # ONE anti-join against the pruned prior state (bounded by the
+    # batch): the 'new' count, the dup complement and the merge
+    # changes all derive from this checkpointed frame — previously the
+    # join ran three times (semi-join count, apply's touched-bucket
+    # scan, apply's bucket write), re-opening the prior buckets each
+    # time. Every hashes row either matches prior or not, so
+    # dup = batch - new exactly, duplicates included.
+    fresh = hashes.join(prior, "content_hash", "left_anti").localCheckpoint(
+        eager=True
+    )
+    new_n = fresh.count()
+    dup_n = hashes.count() - new_n
     fresh_changes = fresh.groupBy("content_hash").agg(
         F.min("doc_id").alias("keeper_id")
     ).select(
@@ -1601,7 +1620,7 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = [
         ("dup", dup_n),
-        ("new", fresh.count()),
+        ("new", new_n),
         ("state_after", state.read().count()),
     ]
     return spark.createDataFrame(rows, "route string, n long")

@@ -127,7 +127,11 @@ class IncrementalAggregate:
             # truncate: every key dies — O(state) by necessity. Compute
             # post in-plan (apply_changes over the whole old state) and
             # diff against the full pre image.
-            pre = st.read(version=v_cur) if v_cur is not None else None
+            pre = (
+                st.read(version=v_cur, session=changes.sparkSession)
+                if v_cur is not None
+                else None
+            )
             post = apply_changes(
                 pre,
                 changes,

@@ -145,12 +145,17 @@ class BucketedStateTable:
 
     # --- read / time travel ------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame | None:
+    def read(
+        self, version: int | None = None, *, session=None
+    ) -> DataFrame | None:
+        """``session`` reparents the scan (e.g. onto a foreachBatch
+        micro-batch session so it can compose with the batch frame in
+        one SQL text); default is the table's own session."""
         v = self.current_version() if version is None else version
         if v is None:
             return None
         man = self._load_manifest(v)
-        return self._read_manifest(man)
+        return self._read_manifest(man, session=session)
 
     def read_as_of_lsn(self, lsn: int) -> DataFrame | None:
         """Snapshot-consistent read at a replication position: the
@@ -276,10 +281,13 @@ class BucketedStateTable:
         ]
         return self._read_dirs(man, dirs)
 
-    def _read_dirs(self, man: dict, dirs: list[str]) -> DataFrame:
+    def _read_dirs(
+        self, man: dict, dirs: list[str], session=None
+    ) -> DataFrame:
+        spark = session or self.spark
         schema = StructType.fromJson(man["schema"])
         if not dirs:
-            return self.spark.createDataFrame([], schema)
+            return spark.createDataFrame([], schema)
         # The manifest records the table's current schema, so the scan
         # needs no footer-based inference (one listing+schema job per
         # read saved — that fixed cost dominates small micro-batch
@@ -287,11 +295,11 @@ class BucketedStateTable:
         # may lack newer columns; an explicit user schema makes the
         # parquet reader fill those with null, which is exactly what
         # mergeSchema=true derived by scanning every footer.
-        return self.spark.read.schema(schema).parquet(*dirs)
+        return spark.read.schema(schema).parquet(*dirs)
 
-    def _read_manifest(self, man: dict) -> DataFrame:
+    def _read_manifest(self, man: dict, session=None) -> DataFrame:
         dirs = [os.path.join(self.path, rel) for rel in man["buckets"].values()]
-        return self._read_dirs(man, dirs)
+        return self._read_dirs(man, dirs, session=session)
 
     # --- incremental apply -------------------------------------------
 
@@ -367,7 +375,14 @@ class BucketedStateTable:
                 if int(b) in touched
             ]
             if base_dirs:
-                base = self._read_dirs(man, base_dirs)
+                # read base on the CHANGES frame's session: inside
+                # foreachBatch the batch frame lives in a cloned
+                # micro-batch session, and apply_changes' one-parse
+                # SQL resolves both relations in one session — a
+                # base bound to the outer session would not resolve
+                base = self._read_dirs(
+                    man, base_dirs, session=changes.sparkSession
+                )
 
         if len(touched) < self.n_buckets:
             ch = ch.where(F.col(_BUCKET).isin([int(b) for b in touched]))
