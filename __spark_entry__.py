@@ -148,6 +148,15 @@ _R14_NEXT = (
     "st16_cdf_consumer_agg",
     "st17_stream_schema_evolution",
     "st22_stream_scd2_build",
+    # r13 parallel index-build repartition (operators/ivf.py) and the
+    # io24 cluster-before-write
+    "io24_dynamic_partition_pruning",
+    "ss06_ivf_persisted_index",
+    "ss16_pq_persisted_index",
+    "ss17_ivfpq_index",
+    "ss23_filtered_ivfpq_probe",
+    "ss25_ivf_sized_serving",
+    "st20_stream_vector_index_ingest",
     # r13 parse-once SQL-text rebuilds of the shared shingle/MinHash/
     # SimHash and LSH operators (dedup.py, similarity.py)
     "dd03_minhash_lsh",

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from cdc_spark.operators.similarity import cosine_topk, dot
 
 
+def _session_parallelism(df: DataFrame) -> int:
+    """Repartition width for parallelizing heavy projections out of a
+    narrow scan stage (same contract as similarity._shuffle_partitions:
+    tolerate a non-integer conf, degrade to defaultParallelism, 32)."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(df.sparkSession.sparkContext.defaultParallelism)
+        except Exception:  # noqa: BLE001 — e.g. Connect: no sparkContext
+            return 32
+
+
 def _quote_ident(name: str) -> str:
     """Backtick-quote a column name for interpolation into SQL text
     (doubling embedded backticks, the Spark escape)."""
@@ -575,8 +589,15 @@ class IvfIndex:
             centroids = train_codebook(
                 df, embedding_col, id_col, k=k, iterations=iterations
             )
+        # round-robin repartition first: the assignment projection is
+        # otherwise fused into the (often 1-task) scan stage — see
+        # IvfPqIndex.build
         assigned = ivf_assign(
-            df, embedding_col, centroids, scale=scale, method=assign_method
+            df.repartition(_session_parallelism(df)),
+            embedding_col,
+            centroids,
+            scale=scale,
+            method=assign_method,
         )
         # one file per cluster partition at this scale; at real scale
         # the repartition keys on cluster and AQE sizes the files
@@ -697,7 +718,15 @@ class PqIndex:
         import json
         import os
 
-        coded = pq_encode(df, embedding_col, codebook, scale=scale)
+        # round-robin repartition first: the PQ-encode projection is
+        # otherwise fused into the (often 1-task) scan stage — see
+        # IvfPqIndex.build
+        coded = pq_encode(
+            df.repartition(_session_parallelism(df)),
+            embedding_col,
+            codebook,
+            scale=scale,
+        )
         m = len(codebook)
         coded.select(id_col, *[f"pq{s}" for s in range(m)]).write.mode(
             "overwrite"
@@ -818,7 +847,19 @@ class IvfPqIndex:
         import json
         import os
 
-        assigned = ivf_assign(df, embedding_col, coarse, scale=scale)
+        # round-robin repartition BEFORE the quantizers: coarse
+        # assignment + PQ encoding are heavy per-row projections that
+        # codegen fuses into the SCAN stage, whose width is the
+        # file-split count (1 task for a one-row-group corpus file) —
+        # the round-12 parallel-banding lesson applied to the index
+        # build. One cheap shuffle of raw rows; the by-cluster
+        # repartition below still lays out one file per cluster.
+        assigned = ivf_assign(
+            df.repartition(_session_parallelism(df)),
+            embedding_col,
+            coarse,
+            scale=scale,
+        )
         coded = pq_encode(assigned, embedding_col, codebook, scale=scale)
         m = len(codebook)
         (

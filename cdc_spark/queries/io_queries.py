@@ -1415,7 +1415,15 @@ def io24_dynamic_partition_pruning(
         "o_totalprice",
         F.date_format("o_orderdate", "yyyyMM").cast("long").alias("ym"),
     )
-    fact.write.partitionBy("ym").mode("overwrite").parquet(fact_path)
+    # cluster by the partition key before the partitioned write (guide
+    # §6): without it every writer task opens a file in every ym
+    # directory — here the single-row-group scan wrote all ~80 month
+    # files from ONE task, sequentially. Same 80-file layout, measured
+    # 1.55 -> 0.96 s at sf0.1; at scale this is the REBALANCE-by-
+    # partition-key discipline that avoids tasks x partitions files.
+    fact.repartition("ym").write.partitionBy("ym").mode(
+        "overwrite"
+    ).parquet(fact_path)
     # the dim goes THROUGH parquet so yr_tag reaches the planner as an
     # opaque stored column: the only route from the dim filter to the
     # fact partitions is the runtime dynamic-pruning subquery
