@@ -65,6 +65,26 @@ def portable_hash60_sql(expr: str) -> str:
     return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism before a shingle
+    pipeline that FANS OUT into several consumers (round 13): the
+    repartition exchange is materialized once and every downstream
+    aggregation branch reuses it (ReusedExchange) instead of re-running
+    the scan + explode + md5 per branch, and the heavy per-shingle
+    hashing runs at session width instead of the scan's file-split
+    count. Measured A/B at sf0.1 (min-of-4, one session): this wins
+    only for the multi-branch consumer (dd09's common_ngram_doc_stats,
+    3 branches over one shingle relation: 1.53 → 1.37 s) and LOSES for
+    single-branch pipelines (dd03 1.46 → 1.89, dd04 1.34 → 1.48,
+    dd11 1.38 → 1.52 — the extra exchange outweighs one stage's
+    parallelism at test scale, and at real scale their scans are
+    already thousands of splits wide) — so it is applied ONLY where
+    the fan-out makes it pay."""
+    from cdc_spark.operators.similarity import _shuffle_partitions
+
+    return df.repartition(_shuffle_partitions(df))
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -394,9 +414,9 @@ def common_ngram_doc_stats(
         if portable
         else "xxhash64(shingle)"
     )
-    sh = shingle_rows(df, text_col, id_col, k_shingle).selectExpr(
-        _qi(id_col), f"{key} AS __h"
-    )
+    sh = shingle_rows(
+        _spread(df), text_col, id_col, k_shingle
+    ).selectExpr(_qi(id_col), f"{key} AS __h")
     # distinct-per-doc rows: COUNT(*) per shingle == document frequency
     common = (
         sh.groupBy("__h")

@@ -1569,14 +1569,19 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # reused for probe, routes and merge
 
     # bucket-pruned membership probe: open only the buckets this
-    # batch's hashes fall into — O(batch), never O(corpus)
-    touched = sorted(
+    # batch's hashes fall into — O(batch), never O(corpus). The batch
+    # row count rides the same bounded 1-row job (round 13: it was a
+    # separate count() action later).
+    probe_info = (
         hashes.select(
-            F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).alias("b")
+            "*",
+            F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).alias("b"),
         )
-        .agg(F.collect_set("b"))
-        .first()[0]
+        .agg(F.collect_set("b").alias("bs"), F.count("*").alias("n"))
+        .first()
     )
+    touched = sorted(probe_info["bs"])
+    batch_n = probe_info["n"]
     # The O(batch) claim is the bucket-directory SELECTION, not
     # universal partial coverage — a large-enough probe batch
     # legitimately hashes into every bucket (seen at sf1: 1000 doc
@@ -1607,7 +1612,7 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     new_n = fresh.count()
-    dup_n = hashes.count() - new_n
+    dup_n = batch_n - new_n
     fresh_changes = fresh.groupBy("content_hash").agg(
         F.min("doc_id").alias("keeper_id")
     ).select(
@@ -1621,7 +1626,10 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ("dup", dup_n),
         ("new", new_n),
-        ("state_after", state.read().count()),
+        # footer-metadata count: the committed version's exact size
+        # without re-scanning all 64 bucket directories (state.row_count
+        # docstring has the equivalence argument)
+        ("state_after", state.row_count()),
     ]
     return spark.createDataFrame(rows, "route string, n long")
 

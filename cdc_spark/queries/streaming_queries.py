@@ -2697,91 +2697,117 @@ def st30_streaming_heavy_hitters(
     # Retry-idempotent fold: foreachBatch replays a micro-batch after
     # a failure with the SAME batch_id, so every effect must be safe
     # to repeat. (1) a per-batch done-marker (written LAST) skips
-    # fully-folded replays outright; (2) the merged grid is written to
-    # a batch-VERSIONED dir with mode=overwrite and the merge always
-    # reads the predecessor version (never its own), so a partial
-    # write simply overwrites itself on replay — no double-merge;
-    # (3) candidate appends are deterministic rows deduped by the
-    # read-time distinct(), so a replayed append is absorbed. Empty
-    # micro-batches (an empty shard file) still write their marker and
-    # count toward n_batches — skipping them would trip the shard
-    # assertion below.
+    # fully-folded replays outright; (2) the whole per-batch state —
+    # merged CMS grid rows AND the accumulated candidate set — is ONE
+    # unified relation written to a batch-VERSIONED dir with
+    # mode=overwrite, and the merge always reads the predecessor
+    # version (never its own), so a partial write simply overwrites
+    # itself on replay — no double-merge, and a replayed candidate row
+    # is absorbed by the read-time distinct(). Empty micro-batches (an
+    # empty shard file) still write their marker and count toward
+    # n_batches — skipping them would trip the shard assertion below.
+    #
+    # Round 13 (guide §1.2 "the distributed algorithm" + §2.4): the
+    # fold is ONE Spark action per trigger. The per-key counts feed
+    # the grid cells, the batch total (a broadcast 1-row aggregate)
+    # and the candidate filter inside one plan, so the per-key
+    # exchange is built once and reused; previously the fold ran 4-5
+    # driver actions per micro-batch (checkpoint, emptiness probe,
+    # grid write, candidate append) and the trigger cadence paid each
+    # one's scheduling floor. State stays d·w + ≤DEN·batches rows.
+    unified_schema = (
+        "kind string, j int, bucket bigint, cnt bigint, hot_key bigint"
+    )
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(done_dir, str(batch_id))
         if os.path.exists(marker):
             return  # replayed micro-batch: already fully folded
-        # ONE scan of the micro-batch (round 13: the grid fold, the
-        # batch total and the candidate extraction each re-read the
-        # batch file — 4 scans with the isEmpty probe): per-key counts
-        # are materialized once (bounded by the batch's distinct keys)
-        # and the CMS grid / total / candidates all derive from them.
-        # Summing per-key counts into (j, bucket) cells is the exact
-        # integer arithmetic countmin_counters computes row-wise.
-        pk = (
-            batch_df.groupBy("hot_key")
-            .agg(F.count("*").alias("c"))
-            .localCheckpoint(eager=True)
+        spark_ = batch_df.sparkSession
+        pk = batch_df.groupBy("hot_key").agg(F.count("*").alias("c"))
+        batch_grid = (
+            pk.selectExpr(
+                "hot_key",
+                "c",
+                "explode(sequence(0, {d})) AS j".format(d=_ST30_D - 1),
+            )
+            .selectExpr(
+                "c",
+                "j",
+                "pmod({h}, {w}) AS bucket".format(
+                    h=portable_hash60_sql(
+                        "concat_ws(':', CAST(j AS STRING), "
+                        "CAST(hot_key AS STRING))"
+                    ),
+                    w=_ST30_W,
+                ),
+            )
+            .groupBy("j", "bucket")
+            .agg(F.sum("c").alias("cnt"))
         )
-        if not pk.isEmpty():
-            spark_ = batch_df.sparkSession
-            batch_grid = (
-                pk.selectExpr(
-                    "hot_key",
-                    "c",
-                    "explode(sequence(0, {d})) AS j".format(
-                        d=_ST30_D - 1
-                    ),
-                )
-                .selectExpr(
-                    "c",
-                    "j",
-                    "pmod({h}, {w}) AS bucket".format(
-                        h=portable_hash60_sql(
-                            "concat_ws(':', CAST(j AS STRING), "
-                            "CAST(hot_key AS STRING))"
-                        ),
-                        w=_ST30_W,
-                    ),
-                )
+        # local candidate extraction: <= _ST30_DEN keys per batch (the
+        # q112 counting argument); the batch total is a broadcast 1-row
+        # aggregate INSIDE the plan, not a driver collect
+        bt = pk.agg(F.sum("c").alias("__bt"))
+        batch_cand = (
+            pk.crossJoin(F.broadcast(bt))
+            .where(F.lit(_ST30_DEN) * F.col("c") >= F.col("__bt"))
+            .select("hot_key")
+        )
+        prev = [
+            i
+            for i in _done_ids()
+            if os.path.isdir(os.path.join(state_dir, f"state_v{i}"))
+        ]
+        grid, cand_rows = batch_grid, batch_cand
+        if prev:
+            pdf = spark_.read.schema(unified_schema).parquet(
+                os.path.join(state_dir, f"state_v{max(prev)}")
+            )
+            grid = (
+                pdf.where(F.col("kind") == "g")
+                .select("j", "bucket", "cnt")
+                .unionByName(batch_grid)
                 .groupBy("j", "bucket")
-                .agg(F.sum("c").alias("cnt"))
+                .agg(F.sum("cnt").alias("cnt"))
             )
-            prev = [
-                i
-                for i in _done_ids()
-                if os.path.isdir(os.path.join(state_dir, f"grid_v{i}"))
-            ]
-            if prev:
-                merged = (
-                    spark_.read.parquet(
-                        os.path.join(state_dir, f"grid_v{max(prev)}")
-                    )
-                    .unionByName(batch_grid)
-                    .groupBy("j", "bucket")
-                    .agg(F.sum("cnt").alias("cnt"))
-                )
-            else:
-                merged = batch_grid
-            merged.write.mode("overwrite").parquet(
-                os.path.join(state_dir, f"grid_v{batch_id}")
-            )
-            # local candidate extraction: <= _ST30_DEN keys per batch
-            btot = pk.agg(F.sum("c").alias("bt"))
-            cand = (
-                pk.crossJoin(F.broadcast(btot))
-                .where(F.lit(_ST30_DEN) * F.col("c") >= F.col("bt"))
+            cand_rows = (
+                pdf.where(F.col("kind") == "c")
                 .select("hot_key")
+                .unionByName(batch_cand)
             )
-            cand.write.mode("append").parquet(
-                os.path.join(state_dir, "cand")
+        unified = grid.select(
+            F.lit("g").alias("kind"),
+            "j",
+            "bucket",
+            "cnt",
+            F.lit(None).cast("long").alias("hot_key"),
+        ).unionByName(
+            cand_rows.select(
+                F.lit("c").alias("kind"),
+                F.lit(None).cast("int").alias("j"),
+                F.lit(None).cast("long").alias("bucket"),
+                F.lit(None).cast("long").alias("cnt"),
+                "hot_key",
             )
+        )
+        # AQE is disabled inside streaming micro-batches, so the fold's
+        # shuffles keep the full session partition count and the write
+        # would emit one near-empty file per task. The unified state is
+        # a BOUNDED sketch (d·w + ≤DEN·batches rows at any corpus
+        # size), so one file per version is the right layout at every
+        # scale — coalesce(1) is O(state), not O(batch).
+        unified.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"state_v{batch_id}")
+        )
         open(marker, "w").close()
         # GC: once batch_id's marker exists, no future batch reads any
-        # older version — state stays d*w rows, not d*w*batches
+        # older version — state stays d*w + candidates rows, not
+        # that times batches
         import shutil
 
         for i in _done_ids():
-            old = os.path.join(state_dir, f"grid_v{i}")
+            old = os.path.join(state_dir, f"state_v{i}")
             if i < batch_id and os.path.isdir(old):
                 shutil.rmtree(old)
 
@@ -2806,17 +2832,29 @@ def st30_streaming_heavy_hitters(
     grids = [
         i
         for i in done
-        if os.path.isdir(os.path.join(state_dir, f"grid_v{i}"))
+        if os.path.isdir(os.path.join(state_dir, f"state_v{i}"))
     ]
-    counters = spark.read.parquet(
-        os.path.join(state_dir, f"grid_v{max(grids)}")
+    unified = spark.read.schema(unified_schema).parquet(
+        os.path.join(state_dir, f"state_v{max(grids)}")
+    )
+    counters = unified.where(F.col("kind") == "g").select(
+        "j", "bucket", "cnt"
     )
     cand = (
-        spark.read.parquet(os.path.join(state_dir, "cand"))
+        unified.where(F.col("kind") == "c")
+        .select("hot_key")
         .distinct()
         .limit(_ST30_SHARDS * _ST30_DEN)  # provable bound, never cuts
     )
-    total = keyed.agg(F.count("*").cast("long").alias("n"))
+    # global total from the grid itself, not a fresh corpus scan: every
+    # keyed row increments exactly one bucket of each CMS row, so the
+    # j=0 row's cell sum IS the stream's row count (the standard CMS
+    # row-sum invariant) — one 1024-row scan replaces a full pass over
+    # events (guide §2.3: shuffle/scan metadata, not payloads)
+    total = (
+        counters.where(F.col("j") == 0)
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
     pb = cand.select(
         "hot_key",
         F.explode(
