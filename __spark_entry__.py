@@ -171,6 +171,10 @@ _R14_NEXT = (
     "dd18_soft_dedup_weights",
     "dd19_jaccard_threshold_curve",
     "mm03_phash_neardup",
+    # r13 probe-bounded keyword arm (ss10: semi-join pre-filter +
+    # broadcast df relation; outputs re-verified hash-identical at
+    # sf0.001/sf0.01/sf0.1 this round)
+    "ss10_hybrid_rrf",
 )
 
 # Round 12's prefix (retained for rank ordering below tier 0/1): the

@@ -51,28 +51,30 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # labels only ever DECREASE, so "changed" is simply new < old —
+        # computed as a flag column riding the same checkpoint (round
+        # 13): the convergence probe then filters the materialized
+        # partitions instead of re-joining this round's labels against
+        # last round's (one join + one shuffle per round saved; the
+        # probe is a cached-scan + limit 1).
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("__new"),
+                (new_label < F.col("label")).alias("__chg"),
             )
+            .withColumnRenamed("__new", "label")
             # truncate lineage: without this, each round's plan embeds
             # every earlier round (quadratic recomputation with the
             # convergence action below)
             .localCheckpoint(eager=True)
         )
-        # convergence check: one tiny aggregate per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break

@@ -1276,16 +1276,19 @@ def q112_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hot_key"),
         "event_id",
     )
-    total = keyed.agg(F.count("*").cast("long").alias("n"))
-
     sharded = keyed.withColumn(
         "shard",
         portable_hash60(F.col("event_id").cast("string")) % _HH_SHARDS,
     )
-    shard_tot = sharded.groupBy("shard").agg(F.count("*").alias("st"))
     local = sharded.groupBy("shard", "hot_key").agg(
         F.count("*").alias("c")
     )
+    # per-shard totals FOLD FROM the per-(shard, key) counts — exactly
+    # Σ_key c by definition — instead of a second full scan + groupBy
+    # of the corpus (round 13, guide §2.3 "aggregate before you
+    # shuffle": the second-level fold sums shards × keys rows, and the
+    # shared `local` subtree is one ReusedExchange)
+    shard_tot = local.groupBy("shard").agg(F.sum("c").alias("st"))
     # no broadcast hint on shard_tot: it is 32 rows (shard = h % 32),
     # but the plan lint cannot prove a modulo-literal bound — stats /
     # AQE broadcast it at runtime anyway, and a 32-key shuffle join is
@@ -1301,6 +1304,13 @@ def q112_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     counters = countmin_counters(keyed, "hot_key", _HH_D, _HH_W)
+    # stream total from the CMS row-sum invariant (each row increments
+    # one bucket per CMS row, so the j=0 cells sum to COUNT(*)) — a
+    # d·w-row scan instead of another full corpus pass
+    total = (
+        counters.where(F.col("j") == 0)
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
     pb = cand.select(
         "hot_key",
         F.explode(F.array(*[F.lit(j) for j in range(_HH_D)])).alias("j"),
