@@ -168,17 +168,22 @@ def apply_changes(
         # the Column formulation's two broadcast 1-row crossjoins,
         # as CTEs: drop changes at-or-before the newest truncate,
         # and the whole base when any truncate is present
+        # BROADCAST hints: the Column formulation crossJoined an
+        # explicit F.broadcast(t_agg); without the hint the 1-row CTE's
+        # size is unknown to the planner and the cross join degrades to
+        # CartesianProduct (caught by the plan-guardrail suite)
         ch_src = "__ch"
         tr_ctes = (
             f"__tr AS (SELECT max(CASE WHEN {O} = 't' THEN {L} END)"
             " AS __tmax FROM {changes}), "
-            "__ch AS (SELECT __c.* FROM {changes} __c CROSS JOIN __tr"
+            "__ch AS (SELECT /*+ BROADCAST(__tr) */ __c.* FROM"
+            " {changes} __c CROSS JOIN __tr"
             f" WHERE {O} <> 't'"
             f" AND (__tr.__tmax IS NULL OR __c.{L} > __tr.__tmax)), "
         )
         base_src = (
-            "(SELECT __b.* FROM {base} __b CROSS JOIN __tr"
-            " WHERE __tr.__tmax IS NULL)"
+            "(SELECT /*+ BROADCAST(__tr) */ __b.* FROM {base} __b"
+            " CROSS JOIN __tr WHERE __tr.__tmax IS NULL)"
         )
     else:
         ch_src = "{changes}"
