@@ -1526,13 +1526,22 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 buckets: plenty to prove pruning (the probe batch hashes into
     # ≤ its own row count of buckets) without paying 100s of tiny
     # bucket-directory writes at test scale; production sizes this to
-    # tens-of-GB buckets exactly like the CDC row state
+    # tens-of-GB buckets exactly like the CDC row state.
+    # one_file_per_bucket: the merged state otherwise lands in however
+    # many tasks AQE coalesces the merge to — ONE task at test scale,
+    # writing all 64 bucket files sequentially (measured A/B: bootstrap
+    # 1.9→1.3 s, probe apply 2.3→2.0 s). The pre-write repartition
+    # shuffles only fixed-width 40-byte fingerprint rows, and a
+    # membership table is read-heavy: every pruned probe then opens
+    # exactly ONE footer per touched bucket instead of tasks×versions
+    # fragments — the right trade for this table at any scale.
     n_buckets = 64
     state = BucketedStateTable(
         spark,
         tempfile.mkdtemp(prefix="dd13_state_"),
         ["content_hash"],
         n_buckets=n_buckets,
+        one_file_per_bucket=True,
     )
     seed = docs.select(
         F.sha2(F.col("text"), 256).alias("content_hash"),
