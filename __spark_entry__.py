@@ -109,14 +109,22 @@ _R13_PREFIX = (
     "dd04_simhash",
 )
 
-# The eight r10-era re-gates the round-13 prefix could not hold
-# (tx05/tx06 displaced by dd04's oracle restructure and the new
-# dd22), staged first for round 14, followed by the entries whose
-# shared operators were rebuilt as parse-once SQL text in the
-# round-13 optimization pass (plans re-verified oracle-green at
-# sf0.01/sf0.1 this round; outputs bit-identical, but the freshness
-# invariant wants a driver row on the current plan).
-_R14_NEXT = (
+# Round-14 rotation: _R14_NEXT (staged last round, 48 entries — every
+# entry whose plan was rebuilt in the round-13 optimization pass plus
+# the eight deferred r10-era re-gates) becomes the gate prefix, plus
+# q106 (its exact-rank pass moved to the deterministic-slice bucket
+# path THIS round — sampled range partitioning and the checkpoint
+# layout pin dropped; output bit-identical, gated at 3 SFs) and ss08
+# (oldest unchanged driver row, r12 cohort, freshness re-gate) to
+# fill the 50 slots. Entries changed this round that already sit in
+# this prefix: ss10 (keyword arm reverted to the r12 corpus-dfs form
+# per the r13 verdict — the A/B regression reproduced), dd13
+# (insert-only generational append), the state-table closure (FS
+# seam + generation lists), the ivf builds (conditional _spread).
+_R14_PREFIX = (
+    # changed this round: bucketed exact-rank pass
+    "q106_mergeable_quantile_sketch",
+    # the 48 entries staged as _R14_NEXT by round 13
     "tx05_fingerprint",
     "tx06_quality_filter",
     "tx07_hash_split",
@@ -125,9 +133,6 @@ _R14_NEXT = (
     "tx10_pii_redaction",
     "tx11_decontamination",
     "tx12_chunking",
-    # r13 parse-once SQL-text rebuild of the apply_changes merge core
-    # (cdc/merge.py) — the rest of its closure is already in the r13
-    # prefix
     "cdc01_golden_replay",
     "cdc19_version_diff_feed",
     "cdc20_stream_binary_wire",
@@ -148,8 +153,6 @@ _R14_NEXT = (
     "st16_cdf_consumer_agg",
     "st17_stream_schema_evolution",
     "st22_stream_scd2_build",
-    # r13 parallel index-build repartition (operators/ivf.py) and the
-    # io24 cluster-before-write
     "io24_dynamic_partition_pruning",
     "ss06_ivf_persisted_index",
     "ss16_pq_persisted_index",
@@ -157,8 +160,6 @@ _R14_NEXT = (
     "ss23_filtered_ivfpq_probe",
     "ss25_ivf_sized_serving",
     "st20_stream_vector_index_ingest",
-    # r13 parse-once SQL-text rebuilds of the shared shingle/MinHash/
-    # SimHash and LSH operators (dedup.py, similarity.py)
     "dd03_minhash_lsh",
     "dd09_common_ngram_exposure",
     "dd10_aligned_duplicate_spans",
@@ -171,10 +172,9 @@ _R14_NEXT = (
     "dd18_soft_dedup_weights",
     "dd19_jaccard_threshold_curve",
     "mm03_phash_neardup",
-    # r13 probe-bounded keyword arm (ss10: semi-join pre-filter +
-    # broadcast df relation; outputs re-verified hash-identical at
-    # sf0.001/sf0.01/sf0.1 this round)
     "ss10_hybrid_rrf",
+    # oldest unchanged driver row (r12 cohort freshness re-gate)
+    "ss08_quantized_rerank",
 )
 
 # Round 12's prefix (retained for rank ordering below tier 0/1): the
@@ -385,32 +385,59 @@ _R10_PREFIX = (
 )
 
 
+# Entries changed AFTER the round-14 prefix was cut, staged for the
+# next rotation (the fingerprint ledger fails any drifted entry
+# missing from _R14_PREFIX and this tier): the r13-gated closure of
+# the round-14 state-table work — the FS seam + insert-only
+# generation lists (streaming/state.py) drift every entry built on
+# BucketedStateTable, and the q112/st30 empty-input coalesce(sum,0)
+# hardening drifts those two (all re-verified oracle-green at
+# sf0.01/sf0.1 this round; outputs bit-identical).
+_R15_NEXT: tuple[str, ...] = (
+    "q112_cms_heavy_hitters",
+    "st30_streaming_heavy_hitters",
+    "cdc06_schema_evolution",
+    "cdc09_pipeline_e2e",
+    "cdc10_pgoutput_binary",
+    "cdc11_incremental_apply",
+    "cdc13_ivm_agg",
+    "cdc14_txn_barrier",
+    "cdc15_replication_progress",
+    "cdc16_maxwell_roundtrip",
+    "dd06_dedup_clusters",
+    "st08_cdc_pipeline_bucketed",
+    "st09_stream_ivm_agg",
+)
+
 _R10_RANK = {n: i for i, n in enumerate(_R10_PREFIX)}
 _R11_RANK = {n: i for i, n in enumerate(_R11_PREFIX)}
 _R12_RANK = {n: i for i, n in enumerate(_R12_PREFIX)}
 _R13_RANK = {n: i for i, n in enumerate(_R13_PREFIX)}
-_R14_RANK = {n: i for i, n in enumerate(_R14_NEXT)}
+_R14_RANK = {n: i for i, n in enumerate(_R14_PREFIX)}
+_R15_RANK = {n: i for i, n in enumerate(_R15_NEXT)}
 
 # Stable aliases for the CURRENT round's 50-slot gate prefix and the
 # tier staged for the NEXT rotation — tests pin the contract through
 # these names so a rotation cannot silently break them
 # (tests/test_registry_contract.py).
-GATE_PREFIX = _R13_PREFIX
-NEXT_TIER = _R14_NEXT
+GATE_PREFIX = _R14_PREFIX
+NEXT_TIER = _R15_NEXT
 
 
 def _rank(name: str) -> tuple[int, int, str]:
-    if name in _R13_RANK:
-        return (0, _R13_RANK[name], name)
     if name in _R14_RANK:
-        return (1, _R14_RANK[name], name)
+        return (0, _R14_RANK[name], name)
+    if name in _R15_RANK:
+        return (1, _R15_RANK[name], name)
+    if name in _R13_RANK:
+        return (2, _R13_RANK[name], name)
     if name in _R12_RANK:
-        return (2, _R12_RANK[name], name)
+        return (3, _R12_RANK[name], name)
     if name in _R11_RANK:
-        return (3, _R11_RANK[name], name)
+        return (4, _R11_RANK[name], name)
     if name in _R10_RANK:
-        return (4, _R10_RANK[name], name)
-    return (5, 0, name)
+        return (5, _R10_RANK[name], name)
+    return (6, 0, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -37,6 +37,26 @@ def _session_parallelism(df: DataFrame) -> int:
             return 32
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism — but only when
+    the input is NARROWER than that (round 14, the dedup `_spread`
+    A/B discipline applied here): at test scale every corpus is a
+    one-row-group file, so the heavy quantizer projections fuse into a
+    1-task scan and the shuffle pays for itself; at 100 TB the scan is
+    already thousands of splits wide and an unconditional repartition
+    would add a full extra shuffle of raw embedding rows for nothing.
+    ``rdd.getNumPartitions()`` plans the physical RDD but runs no job
+    (driver-only, milliseconds) — cheap relative to the shuffle it
+    avoids."""
+    n = _session_parallelism(df)
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:  # noqa: BLE001 — e.g. Connect: no RDD surface
+        pass
+    return df.repartition(n)
+
+
 def _quote_ident(name: str) -> str:
     """Backtick-quote a column name for interpolation into SQL text
     (doubling embedded backticks, the Spark escape)."""
@@ -593,7 +613,7 @@ class IvfIndex:
         # otherwise fused into the (often 1-task) scan stage — see
         # IvfPqIndex.build
         assigned = ivf_assign(
-            df.repartition(_session_parallelism(df)),
+            _spread(df),
             embedding_col,
             centroids,
             scale=scale,
@@ -722,7 +742,7 @@ class PqIndex:
         # otherwise fused into the (often 1-task) scan stage — see
         # IvfPqIndex.build
         coded = pq_encode(
-            df.repartition(_session_parallelism(df)),
+            _spread(df),
             embedding_col,
             codebook,
             scale=scale,
@@ -855,7 +875,7 @@ class IvfPqIndex:
         # build. One cheap shuffle of raw rows; the by-cluster
         # repartition below still lays out one file per cluster.
         assigned = ivf_assign(
-            df.repartition(_session_parallelism(df)),
+            _spread(df),
             embedding_col,
             coarse,
             scale=scale,

@@ -130,8 +130,23 @@ def compact_buckets(
     man = state._load_manifest(v)
     frag: dict[str, dict] = {}
     for b, rel in man["buckets"].items():
-        stats = dir_file_stats(os.path.join(state.path, rel))
-        if needs_compaction(
+        # a bucket entry may be a generation LIST (insert-only appends,
+        # round 14): census every generation together — compaction is
+        # exactly what folds the list back to one directory
+        rels = state._rels(rel)
+        stats_list = [
+            dir_file_stats(os.path.join(state.path, r)) for r in rels
+        ]
+        stats = {
+            "n_files": sum(s["n_files"] for s in stats_list),
+            "total_bytes": sum(s["total_bytes"] for s in stats_list),
+        }
+        stats["avg_file_bytes"] = (
+            stats["total_bytes"] // stats["n_files"]
+            if stats["n_files"]
+            else 0
+        )
+        if len(rels) > 1 or needs_compaction(
             stats,
             target_file_bytes=target_file_bytes,
             min_files=min_files,
@@ -142,7 +157,11 @@ def compact_buckets(
 
     total = sum(s["total_bytes"] for s in frag.values())
     n_out = max(len(frag), math.ceil(total / target_file_bytes))
-    dirs = [os.path.join(state.path, man["buckets"][b]) for b in frag]
+    dirs = [
+        os.path.join(state.path, r)
+        for b in frag
+        for r in state._rels(man["buckets"][b])
+    ]
     df = state.spark.read.option("mergeSchema", "true").parquet(*dirs)
     out = df.withColumn("__bucket", state._bucket_expr())
 

@@ -1630,7 +1630,13 @@ def dd13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_hash",
         "keeper_id",
     )
-    state.apply(fresh_changes, ["keeper_id"])
+    # insert_only: every fresh key was just anti-joined against the
+    # pruned prior state, so the apply APPENDS one delta file per
+    # touched bucket instead of reading + rewriting ~50/64 bucket
+    # contents (round 14 — written bytes O(batch), not O(buckets);
+    # at tens-of-GB production buckets the difference between
+    # appending megabytes and rewriting terabytes per probe batch)
+    state.apply(fresh_changes, ["keeper_id"], insert_only=True)
 
     rows = [
         ("dup", dup_n),

@@ -786,30 +786,26 @@ def ss10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
     )
     n_agg = docs.agg(F.count("*").cast("double").alias("__n"))
-    # Probe-bounded retrieval (round 13, guide §3.1/§3.2): every join
-    # in the keyword arm keys on the PROBE vocabulary, which is bounded
-    # by the probe documents' lengths — never by the corpus. The token
-    # table is semi-joined to the probe terms before anything else
-    # (the Bloom-style pre-filter: drops every corpus token that can't
-    # contribute), so the per-term document frequencies are computed
-    # over that restricted relation and become broadcastable at ANY
-    # corpus size — df values are unchanged (df counts all docs
-    # containing the term; restriction only drops terms no probe
-    # mentions, which the inverted-index join discarded anyway).
-    # Before: the full token relation was derived 3x and shuffled by
-    # term-string for a corpus-sized dfs that then shuffle-joined back.
+    # Corpus-dfs shuffle form (round 14: the round-13 "probe-bounded"
+    # arm — semi-join the token table to the broadcast probe
+    # vocabulary, aggregate dfs over the restriction, broadcast dfs —
+    # was adopted as a same-box wash for its scale shape, but the r13
+    # driver row regressed +32% normalized and a round-14 controlled
+    # A/B reproduced it: 2.37/2.39 s vs 2.10/2.20 s (alternating
+    # min-of-5, two rounds, one session). Mechanism: the broadcast dfs
+    # serializes a dedicated corpus token pass before the main pass,
+    # where this form computes dfs and the candidate join in ONE
+    # parallel DAG sharing the token exchange. Reverted per the r13
+    # verdict's own criterion; outputs are hash-identical either way.
+    dfs = tok.groupBy("term").agg(F.count("*").alias("df"))
     ptok = tok.where(F.col("doc_id").isin(probe_ids)).select(
         F.col("doc_id").alias("q_id"), "term"
     )
-    pterms = ptok.select("term").distinct()
-    tok_p = tok.join(F.broadcast(pterms), "term", "left_semi")
-    dfs = tok_p.groupBy("term").agg(F.count("*").alias("df"))
     idf2 = F.round(F.pow(F.log(F.col("__n") / F.col("df")), 2), 6)
     cand = (
-        F.broadcast(ptok)
-        .join(tok_p, "term")
+        ptok.join(tok, "term")
         .where(F.col("doc_id") != F.col("q_id"))
-        .join(F.broadcast(dfs), "term")
+        .join(dfs, "term")
         .crossJoin(F.broadcast(n_agg))
         .select("q_id", "doc_id", idf2.alias("idf2"))
     )

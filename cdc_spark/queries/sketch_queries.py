@@ -693,11 +693,18 @@ def q106_mergeable_quantile_sketch(
         F.col("est").alias("est_chars"),
     )
     # exact eval column: value at rank ceil(q*N) of the FULL table —
-    # distributed two-pass row number + a broadcast 5-row rank spec
+    # distributed two-pass row number + a broadcast 5-row rank spec.
+    # bucket= (round 14, guide §2.4): a fixed-width slice of the order
+    # key itself replaces the sampled range partitioning — drops the
+    # RangePartitioner's sampling job AND the localCheckpoint layout
+    # pin (a full extra materialization of the projection) from the
+    # plan; row numbers are bit-identical (the slice id is monotone
+    # non-decreasing along [n_chars, doc_id], the bucket contract).
     positions = distributed_row_number(
         docs.select("doc_id", "n_chars"),
         [F.asc("n_chars"), F.asc("doc_id")],
         out_col="rn",
+        bucket=F.floor(F.col("n_chars") / F.lit(16)),
     )
     total = docs.agg(F.count("*").alias("_n"))
     spec = spark.createDataFrame(
@@ -1307,9 +1314,12 @@ def q112_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream total from the CMS row-sum invariant (each row increments
     # one bucket per CMS row, so the j=0 cells sum to COUNT(*)) — a
     # d·w-row scan instead of another full corpus pass
+    # coalesce: SUM over zero rows is NULL where the count(*) this
+    # replaced returned 0 (r13 ADVICE) — same rows on every non-empty
+    # input, and the empty-input total now carries 0 like before
     total = (
         counters.where(F.col("j") == 0)
-        .agg(F.sum("cnt").cast("long").alias("n"))
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"))
     )
     pb = cand.select(
         "hot_key",

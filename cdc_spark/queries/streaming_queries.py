@@ -2669,6 +2669,13 @@ def st30_streaming_heavy_hitters(
     import glob as _glob
     import shutil as _shutil
 
+    from cdc_spark.streaming.state import local_fs_path
+
+    # the staged-shard rearrangement below is plain local-file IO —
+    # route both directories through the state layer's one FS seam so
+    # a non-local path fails loudly instead of corrupting the layout
+    stage_dir = local_fs_path(stage_dir)
+    src_dir = local_fs_path(src_dir)
     for s in range(_ST30_SHARDS):
         parts = _glob.glob(os.path.join(stage_dir, f"shard={s}", "part-*"))
         if parts:
@@ -2853,7 +2860,9 @@ def st30_streaming_heavy_hitters(
     # events (guide §2.3: shuffle/scan metadata, not payloads)
     total = (
         counters.where(F.col("j") == 0)
-        .agg(F.sum("cnt").cast("long").alias("n"))
+        # coalesce: SUM over zero rows is NULL where count(*) was 0
+        # (r13 ADVICE) — identical on every non-empty stream
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"))
     )
     pb = cand.select(
         "hot_key",

@@ -51,6 +51,39 @@ class ConcurrentWriteError(RuntimeError):
     instead of silent lost updates."""
 
 
+def local_fs_path(path: str) -> str:
+    """The state layer's single filesystem seam (round 14).
+
+    Manifests, the CURRENT pointer, footer-metadata counts and staged
+    shard moves all use plain local-file IO (``open``/``os.listdir``/
+    ``shutil``). That is correct in this harness — every state path is
+    a local temp directory by design — but silently WRONG against
+    object storage: ``os.listdir("s3://…")`` raises confusingly at
+    best. This function is the one place that assumption lives:
+    accepts a bare local path or a ``file:`` URI (normalized to the
+    bare path), and fails loudly for any other scheme — an object-
+    store deployment must route this seam through the Hadoop FS API
+    instead of getting wrong results from ``os`` calls on a URI."""
+    scheme, sep, rest = path.partition("://")
+    if sep:
+        if scheme != "file":
+            raise NotImplementedError(
+                "BucketedStateTable file IO is local-filesystem only; "
+                f"got scheme {scheme!r} in {path!r} — this seam needs a "
+                "Hadoop-FS-backed implementation for object storage"
+            )
+        # file://host/p or file:///p -> /p (no remote-host support)
+        host, slash, tail = rest.partition("/")
+        if host not in ("", "localhost"):
+            raise NotImplementedError(
+                f"file: URI with remote host {host!r} in {path!r}"
+            )
+        return "/" + tail if slash else "/"
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
 def _fsync_replace(tmp: str, dst: str, payload: str) -> None:
     """Durable pointer write: fsync the file, atomic rename, fsync the
     directory so the rename itself survives a crash."""
@@ -77,11 +110,23 @@ class BucketedStateTable:
         *,
         n_buckets: int = 16,
         one_file_per_bucket: bool = False,
+        max_generations: int = 8,
     ):
         self.spark = spark
-        self.path = path
+        self.path = local_fs_path(path)  # the one FS-assumption seam
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        # Generation cap for insert-only appends (round 14): an
+        # ``apply(..., insert_only=True)`` APPENDS a delta directory to
+        # each touched bucket instead of rewriting its contents —
+        # O(batch) written bytes instead of O(touched bucket contents),
+        # the LSM discipline for the commonest CDC-dedup shape (probe,
+        # anti-join, insert the provably-new keys). Reads union a
+        # bucket's generation list; when any touched bucket has
+        # ``max_generations`` generations the apply falls back to the
+        # normal merge path, which folds those buckets back to one
+        # directory — bounded read amplification, coarse compaction.
+        self.max_generations = max_generations
         # For SMALL tables (materialized aggregates, dimension state) a
         # pre-write repartition by bucket costs a tiny shuffle and buys
         # exactly one file per bucket — reads open n_buckets footers
@@ -106,6 +151,13 @@ class BucketedStateTable:
     def _load_manifest(self, v: int) -> dict:
         with open(self._manifest_path(v)) as fh:
             return json.load(fh)
+
+    @staticmethod
+    def _rels(rel) -> list[str]:
+        """A manifest bucket entry is a single relative directory
+        (rewritten bucket) or a list of them, oldest first (base +
+        appended insert-only generations)."""
+        return list(rel) if isinstance(rel, list) else [rel]
 
     def current_version(self) -> int | None:
         try:
@@ -212,11 +264,21 @@ class BucketedStateTable:
         )
         old = self._read_dirs(
             man_a,
-            [os.path.join(self.path, ba[b]) for b in changed if b in ba],
+            [
+                os.path.join(self.path, r)
+                for b in changed
+                if b in ba
+                for r in self._rels(ba[b])
+            ],
         )
         new = self._read_dirs(
             man_b,
-            [os.path.join(self.path, bb[b]) for b in changed if b in bb],
+            [
+                os.path.join(self.path, r)
+                for b in changed
+                if b in bb
+                for r in self._rels(bb[b])
+            ],
         )
         vcols = [
             f.name
@@ -275,9 +337,10 @@ class BucketedStateTable:
         man = self._load_manifest(v)
         wanted = {str(int(b)) for b in bucket_ids}
         dirs = [
-            os.path.join(self.path, rel)
+            os.path.join(self.path, r)
             for b, rel in man["buckets"].items()
             if b in wanted
+            for r in self._rels(rel)
         ]
         return self._read_dirs(man, dirs)
 
@@ -312,17 +375,32 @@ class BucketedStateTable:
             return None
         man = self._load_manifest(v)
         total = 0
-        for rel in man["buckets"].values():
-            d = os.path.join(self.path, rel)
+        dirs = [
+            os.path.join(self.path, r)
+            for rel in man["buckets"].values()
+            for r in self._rels(rel)
+        ]
+        for d in dirs:
             for name in os.listdir(d):
-                if name.startswith("part-") and not name.endswith(".crc"):
+                # every non-hidden file — the same visibility rule the
+                # parquet scan applies (names starting with '_' or '.'
+                # are metadata: _SUCCESS, .crc), so this sums exactly
+                # the files read() would scan regardless of how a
+                # writer names its data files (r13 ADVICE: the old
+                # 'part-' prefix filter silently undercounted any
+                # differently-named data file)
+                if not name.startswith(("_", ".")):
                     total += pq.ParquetFile(
                         os.path.join(d, name)
                     ).metadata.num_rows
         return total
 
     def _read_manifest(self, man: dict, session=None) -> DataFrame:
-        dirs = [os.path.join(self.path, rel) for rel in man["buckets"].values()]
+        dirs = [
+            os.path.join(self.path, r)
+            for rel in man["buckets"].values()
+            for r in self._rels(rel)
+        ]
         return self._read_dirs(man, dirs, session=session)
 
     # --- incremental apply -------------------------------------------
@@ -336,11 +414,29 @@ class BucketedStateTable:
         op_col: str = "op",
         touched_info: tuple[set, bool] | None = None,
         batch_id: int | None = None,
+        insert_only: bool = False,
     ) -> int | None:
         """Merge one batch of typed changes; rewrite only touched
         buckets. Returns the new version (or the current one for an
         empty batch). ``touched_info=(bucket_ids, has_truncate)`` lets
         a caller that already scanned the batch skip the scan here.
+
+        ``insert_only=True`` is the caller's GUARANTEE that no change
+        key exists in the current state (e.g. the batch was anti-joined
+        against a membership probe first — the dd13 shape). The apply
+        then APPENDS one delta directory per touched bucket instead of
+        reading and rewriting bucket contents: written bytes are
+        O(batch), never O(touched bucket contents) — at tens-of-GB
+        buckets that is the difference between appending megabytes and
+        rewriting terabytes per probe batch. Reads union a bucket's
+        generation list (read/read_buckets/version_diff/row_count all
+        flatten it); once a touched bucket reaches ``max_generations``
+        the apply silently falls back to the merge path, folding those
+        buckets to one directory again. A violated guarantee surfaces
+        as duplicate keys in ``read()`` — the caller owns the contract
+        (this table stores final images, so it cannot re-check without
+        the probe the caller already ran). Truncates always take the
+        merge path.
 
         ``batch_id`` (a foreachBatch epoch id) upgrades at-least-once
         replay to exactly-once apply: the committed manifest records
@@ -390,13 +486,31 @@ class BucketedStateTable:
         if any_t:
             touched = set(range(self.n_buckets))
 
+        # insert-only append path: no base read, no merge joins — the
+        # fold of the batch alone IS the buckets' delta content
+        append = (
+            insert_only
+            and not any_t
+            and v_cur is not None
+        )
+        if append:
+            man = self._load_manifest(v_cur)
+            if any(
+                len(self._rels(man["buckets"][str(b)]))
+                >= self.max_generations
+                for b in touched
+                if str(b) in man["buckets"]
+            ):
+                append = False  # cap reached: fold via the merge path
+
         base = None
-        if v_cur is not None:
+        if v_cur is not None and not append:
             man = self._load_manifest(v_cur)
             base_dirs = [
-                os.path.join(self.path, rel)
+                os.path.join(self.path, r)
                 for b, rel in man["buckets"].items()
                 if int(b) in touched
+                for r in self._rels(rel)
             ]
             if base_dirs:
                 # read base on the CHANGES frame's session: inside
@@ -453,7 +567,7 @@ class BucketedStateTable:
         if applied is not None:
             meta["applied_lsn"] = applied
         return self._commit_new_version(
-            new_state, touched, v_cur, meta or None
+            new_state, touched, v_cur, meta or None, append=append
         )
 
     def vacuum(self, *, keep_last: int = 2) -> dict:
@@ -491,9 +605,10 @@ class BucketedStateTable:
             except (FileNotFoundError, json.JSONDecodeError):
                 continue
             for rel in man["buckets"].values():
-                head = rel.split("/", 1)[0]
-                if head.startswith("v") and head[1:].isdigit():
-                    pinned.add(int(head[1:]))
+                for r in self._rels(rel):
+                    head = r.split("/", 1)[0]
+                    if head.startswith("v") and head[1:].isdigit():
+                        pinned.add(int(head[1:]))
         removed = []
         for v in versions:
             if v not in pinned:
@@ -571,8 +686,10 @@ class BucketedStateTable:
         touched: set,
         v_cur: int | None,
         extra_meta: dict | None = None,
+        *,
+        append: bool = False,
     ) -> int:
-        prev_buckets: dict[str, str] = {}
+        prev_buckets: dict[str, str | list] = {}
         if v_cur is not None:
             prev_buckets = self._load_manifest(v_cur)["buckets"]
         v_new = (v_cur or 0) + 1
@@ -593,10 +710,24 @@ class BucketedStateTable:
             for name in os.listdir(target)
             if name.startswith(f"{_BUCKET}=")
         }
-        buckets = {
-            b: rel for b, rel in prev_buckets.items() if int(b) not in touched
-        }
-        buckets.update({str(b): rel for b, rel in written.items()})
+        if append:
+            # insert-only delta: touched buckets KEEP their previous
+            # directories and gain one generation; a touched bucket
+            # with no written file (claimed but empty) inherits as-is
+            buckets = dict(prev_buckets)
+            for b, rel in written.items():
+                sb = str(b)
+                if sb in buckets:
+                    buckets[sb] = self._rels(buckets[sb]) + [rel]
+                else:
+                    buckets[sb] = rel
+        else:
+            buckets = {
+                b: rel
+                for b, rel in prev_buckets.items()
+                if int(b) not in touched
+            }
+            buckets.update({str(b): rel for b, rel in written.items()})
         manifest = {
             "version": v_new,
             "n_buckets": self.n_buckets,

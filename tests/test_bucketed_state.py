@@ -592,3 +592,193 @@ def test_version_diff_across_schema_evolution(spark, table):
     assert got[1] == ("u", "p1", None)
     assert got[3] == ("c", "p3", None)
     assert 2 not in got  # untouched key in an inherited bucket
+
+
+def test_local_fs_path_seam(spark, tmp_path):
+    """Round 14: the state layer's file IO (manifests, pointer, footer
+    counts) is local-filesystem-only through ONE seam — a file: URI
+    normalizes to the bare path, any other scheme fails loudly instead
+    of feeding a URI to os.listdir."""
+    from cdc_spark.streaming.state import local_fs_path
+
+    p = str(tmp_path / "seam_state")
+    assert local_fs_path(p) == p
+    assert local_fs_path("file:" + p) == p
+    assert local_fs_path("file://" + p) == p  # file:///abs form
+    with pytest.raises(NotImplementedError):
+        local_fs_path("s3://bucket/state")
+    with pytest.raises(NotImplementedError):
+        local_fs_path("hdfs://nn:8020/state")
+
+    # a file:-prefixed table behaves identically to the bare path
+    t = BucketedStateTable(spark, "file:" + p, ["id"], n_buckets=4)
+    t.apply(
+        _changes(spark, [(1, "a", 10, "c", 1), (2, "b", 20, "c", 2)]),
+        ["name", "qty"],
+    )
+    assert t.path == p
+    assert t.row_count() == 2
+    assert t.read().count() == 2
+
+    with pytest.raises(NotImplementedError):
+        BucketedStateTable(spark, "s3://bucket/state", ["id"])
+
+
+def test_row_count_matches_read_regardless_of_file_names(spark, tmp_path):
+    """r13 ADVICE: row_count() must sum exactly the files read() would
+    scan — including data files NOT named part-* (a compaction or
+    external writer may name them differently)."""
+    import shutil
+
+    t = BucketedStateTable(spark, str(tmp_path / "rc"), ["id"], n_buckets=2)
+    t.apply(
+        _changes(
+            spark,
+            [(i, "x", i, "c", i) for i in range(1, 21)],
+        ),
+        ["name", "qty"],
+    )
+    v = t.current_version()
+    man = _manifest(t, v)
+    # rename one data file to a non part- name; the scan still reads it
+    for rel in man["buckets"].values():
+        d = os.path.join(t.path, rel)
+        for name in os.listdir(d):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                os.replace(
+                    os.path.join(d, name),
+                    os.path.join(d, "data-renamed.parquet"),
+                )
+                crc = os.path.join(d, "." + name + ".crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+                break
+        break
+    assert t.row_count() == t.read().count() == 20
+
+
+def test_insert_only_append_generations(spark, tmp_path):
+    """Round 14: insert_only=True appends a delta generation per
+    touched bucket — prior bucket files are untouched (byte-identical),
+    reads/row_count/version_diff see the union, and the result equals
+    what the merge path would produce."""
+    ta = BucketedStateTable(
+        spark, str(tmp_path / "app"), ["id"], n_buckets=4
+    )
+    tb = BucketedStateTable(
+        spark, str(tmp_path / "ref"), ["id"], n_buckets=4
+    )
+    seed = [(i, "s", i * 10, "c", i) for i in range(1, 9)]
+    batch = [(i, "n", i * 10, "c", i) for i in range(100, 110)]
+    for t in (ta, tb):
+        t.apply(_changes(spark, seed), ["name", "qty"])
+    v1 = ta.current_version()
+    files_before = _bucket_files(ta.path, _manifest(ta, v1))
+
+    ta.apply(_changes(spark, batch), ["name", "qty"], insert_only=True)
+    tb.apply(_changes(spark, batch), ["name", "qty"])
+
+    v2 = ta.current_version()
+    man2 = _manifest(ta, v2)
+    # every touched bucket's entry is now a [base, delta] list whose
+    # head still points at the v1 directory
+    lists = {
+        b: rel for b, rel in man2["buckets"].items() if isinstance(rel, list)
+    }
+    assert lists, "append apply produced no generation lists"
+    for b, rels in lists.items():
+        assert rels[0] == _manifest(ta, v1)["buckets"][b]
+        assert rels[-1].startswith(f"v{v2}/")
+    # prior generation files byte-identical (never rewritten)
+    files_after = _bucket_files(ta.path, _manifest(ta, v1))
+    assert files_before == files_after
+
+    a = {tuple(r) for r in ta.read().collect()}
+    b_ = {tuple(r) for r in tb.read().collect()}
+    assert a == b_ and len(a) == 18
+    assert ta.row_count() == tb.read().count() == 18
+
+    diff = {
+        (r["op"], r["id"]) for r in ta.version_diff(v1, v2).collect()
+    }
+    assert diff == {("c", i) for i in range(100, 110)}
+
+
+def test_insert_only_generation_cap_folds(spark, tmp_path):
+    """At max_generations the apply falls back to the merge path and
+    the touched buckets fold to a single directory again."""
+    t = BucketedStateTable(
+        spark,
+        str(tmp_path / "cap"),
+        ["id"],
+        n_buckets=2,
+        max_generations=2,
+    )
+    t.apply(
+        _changes(spark, [(i, "s", i, "c", i) for i in range(1, 5)]),
+        ["name", "qty"],
+    )
+    t.apply(
+        _changes(spark, [(i, "a", i, "c", i) for i in range(10, 14)]),
+        ["name", "qty"],
+        insert_only=True,
+    )
+    man = _manifest(t, t.current_version())
+    assert any(isinstance(rel, list) for rel in man["buckets"].values())
+    # next insert-only apply hits the cap on the touched buckets and
+    # folds them via the merge path (single dir again)
+    t.apply(
+        _changes(spark, [(i, "b", i, "c", i) for i in range(20, 24)]),
+        ["name", "qty"],
+        insert_only=True,
+    )
+    man = _manifest(t, t.current_version())
+    assert all(
+        not isinstance(rel, list) for rel in man["buckets"].values()
+    )
+    assert t.read().count() == 12 == t.row_count()
+
+
+def test_vacuum_pins_generation_heads(spark, tmp_path):
+    """Vacuum must keep every version directory any retained
+    generation list references."""
+    t = BucketedStateTable(
+        spark, str(tmp_path / "vac"), ["id"], n_buckets=2
+    )
+    t.apply(
+        _changes(spark, [(1, "s", 1, "c", 1), (2, "s", 2, "c", 2)]),
+        ["name", "qty"],
+    )
+    for i in range(2):
+        t.apply(
+            _changes(spark, [(10 + i, "a", i, "c", 10 + i)]),
+            ["name", "qty"],
+            insert_only=True,
+        )
+    res = t.vacuum(keep_last=1)
+    # v1 holds generation heads referenced by the current manifest
+    assert 1 in res["kept"]
+    assert t.read().count() == 4 == t.row_count()
+
+
+def test_compact_folds_generations(spark, tmp_path):
+    from cdc_spark.operators.maintenance import compact_buckets
+
+    t = BucketedStateTable(
+        spark, str(tmp_path / "cmp"), ["id"], n_buckets=2
+    )
+    t.apply(
+        _changes(spark, [(i, "s", i, "c", i) for i in range(1, 5)]),
+        ["name", "qty"],
+    )
+    t.apply(
+        _changes(spark, [(i, "a", i, "c", i) for i in range(10, 14)]),
+        ["name", "qty"],
+        insert_only=True,
+    )
+    before = {tuple(r) for r in t.read().collect()}
+    v_new = compact_buckets(t, min_files=1000)  # lists force the fold
+    man = _manifest(t, v_new)
+    assert all(not isinstance(rel, list) for rel in man["buckets"].values())
+    assert {tuple(r) for r in t.read().collect()} == before
+    assert t.row_count() == len(before)
