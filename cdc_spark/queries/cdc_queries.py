@@ -1174,14 +1174,49 @@ def cdc19_version_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_file_per_bucket=True,
     )
     bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    # ONE pass computes every replay batch's touched-bucket info
+    # (round 14, guide §1.2: each apply otherwise runs its own bounded
+    # scan job over its slice — 3 jobs re-reading the same checkpointed
+    # log). Slice membership is a pure lsn expression, so a single
+    # grouped aggregate yields (touched set, has_truncate, max lsn)
+    # per batch; the applies then skip their scans entirely while
+    # keeping bucket pruning exact.
+    slice_id = F.when(F.col("lsn") <= mx // 3, F.lit(0)).when(
+        F.col("lsn") <= 2 * mx // 3, F.lit(1)
+    ).otherwise(F.lit(2))
+    info_rows = (
+        changes.select(
+            slice_id.alias("__s"),
+            state._bucket_expr().alias("__b"),
+            (F.col("op") == "t").alias("__t"),
+            "lsn",
+        )
+        .groupBy("__s")
+        .agg(
+            F.collect_set("__b").alias("bs"),
+            F.max("__t").alias("has_t"),
+            F.max("lsn").alias("mx"),
+        )
+        .collect()
+    )
+    infos = {
+        r["__s"]: (set(r["bs"]), bool(r["has_t"]), r["mx"])
+        for r in info_rows
+    }
     versions = []
-    for lo, hi in bounds:
+    for i, (lo, hi) in enumerate(bounds):
         b = changes
         if lo is not None:
             b = b.where(F.col("lsn") > lo)
         if hi is not None:
             b = b.where(F.col("lsn") <= hi)
-        versions.append(state.apply(b, ["event_type", "value"]))
+        versions.append(
+            state.apply(
+                b,
+                ["event_type", "value"],
+                touched_info=infos.get(i, (set(), False, None)),
+            )
+        )
     return state.version_diff(versions[0], versions[-1])
 
 
