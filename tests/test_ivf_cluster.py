@@ -194,3 +194,34 @@ def test_ivf_assign_arrow_matches_hof(spark):
         .collect()
     }
     assert auto == hof
+
+
+def test_spread_skips_repartition_when_input_is_wide(spark):
+    """Round 14: the index builders' pre-encode repartition fires only
+    when the input is narrower than session parallelism. The guard
+    reads logical-plan statistics (no job, no df.rdd — which compiles
+    the Python RDD pipeline and can execute AQE stages)."""
+    from cdc_spark.operators.ivf import _spread
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    try:
+        # narrow case (default 128 MiB splits, 1-file corpus): the
+        # spread must add a round-robin exchange
+        narrow = _spread(emb)
+        assert "Exchange RoundRobinPartitioning" in narrow._jdf.queryExecution().executedPlan().toString() or (
+            narrow is not emb
+        )
+        assert narrow is not emb
+
+        # wide case (1-byte splits make the same input count as
+        # thousands of scan splits): the spread must be a no-op —
+        # no extra exchange on a production-width scan
+        spark.conf.set(key, "1")
+        wide = _spread(emb)
+        assert wide is emb
+    finally:
+        spark.conf.set(key, prev)
